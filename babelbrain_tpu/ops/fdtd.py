@@ -1,0 +1,549 @@
+"""Staggered-grid viscoelastic FDTD for transcranial ultrasound (JAX/TPU).
+
+Re-implements, TPU-natively, the solver contract of BabelViscoFDTD's
+``StaggeredFDTD_3D_with_relaxation`` as reconstructed in SURVEY.md section
+2.9 (call sites `TranscranialModeling/BabelIntegrationBASE.py:2338-2429`):
+isotropic velocity-stress formulation on a Virieux staggered grid with
+4th-order spatial / 2nd-order temporal accuracy, Q-factor (relaxation)
+attenuation, CPML absorbing boundaries, CW plane sources with per-pixel
+amplitude+phase, and carrier-frequency field extraction.
+
+TPU-first design decisions (vs the reference's CUDA/OpenCL/Metal kernels):
+
+* The whole time loop is one ``lax.scan`` under ``jit`` — XLA fuses each
+  step's stencils into a handful of HBM-bandwidth-bound loops.
+* Carrier-frequency amplitude/phase maps are accumulated **in-kernel** as a
+  running DFT over the final cycles instead of storing a giant sensor
+  time-series and FFT-ing afterwards (the reference's memory-bound design,
+  `BabelIntegrationBASE.py:2460-2538`). For steady-state CW this is exact.
+* Attenuation: one standard-linear-solid (SLS) relaxation mechanism per
+  modulus (P and S), tuned **exactly** at the carrier: the relaxation times
+  are chosen so both the phase velocity and the attenuation coefficient at
+  ``f0`` equal the material table values (loss angle delta = 2*atan(alpha*c/omega),
+  omega*tau_eps = tan(pi/4 + delta_p/2), tau_sig = 1/(omega^2 tau_eps)).
+  Memory-variable updates follow Robertsson et al. (Geophysics 1994) with a
+  shared stress-relaxation time per material.
+* CPML (Roden & Gedney) with slab-only psi memory arrays: psi exists only in
+  the boundary slabs of the axis its derivative runs along, so PML overhead
+  on HBM traffic is O(npml/N).
+* No complex dtypes on device (some TPU runtimes cannot transfer them);
+  field extraction returns cos/sin accumulator pairs.
+
+Material handling: per-voxel ``uint32`` index + per-material coefficient
+table expanded (host-side) into full-grid property fields. This costs ~7
+extra streamed arrays per step; the Pallas kernel variant keeps the table in
+VMEM instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 4th-order staggered-grid coefficients
+_C1 = 9.0 / 8.0
+_C2 = -1.0 / 24.0
+
+
+# ---------------------------------------------------------------------------
+# spatial derivatives (zero-padded boundaries; PML owns the edges)
+# ---------------------------------------------------------------------------
+
+
+def _shift(f, offset, axis):
+    """f shifted so out[i] = f[i+offset], zero-padded."""
+    n = f.shape[axis]
+    pad = [(0, 0)] * f.ndim
+    if offset >= 0:
+        pad[axis] = (0, offset)
+        g = jnp.pad(f, pad)
+        idx = [slice(None)] * f.ndim
+        idx[axis] = slice(offset, offset + n)
+    else:
+        pad[axis] = (-offset, 0)
+        g = jnp.pad(f, pad)
+        idx = [slice(None)] * f.ndim
+        idx[axis] = slice(0, n)
+    return g[tuple(idx)]
+
+
+def d_plus(f, axis):
+    """Derivative at half point i+1/2 from integer-point samples (x 1/dx)."""
+    return _C1 * (_shift(f, 1, axis) - f) + _C2 * (_shift(f, 2, axis) - _shift(f, -1, axis))
+
+
+def d_minus(f, axis):
+    """Derivative at integer point i from half-point samples (x 1/dx)."""
+    return _C1 * (f - _shift(f, -1, axis)) + _C2 * (_shift(f, 1, axis) - _shift(f, -2, axis))
+
+
+# ---------------------------------------------------------------------------
+# CPML
+# ---------------------------------------------------------------------------
+
+
+def cpml_profiles(n, npml, dx, dt, cmax, reflection_limit=1e-5, m=3.0):
+    """1-D CPML (b, a) coefficient profiles for integer and half positions.
+
+    sigma(d) = sigma_max * (d/L)^m with
+    sigma_max = -(m+1) * cmax * ln(R) / (2 L)   [Roden & Gedney 2000]
+    b = exp(-sigma dt), a = b - 1 (kappa=1, alpha=0).
+    Returns dict with 'b_int', 'a_int', 'b_half', 'a_half' arrays of length n
+    (nonzero only in the first/last npml cells).
+    """
+    L = npml * dx
+    sigma_max = -(m + 1.0) * cmax * np.log(reflection_limit) / (2.0 * L)
+
+    def sigma_at(pos):  # pos: distance from interior edge of PML, in cells
+        d = np.clip(pos, 0.0, npml) / npml
+        return sigma_max * d**m
+
+    out = {}
+    for name, off in (("int", 0.0), ("half", 0.5)):
+        coord = np.arange(n) + off
+        depth_lo = npml - coord  # >0 inside lo PML
+        depth_hi = coord - (n - 1 - npml)
+        sig = sigma_at(depth_lo) + sigma_at(depth_hi)
+        b = np.exp(-sig * dt)
+        a = b - 1.0
+        a[sig == 0] = 0.0
+        out[f"b_{name}"] = b.astype(np.float32)
+        out[f"a_{name}"] = a.astype(np.float32)
+    return out
+
+
+def _axis_reshape(arr, axis, ndim=3):
+    shape = [1] * ndim
+    shape[axis] = arr.shape[0]
+    return arr.reshape(shape)
+
+
+class _CPML:
+    """Slab psi-memory bookkeeping for one derivative field along one axis."""
+
+    def __init__(self, axis, staggered, profiles, npml):
+        self.axis = axis
+        self.npml = npml
+        p = profiles[axis]["half" if staggered else "int"]
+        self.b_lo = p["b_lo"]
+        self.a_lo = p["a_lo"]
+        self.b_hi = p["b_hi"]
+        self.a_hi = p["a_hi"]
+
+    def init_state(self, shape):
+        slab = list(shape)
+        slab[self.axis] = self.npml + 2
+        z = jnp.zeros(slab, jnp.float32)
+        return (z, z)
+
+    def apply(self, D, psi):
+        """Update psi slabs and return corrected derivative + new psi."""
+        ax, ns = self.axis, self.npml + 2
+        psi_lo, psi_hi = psi
+        idx_lo = [slice(None)] * D.ndim
+        idx_lo[ax] = slice(0, ns)
+        idx_lo = tuple(idx_lo)
+        idx_hi = [slice(None)] * D.ndim
+        idx_hi[ax] = slice(D.shape[ax] - ns, D.shape[ax])
+        idx_hi = tuple(idx_hi)
+
+        d_lo = D[idx_lo]
+        new_lo = self.b_lo * psi_lo + self.a_lo * d_lo
+        D = D.at[idx_lo].set(d_lo + new_lo)
+        d_hi = D[idx_hi]
+        new_hi = self.b_hi * psi_hi + self.a_hi * d_hi
+        D = D.at[idx_hi].set(d_hi + new_hi)
+        return D, (new_lo, new_hi)
+
+
+def _build_cpml_profiles(shape, npml, dx, dt, cmax, reflection_limit):
+    """Per-axis slab-trimmed (b, a) coefficient sets, device-ready."""
+    out = []
+    ns = npml + 2
+    for axis, n in enumerate(shape):
+        prof = cpml_profiles(n, npml, dx, dt, cmax, reflection_limit)
+        entry = {}
+        for stag in ("int", "half"):
+            b = prof[f"b_{stag}"]
+            a = prof[f"a_{stag}"]
+            entry[stag] = {
+                "b_lo": _axis_reshape(jnp.asarray(b[:ns]), axis),
+                "a_lo": _axis_reshape(jnp.asarray(a[:ns]), axis),
+                "b_hi": _axis_reshape(jnp.asarray(b[-ns:]), axis),
+                "a_hi": _axis_reshape(jnp.asarray(a[-ns:]), axis),
+            }
+        out.append(entry)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SLS (standard linear solid) coefficient tuning
+# ---------------------------------------------------------------------------
+
+
+def sls_coefficients(materials: np.ndarray, frequency: float, dt: float):
+    """Per-material solver coefficients with exact carrier-frequency tuning.
+
+    materials: (M, 5) [rho, c_long, c_shear, att_long (Np/m), att_shear].
+    Returns dict of (M,) float64 arrays:
+      pi_u, mu_u    unrelaxed moduli factors used in the stress update
+      c_rp, c_rs    memory-variable feed coefficients (include dt folding)
+      b_r           memory decay factor
+      rho_inv
+      viscous       True if any material has attenuation
+    """
+    m = np.asarray(materials, np.float64)
+    rho, cl, cs, al, ash = m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4]
+    omega = 2 * np.pi * frequency
+
+    def modulus(c, alpha):
+        """Complex modulus with loss angle from (c, alpha) at omega."""
+        q = alpha * c / omega
+        s = (1.0 / np.where(c > 0, c, 1.0)) * (1.0 - 1j * q)  # complex slowness
+        M = rho / s**2
+        return np.where(c > 0, M, 0.0)
+
+    Mp = modulus(cl, al)  # P modulus rho*cl^2 e^{i delta_p}
+    Ms = modulus(cs, ash)
+
+    # shared tau_sigma per material from the P loss angle
+    delta_p = np.angle(Mp + (Mp == 0))
+    x = np.tan(np.pi / 4 + delta_p / 2)  # omega*tau_eps_p
+    tau_sig = 1.0 / (omega * x)
+    tau_eps_p = x / omega
+
+    # S relaxation time chosen to hit the S loss angle with shared tau_sigma
+    delta_s = np.angle(Ms + (Ms == 0))
+    tau_eps_s = np.tan(delta_s + np.arctan(omega * tau_sig)) / omega
+    tau_eps_s = np.where(cs > 0, tau_eps_s, tau_sig)
+
+    def relaxed(M_target, tau_eps):
+        F = (1 + 1j * omega * tau_eps) / (1 + 1j * omega * tau_sig)
+        MR = np.real(M_target / F)
+        return MR
+
+    Pi_R = relaxed(Mp, tau_eps_p)
+    Mu_R = relaxed(Ms, tau_eps_s)
+
+    tp = tau_eps_p / tau_sig
+    ts = tau_eps_s / tau_sig
+    pi_u = Pi_R * tp
+    mu_u = Mu_R * ts
+
+    # memory update: r^{n+1} = b_r r^n - a_r * phi,
+    #   phi = c_rp * theta_dot - 2 c_rs * (theta_dot - d v_i/d x_i) etc.
+    half = dt / (2.0 * tau_sig)
+    b_r = (1.0 - half) / (1.0 + half)
+    a_r = dt / (1.0 + half)
+    c_rp = Pi_R * (tp - 1.0) / tau_sig * a_r / dt  # folded so phi*dt later
+    c_rs = Mu_R * (ts - 1.0) / tau_sig * a_r / dt
+
+    return {
+        "pi_u": pi_u,
+        "mu_u": mu_u,
+        "c_rp": c_rp * dt,
+        "c_rs": c_rs * dt,
+        "b_r": b_r,
+        "rho_inv": 1.0 / rho,
+        "viscous": bool(np.any(al > 0) or np.any(ash > 0)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# simulation setup & run
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FDTDGrid:
+    shape: tuple  # (N1, N2, N3)
+    dx: float
+    dt: float
+    n_steps: int
+    frequency: float
+    npml: int = 12
+    reflection_limit: float = 1e-5
+    sensor_start: int = 0  # first step of the DFT window
+    source_plane_z: int = 13  # z-index of the CW source plane
+    source_type: str = "velocity_plane"  # or "stress_point"
+    source_ijk: tuple = (0, 0, 0)  # for stress_point
+    ramp_cycles: float = 4.0
+
+
+def stable_dt(dx: float, cmax: float, cfl: float = 1.0) -> float:
+    """4th-order staggered-grid 3-D stability bound."""
+    return cfl * dx / (cmax * np.sqrt(3.0) * (abs(_C1) + abs(_C2)))
+
+
+def _material_fields(mat_idx, coefs):
+    """Expand per-material coefficient tables to full-grid f32 fields (host)."""
+    idx = np.asarray(mat_idx)
+    out = {}
+    for k in ("pi_u", "mu_u", "c_rp", "c_rs", "b_r", "rho_inv"):
+        out[k] = np.asarray(coefs[k], np.float32)[idx]
+    return out
+
+
+def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
+    """Build the per-step update closure (traced once under scan)."""
+    dt_dx = grid.dt / grid.dx
+    omega = 2.0 * np.pi * grid.frequency
+    zsrc = grid.source_plane_z
+
+    cp = {}
+
+    def get_cpml(name, axis, staggered):
+        cp[name] = _CPML(axis, staggered, profiles, grid.npml)
+        return cp[name]
+
+    # velocity-update derivative fields (stress derivatives)
+    # vx at (i+1/2, j, k): d/dx is + (half target), d/dy, d/dz are - (int target)
+    c_sxx_x = get_cpml("sxx_x", 0, True)
+    c_sxy_y = get_cpml("sxy_y", 1, False)
+    c_sxz_z = get_cpml("sxz_z", 2, False)
+    c_sxy_x = get_cpml("sxy_x", 0, False)
+    c_syy_y = get_cpml("syy_y", 1, True)
+    c_syz_z = get_cpml("syz_z", 2, False)
+    c_sxz_x = get_cpml("sxz_x", 0, False)
+    c_syz_y = get_cpml("syz_y", 1, False)
+    c_szz_z = get_cpml("szz_z", 2, True)
+    # stress-update derivative fields (velocity derivatives)
+    c_vx_x = get_cpml("vx_x", 0, False)
+    c_vy_y = get_cpml("vy_y", 1, False)
+    c_vz_z = get_cpml("vz_z", 2, False)
+    c_vx_y = get_cpml("vx_y", 1, True)
+    c_vy_x = get_cpml("vy_x", 0, True)
+    c_vx_z = get_cpml("vx_z", 2, True)
+    c_vz_x = get_cpml("vz_x", 0, True)
+    c_vy_z = get_cpml("vy_z", 2, True)
+    c_vz_y = get_cpml("vz_y", 1, True)
+
+    def init_cpml_state(shape):
+        return {name: c.init_state(shape) for name, c in cp.items()}
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        psi = s["psi"]
+        p = s["props"]
+        vx, vy, vz = f["vx"], f["vy"], f["vz"]
+        sxx, syy, szz = f["sxx"], f["syy"], f["szz"]
+        sxy, sxz, syz = f["sxy"], f["sxz"], f["syz"]
+
+        t = n.astype(jnp.float32) * grid.dt
+
+        # ---- velocity update ----
+        dsxx_x, psi["sxx_x"] = c_sxx_x.apply(d_plus(sxx, 0), psi["sxx_x"])
+        dsxy_y, psi["sxy_y"] = c_sxy_y.apply(d_minus(sxy, 1), psi["sxy_y"])
+        dsxz_z, psi["sxz_z"] = c_sxz_z.apply(d_minus(sxz, 2), psi["sxz_z"])
+        vx = vx + dt_dx * p["rho_inv"] * (dsxx_x + dsxy_y + dsxz_z)
+
+        dsxy_x, psi["sxy_x"] = c_sxy_x.apply(d_minus(sxy, 0), psi["sxy_x"])
+        dsyy_y, psi["syy_y"] = c_syy_y.apply(d_plus(syy, 1), psi["syy_y"])
+        dsyz_z, psi["syz_z"] = c_syz_z.apply(d_minus(syz, 2), psi["syz_z"])
+        vy = vy + dt_dx * p["rho_inv"] * (dsxy_x + dsyy_y + dsyz_z)
+
+        dsxz_x, psi["sxz_x"] = c_sxz_x.apply(d_minus(sxz, 0), psi["sxz_x"])
+        dsyz_y, psi["syz_y"] = c_syz_y.apply(d_minus(syz, 1), psi["syz_y"])
+        dszz_z, psi["szz_z"] = c_szz_z.apply(d_plus(szz, 2), psi["szz_z"])
+        vz = vz + dt_dx * p["rho_inv"] * (dsxz_x + dsyz_y + dszz_z)
+
+        # ---- source injection ----
+        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+        ramp = jnp.where(
+            n < ramp_steps,
+            0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)),
+            1.0,
+        ).astype(jnp.float32)
+        if grid.source_type == "velocity_plane":
+            amp2d = s["src_amp"]
+            ph2d = s["src_phase"]
+            sval = amp2d * jnp.sin(omega * t + ph2d) * ramp * oz_scale
+            plane = vz[:, :, zsrc]
+            vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
+        carry_fields = {}
+
+        # ---- stress update ----
+        dvx_x, psi["vx_x"] = c_vx_x.apply(d_minus(vx, 0), psi["vx_x"])
+        dvy_y, psi["vy_y"] = c_vy_y.apply(d_minus(vy, 1), psi["vy_y"])
+        dvz_z, psi["vz_z"] = c_vz_z.apply(d_minus(vz, 2), psi["vz_z"])
+        theta = dvx_x + dvy_y + dvz_z
+
+        pi_u = p["pi_u"]
+        mu_u = p["mu_u"]
+
+        if viscous:
+            b_r = p["b_r"]
+            c_rp = p["c_rp"]
+            c_rs = p["c_rs"]
+            rxx, ryy, rzz = f["rxx"], f["ryy"], f["rzz"]
+            phi_xx = c_rp * theta - 2.0 * c_rs * (theta - dvx_x)
+            phi_yy = c_rp * theta - 2.0 * c_rs * (theta - dvy_y)
+            phi_zz = c_rp * theta - 2.0 * c_rs * (theta - dvz_z)
+            # note: phi includes the 1/dx from derivative scaling below
+            new_rxx = b_r * rxx - phi_xx / grid.dx
+            new_ryy = b_r * ryy - phi_yy / grid.dx
+            new_rzz = b_r * rzz - phi_zz / grid.dx
+            sxx = sxx + dt_dx * (pi_u * theta - 2 * mu_u * (theta - dvx_x)) + (
+                grid.dt * 0.5
+            ) * (new_rxx + rxx)
+            syy = syy + dt_dx * (pi_u * theta - 2 * mu_u * (theta - dvy_y)) + (
+                grid.dt * 0.5
+            ) * (new_ryy + ryy)
+            szz = szz + dt_dx * (pi_u * theta - 2 * mu_u * (theta - dvz_z)) + (
+                grid.dt * 0.5
+            ) * (new_rzz + rzz)
+            carry_fields.update(rxx=new_rxx, ryy=new_ryy, rzz=new_rzz)
+        else:
+            sxx = sxx + dt_dx * (pi_u * theta - 2 * mu_u * (theta - dvx_x))
+            syy = syy + dt_dx * (pi_u * theta - 2 * mu_u * (theta - dvy_y))
+            szz = szz + dt_dx * (pi_u * theta - 2 * mu_u * (theta - dvz_z))
+
+        # shear stresses (skip entirely for fluid-only media)
+        has_shear = s["has_shear"]
+        if has_shear:
+            dvx_y, psi["vx_y"] = c_vx_y.apply(d_plus(vx, 1), psi["vx_y"])
+            dvy_x, psi["vy_x"] = c_vy_x.apply(d_plus(vy, 0), psi["vy_x"])
+            dvx_z, psi["vx_z"] = c_vx_z.apply(d_plus(vx, 2), psi["vx_z"])
+            dvz_x, psi["vz_x"] = c_vz_x.apply(d_plus(vz, 0), psi["vz_x"])
+            dvy_z, psi["vy_z"] = c_vy_z.apply(d_plus(vy, 2), psi["vy_z"])
+            dvz_y, psi["vz_y"] = c_vz_y.apply(d_plus(vz, 1), psi["vz_y"])
+            exy = dvx_y + dvy_x
+            exz = dvx_z + dvz_x
+            eyz = dvy_z + dvz_y
+            if viscous:
+                rxy, rxz, ryz = f["rxy"], f["rxz"], f["ryz"]
+                new_rxy = b_r * rxy - c_rs * exy / grid.dx
+                new_rxz = b_r * rxz - c_rs * exz / grid.dx
+                new_ryz = b_r * ryz - c_rs * eyz / grid.dx
+                sxy = sxy + dt_dx * mu_u * exy + grid.dt * 0.5 * (new_rxy + rxy)
+                sxz = sxz + dt_dx * mu_u * exz + grid.dt * 0.5 * (new_rxz + rxz)
+                syz = syz + dt_dx * mu_u * eyz + grid.dt * 0.5 * (new_ryz + ryz)
+                carry_fields.update(rxy=new_rxy, rxz=new_rxz, ryz=new_ryz)
+            else:
+                sxy = sxy + dt_dx * mu_u * exy
+                sxz = sxz + dt_dx * mu_u * exz
+                syz = syz + dt_dx * mu_u * eyz
+
+        if grid.source_type == "stress_point":
+            i0, j0, k0 = grid.source_ijk
+            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp
+            sxx = sxx.at[i0, j0, k0].add(sval)
+            syy = syy.at[i0, j0, k0].add(sval)
+            szz = szz.at[i0, j0, k0].add(sval)
+
+        # ---- carrier DFT + peak accumulation ----
+        pressure = -(sxx + syy + szz) * (1.0 / 3.0)
+        in_window = (n >= grid.sensor_start).astype(jnp.float32)
+        cosw = jnp.cos(omega * t) * in_window
+        sinw = jnp.sin(omega * t) * in_window
+        acc_c = s["acc_cos"] + pressure * cosw
+        acc_s = s["acc_sin"] + pressure * sinw
+        peak = jnp.maximum(s["peak"], jnp.abs(pressure) * in_window)
+
+        carry_fields.update(
+            vx=vx, vy=vy, vz=vz, sxx=sxx, syy=syy, szz=szz, sxy=sxy, sxz=sxz, syz=syz
+        )
+        new_carry = dict(
+            s,
+            fields=carry_fields,
+            psi=psi,
+            acc_cos=acc_c,
+            acc_sin=acc_s,
+            peak=peak,
+        )
+        return new_carry, None
+
+    return step, init_cpml_state
+
+
+def run_fdtd(
+    mat_idx: np.ndarray,
+    materials: np.ndarray,
+    grid: FDTDGrid,
+    source_amp: np.ndarray | None = None,
+    source_phase: np.ndarray | None = None,
+    point_amp: float = 0.0,
+):
+    """Run the CW simulation and return carrier amplitude/phase/peak maps.
+
+    Parameters
+    ----------
+    mat_idx : (N1,N2,N3) uint material index volume.
+    materials : (M,5) [rho, c_l, c_s, alpha_l, alpha_s].
+    grid : FDTDGrid.
+    source_amp, source_phase : (N1,N2) CW plane-source amplitude (Pa) and
+        phase, typically |u|, angle(u) of the Rayleigh field at the source
+        plane (`BabelIntegrationSingle.py:313-346` contract).
+    point_amp : stress amplitude for ``stress_point`` sources (refocusing
+        backpropagation, `BabelIntegrationBASE.py:2374`).
+
+    Returns
+    -------
+    dict with 'p_amp' (Pa), 'p_phase' (rad, FFT-bin convention of the
+    reference), 'peak' (Pa), each (N1,N2,N3) float32 numpy arrays.
+    """
+    mats = np.asarray(materials, np.float64)
+    coefs = sls_coefficients(mats, grid.frequency, grid.dt)
+    props_np = _material_fields(mat_idx, coefs)
+    has_shear = bool(np.any(mats[:, 2] > 0))
+    viscous = coefs["viscous"]
+
+    rho0, c0 = mats[0, 0], mats[0, 1]
+    oz_scale = 1.0 / (rho0 * c0)  # pressure -> particle velocity (plane wave)
+
+    cmax = max(mats[:, 1].max(), mats[:, 2].max())
+    profiles = _build_cpml_profiles(
+        grid.shape, grid.npml, grid.dx, grid.dt, cmax, grid.reflection_limit
+    )
+    step, init_cpml_state = _make_step_fn(grid, profiles, viscous, oz_scale)
+
+    shape = tuple(grid.shape)
+    zeros = lambda: jnp.zeros(shape, jnp.float32)  # noqa: E731
+    fields = {k: zeros() for k in ("vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz")}
+    if viscous:
+        fields.update({k: zeros() for k in ("rxx", "ryy", "rzz")})
+        if has_shear:
+            fields.update({k: zeros() for k in ("rxy", "rxz", "ryz")})
+        else:
+            fields.update({k: zeros() for k in ("rxy", "rxz", "ryz")})
+
+    carry = {
+        "fields": fields,
+        "psi": init_cpml_state(shape),
+        "props": {k: jnp.asarray(v) for k, v in props_np.items()},
+        "acc_cos": zeros(),
+        "acc_sin": zeros(),
+        "peak": zeros(),
+        "has_shear": has_shear,
+        "src_amp": jnp.asarray(
+            source_amp if source_amp is not None else np.zeros(shape[:2]), jnp.float32
+        ),
+        "src_phase": jnp.asarray(
+            source_phase if source_phase is not None else np.zeros(shape[:2]),
+            jnp.float32,
+        ),
+        "src_amp_point": jnp.float32(point_amp),
+    }
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _run(carry):
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
+        return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+
+    acc_c, acc_s, peak = _run(carry)
+    acc_c = np.asarray(acc_c)
+    acc_s = np.asarray(acc_s)
+    n_win = grid.n_steps - grid.sensor_start
+    # FFT-bin convention: X = sum p e^{-i w t} = C - iS; amp=2|X|/N
+    amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
+    phase = np.arctan2(-acc_s, acc_c)
+    return {
+        "p_amp": amp.astype(np.float32),
+        "p_phase": phase.astype(np.float32),
+        "peak": np.asarray(peak),
+    }
