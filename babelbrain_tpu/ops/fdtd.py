@@ -134,14 +134,21 @@ class _CPML:
         self.b_hi = p["b_hi"]
         self.a_hi = p["a_hi"]
 
-    def init_state(self, shape):
+    def init_state(self, shape, zeros_fn=None):
         slab = list(shape)
         slab[self.axis] = self.npml + 2
-        z = jnp.zeros(slab, jnp.float32)
-        return (z, z)
+        make = zeros_fn if zeros_fn is not None else (
+            lambda sh: jnp.zeros(sh, jnp.float32)
+        )
+        return (make(tuple(slab)), make(tuple(slab)))
 
-    def apply(self, D, psi):
-        """Update psi slabs and return corrected derivative + new psi."""
+    def apply(self, D, psi, mask_lo=None, mask_hi=None):
+        """Update psi slabs and return corrected derivative + new psi.
+
+        mask_lo/mask_hi (f32 scalars) gate the slab updates so that, under
+        domain decomposition, only the shards owning a global edge apply the
+        PML along the sharded axis.
+        """
         ax, ns = self.axis, self.npml + 2
         psi_lo, psi_hi = psi
         idx_lo = [slice(None)] * D.ndim
@@ -152,10 +159,12 @@ class _CPML:
         idx_hi = tuple(idx_hi)
 
         d_lo = D[idx_lo]
-        new_lo = self.b_lo * psi_lo + self.a_lo * d_lo
+        feed_lo = self.a_lo * d_lo if mask_lo is None else mask_lo * self.a_lo * d_lo
+        new_lo = self.b_lo * psi_lo + feed_lo
         D = D.at[idx_lo].set(d_lo + new_lo)
         d_hi = D[idx_hi]
-        new_hi = self.b_hi * psi_hi + self.a_hi * d_hi
+        feed_hi = self.a_hi * d_hi if mask_hi is None else mask_hi * self.a_hi * d_hi
+        new_hi = self.b_hi * psi_hi + feed_hi
         D = D.at[idx_hi].set(d_hi + new_hi)
         return D, (new_lo, new_hi)
 
@@ -241,6 +250,9 @@ def sls_coefficients(materials: np.ndarray, frequency: float, dt: float):
     a_r = dt / (1.0 + half)
     c_rp = Pi_R * (tp - 1.0) / tau_sig * a_r / dt  # folded so phi*dt later
     c_rs = Mu_R * (ts - 1.0) / tau_sig * a_r / dt
+    # snap lossless materials to exactly zero feed (kills fp noise from tan(pi/4))
+    c_rp = np.where(al > 0, c_rp, 0.0)
+    c_rs = np.where(ash > 0, c_rs, 0.0)
 
     return {
         "pi_u": pi_u,
@@ -288,8 +300,13 @@ def _material_fields(mat_idx, coefs):
     return out
 
 
-def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
-    """Build the per-step update closure (traced once under scan)."""
+def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
+    """Build the per-step update closure (traced once under scan).
+
+    ``comm`` (parallel.halo.DomainComm) supplies ghost planes for the
+    x-derivatives, so the same closure serves single-device runs (zero ghost)
+    and shard_map domain decomposition (ppermute halos).
+    """
     dt_dx = grid.dt / grid.dx
     omega = 2.0 * np.pi * grid.frequency
     zsrc = grid.source_plane_z
@@ -301,7 +318,6 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
         return cp[name]
 
     # velocity-update derivative fields (stress derivatives)
-    # vx at (i+1/2, j, k): d/dx is + (half target), d/dy, d/dz are - (int target)
     c_sxx_x = get_cpml("sxx_x", 0, True)
     c_sxy_y = get_cpml("sxy_y", 1, False)
     c_sxz_z = get_cpml("sxz_z", 2, False)
@@ -322,8 +338,8 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
     c_vy_z = get_cpml("vy_z", 2, True)
     c_vz_y = get_cpml("vz_y", 1, True)
 
-    def init_cpml_state(shape):
-        return {name: c.init_state(shape) for name, c in cp.items()}
+    def init_cpml_state(shape, zeros_fn=None):
+        return {name: c.init_state(shape, zeros_fn) for name, c in cp.items()}
 
     def step(carry, n):
         s = carry
@@ -335,19 +351,29 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
         sxy, sxz, syz = f["sxy"], f["sxz"], f["syz"]
 
         t = n.astype(jnp.float32) * grid.dt
+        m_lo, m_hi = comm.edge_masks()
 
         # ---- velocity update ----
-        dsxx_x, psi["sxx_x"] = c_sxx_x.apply(d_plus(sxx, 0), psi["sxx_x"])
+        sxx_p = comm.pad_x(sxx)
+        sxy_p = comm.pad_x(sxy)
+        sxz_p = comm.pad_x(sxz)
+        dsxx_x, psi["sxx_x"] = c_sxx_x.apply(
+            comm.crop_x(d_plus(sxx_p, 0)), psi["sxx_x"], m_lo, m_hi
+        )
         dsxy_y, psi["sxy_y"] = c_sxy_y.apply(d_minus(sxy, 1), psi["sxy_y"])
         dsxz_z, psi["sxz_z"] = c_sxz_z.apply(d_minus(sxz, 2), psi["sxz_z"])
         vx = vx + dt_dx * p["rho_inv"] * (dsxx_x + dsxy_y + dsxz_z)
 
-        dsxy_x, psi["sxy_x"] = c_sxy_x.apply(d_minus(sxy, 0), psi["sxy_x"])
+        dsxy_x, psi["sxy_x"] = c_sxy_x.apply(
+            comm.crop_x(d_minus(sxy_p, 0)), psi["sxy_x"], m_lo, m_hi
+        )
         dsyy_y, psi["syy_y"] = c_syy_y.apply(d_plus(syy, 1), psi["syy_y"])
         dsyz_z, psi["syz_z"] = c_syz_z.apply(d_minus(syz, 2), psi["syz_z"])
         vy = vy + dt_dx * p["rho_inv"] * (dsxy_x + dsyy_y + dsyz_z)
 
-        dsxz_x, psi["sxz_x"] = c_sxz_x.apply(d_minus(sxz, 0), psi["sxz_x"])
+        dsxz_x, psi["sxz_x"] = c_sxz_x.apply(
+            comm.crop_x(d_minus(sxz_p, 0)), psi["sxz_x"], m_lo, m_hi
+        )
         dsyz_y, psi["syz_y"] = c_syz_y.apply(d_minus(syz, 1), psi["syz_y"])
         dszz_z, psi["szz_z"] = c_szz_z.apply(d_plus(szz, 2), psi["szz_z"])
         vz = vz + dt_dx * p["rho_inv"] * (dsxz_x + dsyz_y + dszz_z)
@@ -365,10 +391,15 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
             sval = amp2d * jnp.sin(omega * t + ph2d) * ramp * oz_scale
             plane = vz[:, :, zsrc]
             vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
-        carry_fields = {}
+        carry_fields = dict(f)
 
         # ---- stress update ----
-        dvx_x, psi["vx_x"] = c_vx_x.apply(d_minus(vx, 0), psi["vx_x"])
+        vx_p = comm.pad_x(vx)
+        vy_p = comm.pad_x(vy)
+        vz_p = comm.pad_x(vz)
+        dvx_x, psi["vx_x"] = c_vx_x.apply(
+            comm.crop_x(d_minus(vx_p, 0)), psi["vx_x"], m_lo, m_hi
+        )
         dvy_y, psi["vy_y"] = c_vy_y.apply(d_minus(vy, 1), psi["vy_y"])
         dvz_z, psi["vz_z"] = c_vz_z.apply(d_minus(vz, 2), psi["vz_z"])
         theta = dvx_x + dvy_y + dvz_z
@@ -404,12 +435,15 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
             szz = szz + dt_dx * (pi_u * theta - 2 * mu_u * (theta - dvz_z))
 
         # shear stresses (skip entirely for fluid-only media)
-        has_shear = s["has_shear"]
         if has_shear:
             dvx_y, psi["vx_y"] = c_vx_y.apply(d_plus(vx, 1), psi["vx_y"])
-            dvy_x, psi["vy_x"] = c_vy_x.apply(d_plus(vy, 0), psi["vy_x"])
+            dvy_x, psi["vy_x"] = c_vy_x.apply(
+                comm.crop_x(d_plus(vy_p, 0)), psi["vy_x"], m_lo, m_hi
+            )
             dvx_z, psi["vx_z"] = c_vx_z.apply(d_plus(vx, 2), psi["vx_z"])
-            dvz_x, psi["vz_x"] = c_vz_x.apply(d_plus(vz, 0), psi["vz_x"])
+            dvz_x, psi["vz_x"] = c_vz_x.apply(
+                comm.crop_x(d_plus(vz_p, 0)), psi["vz_x"], m_lo, m_hi
+            )
             dvy_z, psi["vy_z"] = c_vy_z.apply(d_plus(vy, 2), psi["vy_z"])
             dvz_y, psi["vz_y"] = c_vz_y.apply(d_plus(vz, 1), psi["vz_y"])
             exy = dvx_y + dvy_x
@@ -431,10 +465,13 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
 
         if grid.source_type == "stress_point":
             i0, j0, k0 = grid.source_ijk
-            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp
-            sxx = sxx.at[i0, j0, k0].add(sval)
-            syy = syy.at[i0, j0, k0].add(sval)
-            szz = szz.at[i0, j0, k0].add(sval)
+            i_loc = jnp.int32(i0) - comm.local_x_offset(sxx.shape[0])
+            in_range = ((i_loc >= 0) & (i_loc < sxx.shape[0])).astype(jnp.float32)
+            i_c = jnp.clip(i_loc, 0, sxx.shape[0] - 1)
+            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * in_range
+            sxx = sxx.at[i_c, j0, k0].add(sval)
+            syy = syy.at[i_c, j0, k0].add(sval)
+            szz = szz.at[i_c, j0, k0].add(sval)
 
         # ---- carrier DFT + peak accumulation ----
         pressure = -(sxx + syy + szz) * (1.0 / 3.0)
@@ -461,6 +498,45 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale):
     return step, init_cpml_state
 
 
+def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
+                    viscous, has_shear, oz_scale, comm):
+    """Run the scan on (possibly shard-local) blocks; returns accumulators."""
+    step, init_cpml_state = _make_step_fn(
+        grid, profiles, viscous, has_shear, oz_scale, comm
+    )
+    shape = props["pi_u"].shape
+
+    def zeros_fn(sh=shape):
+        z = jnp.zeros(sh, jnp.float32)
+        if comm.axis_name is not None and comm.n_shards > 1:
+            # mark as device-varying so the scan carry typing is consistent
+            z = jax.lax.pvary(z, (comm.axis_name,))
+        return z
+
+    zeros = zeros_fn
+    fields = {
+        k: zeros()
+        for k in ("vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz")
+    }
+    if viscous:
+        fields.update({k: zeros() for k in ("rxx", "ryy", "rzz")})
+        if has_shear:
+            fields.update({k: zeros() for k in ("rxy", "rxz", "ryz")})
+    carry = {
+        "fields": fields,
+        "psi": init_cpml_state(shape, zeros_fn),
+        "props": props,
+        "acc_cos": zeros(),
+        "acc_sin": zeros(),
+        "peak": zeros(),
+        "src_amp": src_amp,
+        "src_phase": src_phase,
+        "src_amp_point": point_amp,
+    }
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
+    return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+
+
 def run_fdtd(
     mat_idx: np.ndarray,
     materials: np.ndarray,
@@ -468,6 +544,7 @@ def run_fdtd(
     source_amp: np.ndarray | None = None,
     source_phase: np.ndarray | None = None,
     point_amp: float = 0.0,
+    mesh=None,
 ):
     """Run the CW simulation and return carrier amplitude/phase/peak maps.
 
@@ -481,12 +558,18 @@ def run_fdtd(
         plane (`BabelIntegrationSingle.py:313-346` contract).
     point_amp : stress amplitude for ``stress_point`` sources (refocusing
         backpropagation, `BabelIntegrationBASE.py:2374`).
+    mesh : optional 1-D ``jax.sharding.Mesh`` with axis name 'x'; the domain
+        is decomposed along its first axis with ppermute halo exchange.
+        Requires N1 divisible by the mesh size and
+        N1/size >= npml+2.
 
     Returns
     -------
     dict with 'p_amp' (Pa), 'p_phase' (rad, FFT-bin convention of the
     reference), 'peak' (Pa), each (N1,N2,N3) float32 numpy arrays.
     """
+    from ..parallel.halo import DomainComm
+
     mats = np.asarray(materials, np.float64)
     coefs = sls_coefficients(mats, grid.frequency, grid.dt)
     props_np = _material_fields(mat_idx, coefs)
@@ -500,42 +583,62 @@ def run_fdtd(
     profiles = _build_cpml_profiles(
         grid.shape, grid.npml, grid.dx, grid.dt, cmax, grid.reflection_limit
     )
-    step, init_cpml_state = _make_step_fn(grid, profiles, viscous, oz_scale)
 
-    shape = tuple(grid.shape)
-    zeros = lambda: jnp.zeros(shape, jnp.float32)  # noqa: E731
-    fields = {k: zeros() for k in ("vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz")}
-    if viscous:
-        fields.update({k: zeros() for k in ("rxx", "ryy", "rzz")})
-        if has_shear:
-            fields.update({k: zeros() for k in ("rxy", "rxz", "ryz")})
-        else:
-            fields.update({k: zeros() for k in ("rxy", "rxz", "ryz")})
+    src_amp = np.asarray(
+        source_amp if source_amp is not None else np.zeros(grid.shape[:2]), np.float32
+    )
+    src_phase = np.asarray(
+        source_phase if source_phase is not None else np.zeros(grid.shape[:2]),
+        np.float32,
+    )
 
-    carry = {
-        "fields": fields,
-        "psi": init_cpml_state(shape),
-        "props": {k: jnp.asarray(v) for k, v in props_np.items()},
-        "acc_cos": zeros(),
-        "acc_sin": zeros(),
-        "peak": zeros(),
-        "has_shear": has_shear,
-        "src_amp": jnp.asarray(
-            source_amp if source_amp is not None else np.zeros(shape[:2]), jnp.float32
-        ),
-        "src_phase": jnp.asarray(
-            source_phase if source_phase is not None else np.zeros(shape[:2]),
-            jnp.float32,
-        ),
-        "src_amp_point": jnp.float32(point_amp),
-    }
+    if mesh is None:
+        comm = DomainComm()
+        fn = jax.jit(
+            functools.partial(
+                _simulate_local,
+                grid=grid,
+                profiles=profiles,
+                viscous=viscous,
+                has_shear=has_shear,
+                oz_scale=oz_scale,
+                comm=comm,
+            )
+        )
+    else:
+        from jax.sharding import PartitionSpec as P
 
-    @functools.partial(jax.jit, static_argnames=())
-    def _run(carry):
-        carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
-        return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+        n_shards = mesh.devices.size
+        if grid.shape[0] % n_shards:
+            raise ValueError(
+                f"N1={grid.shape[0]} not divisible by mesh size {n_shards}"
+            )
+        if grid.shape[0] // n_shards < grid.npml + 2:
+            raise ValueError("shard too thin for the PML slab; reduce mesh size")
+        comm = DomainComm("x", n_shards)
+        spec3 = P("x", None, None)
+        spec2 = P("x", None)
+        fn = jax.jit(
+            jax.shard_map(
+                functools.partial(
+                    _simulate_local,
+                    grid=grid,
+                    profiles=profiles,
+                    viscous=viscous,
+                    has_shear=has_shear,
+                    oz_scale=oz_scale,
+                    comm=comm,
+                ),
+                mesh=mesh,
+                in_specs=({k: spec3 for k in props_np}, spec2, spec2, P()),
+                out_specs=(spec3, spec3, spec3),
+            )
+        )
 
-    acc_c, acc_s, peak = _run(carry)
+    props = {k: jnp.asarray(v) for k, v in props_np.items()}
+    acc_c, acc_s, peak = fn(
+        props, jnp.asarray(src_amp), jnp.asarray(src_phase), jnp.float32(point_amp)
+    )
     acc_c = np.asarray(acc_c)
     acc_s = np.asarray(acc_s)
     n_win = grid.n_steps - grid.sensor_start

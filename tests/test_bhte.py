@@ -1,0 +1,131 @@
+"""BHTE validation against closed-form solutions."""
+
+import numpy as np
+import pytest
+
+from babelbrain_tpu.ops.bhte import (
+    BLOOD_DENSITY,
+    BLOOD_SPECIFIC_HEAT,
+    absorption_heating,
+    bhte_run,
+    cem43,
+)
+from babelbrain_tpu.materials.thermal import ThermalMaterialList
+
+
+def _uniform_mats(**over):
+    base = dict(
+        density=np.array([1041.0]),
+        sos=np.array([1562.0]),
+        attenuation=np.array([4.49]),
+        specific_heat=np.array([3630.0]),
+        conductivity=np.array([0.51]),
+        perfusion=np.array([0.0]),
+        absorption=np.array([0.85]),
+    )
+    base.update({k: np.array([v]) for k, v in over.items()})
+    return ThermalMaterialList(**base)
+
+
+class TestBHTE:
+    def test_uniform_heating_rate(self):
+        N = 20
+        mats = _uniform_mats()
+        idx = np.zeros((N, N, N), np.uint8)
+        p = np.full((N, N, N), 1e6, np.float32)
+        res = bhte_run(p, idx, mats, dx=1e-3, schedule=[(0, 100, True)], dt=0.01)
+        Q = 0.85 * 4.49 * 1e12 / (1041 * 1562)
+        expect = 37.0 + Q / (1041 * 3630.0)
+        assert res.temperature[10, 10, 10] == pytest.approx(expect, abs=1e-3)
+
+    def test_duty_cycle_scales_heating(self):
+        N = 16
+        mats = _uniform_mats()
+        idx = np.zeros((N, N, N), np.uint8)
+        p = np.full((N, N, N), 1e6, np.float32)
+        r1 = bhte_run(p, idx, mats, dx=1e-3, schedule=[(0, 50, True)], duty_cycle=1.0)
+        r3 = bhte_run(p, idx, mats, dx=1e-3, schedule=[(0, 50, True)], duty_cycle=0.3)
+        rise1 = r1.temperature[8, 8, 8] - 37.0
+        rise3 = r3.temperature[8, 8, 8] - 37.0
+        assert rise3 / rise1 == pytest.approx(0.3, rel=1e-3)
+
+    def test_perfusion_exponential_decay(self):
+        N = 16
+        mats = _uniform_mats(conductivity=0.0, perfusion=559.0, absorption=0.0)
+        idx = np.zeros((N, N, N), np.uint8)
+        T0 = np.full((N, N, N), 45.0, np.float32)
+        res = bhte_run(
+            np.zeros((N, N, N)), idx, mats, dx=1e-3,
+            schedule=[(0, 1000, False)], initial_temperature=T0,
+            arterial_temperature=37.0,
+        )
+        omega = 559.0 * 1041 / (60 * 1e6)
+        rate = omega * BLOOD_DENSITY * BLOOD_SPECIFIC_HEAT / (1041 * 3630)
+        expect = 37 + 8 * np.exp(-rate * 10.0)
+        assert res.temperature[8, 8, 8] == pytest.approx(expect, abs=5e-3)
+
+    def test_diffusion_conserves_energy_adiabatic(self):
+        # hot cube in sealed box: total energy conserved by zero-flux BCs
+        N = 16
+        mats = _uniform_mats(absorption=0.0)
+        idx = np.zeros((N, N, N), np.uint8)
+        T0 = np.full((N, N, N), 37.0, np.float32)
+        T0[6:10, 6:10, 6:10] = 45.0
+        res = bhte_run(
+            np.zeros((N, N, N)), idx, mats, dx=1e-3,
+            schedule=[(0, 500, False)], initial_temperature=T0,
+        )
+        assert res.temperature.mean() == pytest.approx(T0.mean(), abs=1e-3)
+        # and it actually diffused
+        assert res.temperature.max() < 44.0
+        assert res.peak_temperature.max() == pytest.approx(45.0, abs=1e-4)
+
+    def test_cem43_accumulation(self):
+        N = 8
+        mats = _uniform_mats(conductivity=0.0, absorption=0.0)
+        idx = np.zeros((N, N, N), np.uint8)
+        T0 = np.full((N, N, N), 44.0, np.float32)
+        res = bhte_run(
+            np.zeros((N, N, N)), idx, mats, dx=1e-3,
+            schedule=[(0, 100, False)], initial_temperature=T0,
+        )
+        # 1 s at 44 C: dose = 1 * 0.5^(43-44) = 2 s
+        assert res.dose[4, 4, 4] == pytest.approx(2.0, rel=1e-3)
+        assert cem43(1.0, [44.0]) == pytest.approx(2.0)
+
+    def test_multi_field_time_multiplex(self):
+        N = 16
+        mats = _uniform_mats(conductivity=0.0)
+        idx = np.zeros((N, N, N), np.uint8)
+        pa = np.zeros((N, N, N), np.float32)
+        pb = np.zeros((N, N, N), np.float32)
+        pa[4, 4, 4] = 1e6
+        pb[10, 10, 10] = 1e6
+        # alternate fields: a on 10, b on 10, x5
+        sched = []
+        for _ in range(5):
+            sched += [(0, 10, True), (1, 10, True)]
+        res = bhte_run(np.stack([pa, pb]), idx, mats, dx=1e-3, schedule=sched)
+        rise_a = res.temperature[4, 4, 4] - 37
+        rise_b = res.temperature[10, 10, 10] - 37
+        assert rise_a == pytest.approx(rise_b, rel=1e-6)
+        assert rise_a > 0.1
+
+    def test_monitor_points_trace(self):
+        N = 12
+        mats = _uniform_mats()
+        idx = np.zeros((N, N, N), np.uint8)
+        p = np.full((N, N, N), 5e5, np.float32)
+        res = bhte_run(
+            p, idx, mats, dx=1e-3, schedule=[(0, 30, True), (0, 30, False)],
+            monitor_points=[[6, 6, 6], [2, 2, 2]],
+        )
+        assert res.monitor.shape == (2, 60)
+        # rises then falls (diffusion to edges/cooling off)
+        assert res.monitor[0, 29] > res.monitor[0, 0]
+
+    def test_absorption_heating_formula(self):
+        mats = _uniform_mats()
+        q = absorption_heating(np.array([[[2e6]]]), np.zeros((1, 1, 1), int), mats, 0.5)
+        expect = 0.85 * 4.49 * 4e12 / (1041 * 1562) * 0.5
+        assert q[0, 0, 0] == pytest.approx(expect, rel=1e-6)

@@ -1,0 +1,119 @@
+"""Domain-decomposition correctness: sharded runs must match single-device.
+
+The reference has no distributed execution (SURVEY.md section 2.8); this test
+tier is new to the TPU framework: bit-parity of the ppermute halo-exchange
+path against the single-device stencil, through a viscoelastic shear slab so
+every derivative/psi path is exercised.
+"""
+
+import numpy as np
+import pytest
+
+from babelbrain_tpu.ops.fdtd import FDTDGrid, run_fdtd, stable_dt
+from babelbrain_tpu.parallel.halo import make_mesh
+
+F0, C = 500e3, 1500.0
+
+
+def _grid(shape, n_cycles, npml=12):
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, 2494.0, cfl=0.9)))
+    dt = 1 / F0 / ppp
+    nsteps = ppp * n_cycles
+    return FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=nsteps, frequency=F0, npml=npml,
+        sensor_start=nsteps - 2 * ppp, source_plane_z=npml + 1,
+    )
+
+
+@pytest.fixture(scope="module")
+def case():
+    shape = (128, 48, 80)
+    grid = _grid(shape, 8)
+    mats = np.array(
+        [[1000.0, C, 0, 0, 0], [1896.5, 2494.0, 1594.0, 106.0, 214.0]]
+    )
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 40:50] = 1
+    rng = np.random.default_rng(0)
+    amp = np.zeros(shape[:2])
+    amp[16:-16, 16:-16] = 60e3 * rng.uniform(0.5, 1, (96, 16))
+    ph = rng.uniform(-3, 3, shape[:2])
+    return grid, mats, idx, amp, ph
+
+
+class TestShardedParity:
+    def test_8_shard_bit_parity(self, case):
+        grid, mats, idx, amp, ph = case
+        o1 = run_fdtd(idx, mats, grid, source_amp=amp, source_phase=ph)
+        o8 = run_fdtd(
+            idx, mats, grid, source_amp=amp, source_phase=ph, mesh=make_mesh(8)
+        )
+        assert np.isfinite(o1["p_amp"]).all()
+        np.testing.assert_array_equal(o1["p_amp"], o8["p_amp"])
+        np.testing.assert_array_equal(o1["peak"], o8["peak"])
+
+    def test_2_shard_bit_parity(self, case):
+        grid, mats, idx, amp, ph = case
+        o1 = run_fdtd(idx, mats, grid, source_amp=amp, source_phase=ph)
+        o2 = run_fdtd(
+            idx, mats, grid, source_amp=amp, source_phase=ph, mesh=make_mesh(2)
+        )
+        np.testing.assert_array_equal(o1["p_amp"], o2["p_amp"])
+
+    def test_point_source_on_nonzero_shard(self):
+        # stress point source owned by a middle shard, sharded 4 ways
+        shape = (64, 32, 48)
+        grid0 = _grid(shape, 6, npml=4)
+        grid = FDTDGrid(
+            shape=shape, dx=grid0.dx, dt=grid0.dt, n_steps=grid0.n_steps,
+            frequency=F0, npml=4, sensor_start=grid0.sensor_start,
+            source_plane_z=5, source_type="stress_point", source_ijk=(33, 16, 24),
+        )
+        mats = np.array([[1000.0, C, 0, 0, 0]])
+        idx = np.zeros(shape, np.uint8)
+        o1 = run_fdtd(idx, mats, grid, point_amp=60e3)
+        o4 = run_fdtd(idx, mats, grid, point_amp=60e3, mesh=make_mesh(4))
+        assert o1["p_amp"].max() > 0
+        # the masked scatter-add compiles to a different fusion order, so
+        # allow f32 rounding-level differences (plane-source paths above are
+        # bit-exact)
+        np.testing.assert_allclose(
+            o1["p_amp"], o4["p_amp"], rtol=1e-4, atol=o1["p_amp"].max() * 1e-5
+        )
+
+    def test_shard_constraints_raise(self, case):
+        grid, mats, idx, amp, ph = case
+        bad = FDTDGrid(
+            shape=(126, 48, 80), dx=grid.dx, dt=grid.dt, n_steps=4,
+            frequency=F0, source_plane_z=13,
+        )
+        with pytest.raises(ValueError):
+            run_fdtd(
+                np.zeros((126, 48, 80), np.uint8), mats, bad,
+                source_amp=np.zeros((126, 48)), mesh=make_mesh(8),
+            )
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import importlib
+
+        import jax
+
+        ge = importlib.import_module("__graft_entry__")
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import importlib
+
+        ge = importlib.import_module("__graft_entry__")
+        ge.dryrun_multichip(8)
