@@ -291,11 +291,16 @@ def stable_dt(dx: float, cmax: float, cfl: float = 1.0) -> float:
     return cfl * dx / (cmax * np.sqrt(3.0) * (abs(_C1) + abs(_C2)))
 
 
-def _material_fields(mat_idx, coefs):
+def _material_fields(mat_idx, coefs, has_shear=True):
     """Expand per-material coefficient tables to full-grid f32 fields (host)."""
     idx = np.asarray(mat_idx)
+    keys = (
+        ("pi_u", "mu_u", "c_rp", "c_rs", "b_r", "rho_inv")
+        if has_shear
+        else ("pi_u", "c_rp", "b_r", "rho_inv")
+    )
     out = {}
-    for k in ("pi_u", "mu_u", "c_rp", "c_rs", "b_r", "rho_inv"):
+    for k in keys:
         out[k] = np.asarray(coefs[k], np.float32)[idx]
     return out
 
@@ -498,12 +503,132 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
     return step, init_cpml_state
 
 
+
+def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
+    """Specialized acoustic (fluid) stepper: state (p, vx, vy, vz[, r]).
+
+    When no material carries shear (the CT-mapping mode disables shear
+    entirely, `BabelIntegrationBASE.py:1343-1351`), the viscoelastic system
+    collapses to sxx=syy=szz=-p with one shared memory variable: 5 state
+    arrays and 6 CPML'd derivatives instead of 15 and 18 — a ~3x cut in HBM
+    traffic, which bounds this solver.
+    """
+    dt_dx = grid.dt / grid.dx
+    omega = 2.0 * np.pi * grid.frequency
+    zsrc = grid.source_plane_z
+
+    cp = {}
+
+    def get_cpml(name, axis, staggered):
+        cp[name] = _CPML(axis, staggered, profiles, grid.npml)
+        return cp[name]
+
+    c_p_x = get_cpml("p_x", 0, True)
+    c_p_y = get_cpml("p_y", 1, True)
+    c_p_z = get_cpml("p_z", 2, True)
+    c_vx_x = get_cpml("vx_x", 0, False)
+    c_vy_y = get_cpml("vy_y", 1, False)
+    c_vz_z = get_cpml("vz_z", 2, False)
+
+    def init_cpml_state(shape, zeros_fn=None):
+        return {name: c.init_state(shape, zeros_fn) for name, c in cp.items()}
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        psi = s["psi"]
+        pr = s["props"]
+        p = f["p"]
+        vx, vy, vz = f["vx"], f["vy"], f["vz"]
+
+        t = n.astype(jnp.float32) * grid.dt
+        m_lo, m_hi = comm.edge_masks()
+
+        # ---- velocity update: v_i -= dt/rho * d+(p, i) ----
+        p_pad = comm.pad_x(p)
+        dp_x, psi["p_x"] = c_p_x.apply(
+            comm.crop_x(d_plus(p_pad, 0)), psi["p_x"], m_lo, m_hi
+        )
+        dp_y, psi["p_y"] = c_p_y.apply(d_plus(p, 1), psi["p_y"])
+        dp_z, psi["p_z"] = c_p_z.apply(d_plus(p, 2), psi["p_z"])
+        rho_inv = pr["rho_inv"]
+        vx = vx - dt_dx * rho_inv * dp_x
+        vy = vy - dt_dx * rho_inv * dp_y
+        vz = vz - dt_dx * rho_inv * dp_z
+
+        # ---- source injection ----
+        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+        ramp = jnp.where(
+            n < ramp_steps,
+            0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)),
+            1.0,
+        ).astype(jnp.float32)
+        if grid.source_type == "velocity_plane":
+            amp2d = s["src_amp"]
+            ph2d = s["src_phase"]
+            sval = amp2d * jnp.sin(omega * t + ph2d) * ramp * oz_scale
+            plane = vz[:, :, zsrc]
+            vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
+
+        # ---- pressure update ----
+        vx_pad = comm.pad_x(vx)
+        dvx_x, psi["vx_x"] = c_vx_x.apply(
+            comm.crop_x(d_minus(vx_pad, 0)), psi["vx_x"], m_lo, m_hi
+        )
+        dvy_y, psi["vy_y"] = c_vy_y.apply(d_minus(vy, 1), psi["vy_y"])
+        dvz_z, psi["vz_z"] = c_vz_z.apply(d_minus(vz, 2), psi["vz_z"])
+        theta = dvx_x + dvy_y + dvz_z
+
+        carry_fields = dict(f)
+        if viscous:
+            r = f["r"]
+            new_r = pr["b_r"] * r - pr["c_rp"] * theta / grid.dx
+            p = p - dt_dx * pr["pi_u"] * theta - grid.dt * 0.5 * (new_r + r)
+            carry_fields["r"] = new_r
+        else:
+            p = p - dt_dx * pr["pi_u"] * theta
+
+        if grid.source_type == "stress_point":
+            i0, j0, k0 = grid.source_ijk
+            i_loc = jnp.int32(i0) - comm.local_x_offset(p.shape[0])
+            in_range = ((i_loc >= 0) & (i_loc < p.shape[0])).astype(jnp.float32)
+            i_c = jnp.clip(i_loc, 0, p.shape[0] - 1)
+            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * in_range
+            p = p.at[i_c, j0, k0].add(-sval)
+
+        # ---- carrier DFT + peak accumulation ----
+        in_window = (n >= grid.sensor_start).astype(jnp.float32)
+        cosw = jnp.cos(omega * t) * in_window
+        sinw = jnp.sin(omega * t) * in_window
+        acc_c = s["acc_cos"] + p * cosw
+        acc_s = s["acc_sin"] + p * sinw
+        peak = jnp.maximum(s["peak"], jnp.abs(p) * in_window)
+
+        carry_fields.update(p=p, vx=vx, vy=vy, vz=vz)
+        new_carry = dict(
+            s,
+            fields=carry_fields,
+            psi=psi,
+            acc_cos=acc_c,
+            acc_sin=acc_s,
+            peak=peak,
+        )
+        return new_carry, None
+
+    return step, init_cpml_state
+
+
 def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
                     viscous, has_shear, oz_scale, comm):
     """Run the scan on (possibly shard-local) blocks; returns accumulators."""
-    step, init_cpml_state = _make_step_fn(
-        grid, profiles, viscous, has_shear, oz_scale, comm
-    )
+    if has_shear:
+        step, init_cpml_state = _make_step_fn(
+            grid, profiles, viscous, has_shear, oz_scale, comm
+        )
+    else:
+        step, init_cpml_state = _make_fluid_step_fn(
+            grid, profiles, viscous, oz_scale, comm
+        )
     shape = props["pi_u"].shape
 
     def zeros_fn(sh=shape):
@@ -514,14 +639,17 @@ def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
         return z
 
     zeros = zeros_fn
-    fields = {
-        k: zeros()
-        for k in ("vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz")
-    }
-    if viscous:
-        fields.update({k: zeros() for k in ("rxx", "ryy", "rzz")})
-        if has_shear:
-            fields.update({k: zeros() for k in ("rxy", "rxz", "ryz")})
+    if has_shear:
+        fields = {
+            k: zeros()
+            for k in ("vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz")
+        }
+        if viscous:
+            fields.update({k: zeros() for k in ("rxx", "ryy", "rzz", "rxy", "rxz", "ryz")})
+    else:
+        fields = {k: zeros() for k in ("p", "vx", "vy", "vz")}
+        if viscous:
+            fields["r"] = zeros()
     carry = {
         "fields": fields,
         "psi": init_cpml_state(shape, zeros_fn),
@@ -572,8 +700,8 @@ def run_fdtd(
 
     mats = np.asarray(materials, np.float64)
     coefs = sls_coefficients(mats, grid.frequency, grid.dt)
-    props_np = _material_fields(mat_idx, coefs)
     has_shear = bool(np.any(mats[:, 2] > 0))
+    props_np = _material_fields(mat_idx, coefs, has_shear)
     viscous = coefs["viscous"]
 
     rho0, c0 = mats[0, 0], mats[0, 1]

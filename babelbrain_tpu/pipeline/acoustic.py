@@ -1,0 +1,244 @@
+"""Step-2 acoustic simulation pipeline (headless).
+
+Orchestrates the reference's 10-step sequence
+(`TranscranialModeling/BabelIntegrationBASE.py:994-1033`, SURVEY.md
+section 3.2) TPU-natively:
+
+  S1  domain + materials           (pipeline.domain)
+  S2  forward Rayleigh to the source plane          (ops.rayleigh)
+  S3  CW source construction (amplitude/phase plane)
+  S4  FDTD through skull           (ops.fdtd; carrier DFT in-kernel, which
+      merges the reference's S5 phase-extraction FFT pass)
+  S6  backward Rayleigh from the sensor plane -> conjugate element phases
+  S7/8 refocused FDTD + extraction
+  S10 result assembly with the reference's crops/flips and DataForSim keys
+
+The water-only pass defaults to reusing the Rayleigh solution
+(``use_rayleigh_for_water=True``) exactly like the reference's default
+(`BabelBrain/BabelBrain.py:441`, justified by its 308-case study).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import (
+    expand_element_weights,
+    rayleigh_field,
+    steering_phases,
+)
+from ..ops.fdtd import FDTDGrid, run_fdtd
+from .domain import Domain
+
+
+@dataclass
+class AcousticResult:
+    """Simulation outputs in the input-mask frame (reference orientation)."""
+
+    p_amp: np.ndarray  # carrier amplitude, full mask grid (flipped back)
+    p_phase: np.ndarray
+    p_amp_refocus: np.ndarray | None
+    rayleigh_field: np.ndarray  # complex, mask grid
+    data_for_sim: dict  # DataForSim.h5 contract keys
+    phased_array_programming: np.ndarray | None = None
+    phased_array_refocus: np.ndarray | None = None
+    meta: dict = field(default_factory=dict)
+
+
+def _volume_points(dom: Domain):
+    xp, yp, zp = np.meshgrid(dom.x_vec, dom.y_vec, dom.z_vec, indexing="ij")
+    return np.stack([xp.ravel(), yp.ravel(), zp.ravel()], 1).astype(np.float32)
+
+
+def forward_rayleigh(dom: Domain, tx, u0, attenuated_water=0.0):
+    """Rayleigh field over the whole domain grid (S2)."""
+    k = (
+        2 * np.pi * dom.frequency / dom.materials[0, 1]
+        + 1j * attenuated_water
+    )
+    pts = _volume_points(dom)
+    field_flat = rayleigh_field(k, tx.centers, tx.areas, u0, pts)
+    return np.asarray(field_flat).reshape(dom.material_map.shape)
+
+
+def source_plane_from_field(dom: Domain, u2: np.ndarray):
+    """Extract the CW source plane at z = source_z, zeroing the PML skirt
+    (`BabelIntegrationSingle.py:300-304`)."""
+    plane = u2[:, :, dom.source_z].copy()
+    n = dom.npml
+    plane[:n, :] = 0
+    plane[-n:, :] = 0
+    plane[:, :n] = 0
+    plane[:, -n:] = 0
+    return plane
+
+
+def _make_grid(dom: Domain, source_type="velocity_plane", source_ijk=(0, 0, 0)):
+    return FDTDGrid(
+        shape=dom.material_map.shape,
+        dx=dom.dx,
+        dt=dom.dt,
+        n_steps=dom.n_steps,
+        frequency=dom.frequency,
+        npml=dom.npml,
+        sensor_start=dom.sensor_start,
+        source_plane_z=dom.source_z,
+        source_type=source_type,
+        source_ijk=tuple(int(v) for v in source_ijk),
+    )
+
+
+def run_acoustic_sim(
+    dom: Domain,
+    tx,
+    source_amp_pa: float = 60e3,
+    *,
+    element_weights: np.ndarray | None = None,
+    steering_target=None,
+    do_refocus: bool = False,
+    use_rayleigh_for_water: bool = True,
+    mesh=None,
+) -> AcousticResult:
+    """Full Step-2 run for one transducer position/steering.
+
+    ``tx`` must already be positioned in domain coordinates (focus-centered
+    axes, transducer below the source plane; see ``position_transducer``).
+    """
+    k_water = 2 * np.pi * dom.frequency / dom.materials[0, 1]
+
+    # --- element programming (steering) ---
+    programming = None
+    if steering_target is not None:
+        programming = steering_phases(k_water, tx.elem_centers, steering_target)
+        u0 = expand_element_weights(tx, programming) * source_amp_pa
+    elif element_weights is not None:
+        u0 = expand_element_weights(tx, element_weights) * source_amp_pa
+    else:
+        u0 = np.full(tx.num_subelements, source_amp_pa, np.complex64)
+
+    # --- S2: forward Rayleigh ---
+    u2 = forward_rayleigh(dom, tx, u0)
+    src = source_plane_from_field(dom, u2)
+
+    # --- S4: FDTD through skull ---
+    grid = _make_grid(dom)
+    out = run_fdtd(
+        dom.material_map,
+        dom.materials,
+        grid,
+        source_amp=np.abs(src),
+        source_phase=np.angle(src),
+        mesh=mesh,
+    )
+
+    refocus_out = None
+    refocus_programming = None
+    if do_refocus:
+        # --- S4b: backpropagate from a stress point at the target ---
+        grid_b = _make_grid(dom, "stress_point", dom.focal_idx)
+        back = run_fdtd(
+            dom.material_map,
+            dom.materials,
+            grid_b,
+            point_amp=source_amp_pa,
+            mesh=mesh,
+        )
+        # --- S6: sensor-plane field -> element conjugate phases ---
+        plane_amp = back["p_amp"][:, :, dom.npml]
+        plane_ph = back["p_phase"][:, :, dom.npml]
+        sel = np.abs(src) > 0
+        xp, yp = np.meshgrid(dom.x_vec, dom.y_vec, indexing="ij")
+        centers = np.stack(
+            [xp[sel], yp[sel], np.full(sel.sum(), dom.z_vec[dom.npml])], 1
+        ).astype(np.float32)
+        u_plane = plane_amp[sel] * np.exp(1j * plane_ph[sel])
+        u_back = rayleigh_field(
+            k_water,
+            centers,
+            np.full(sel.sum(), dom.dx**2, np.float32),
+            u_plane.astype(np.complex64),
+            tx.elem_centers,
+        )
+        refocus_programming = np.exp(
+            1j * np.angle(np.conjugate(np.asarray(u_back)))
+        ).astype(np.complex64)
+        u0r = expand_element_weights(tx, refocus_programming) * source_amp_pa
+        u2r = forward_rayleigh(dom, tx, u0r)
+        srcr = source_plane_from_field(dom, u2r)
+        refocus_out = run_fdtd(
+            dom.material_map,
+            dom.materials,
+            grid,
+            source_amp=np.abs(srcr),
+            source_phase=np.angle(srcr),
+            mesh=mesh,
+        )
+
+    # --- S10: assemble results in input orientation ---
+    def mask_frame(vol):
+        return dom.crop_and_unflip(vol)
+
+    u2_masked = u2.copy()
+    u2_masked[:, :, : dom.source_z + 1] = 0
+    p_amp_full = out["p_amp"].copy()
+    p_amp_full[:, :, : dom.source_z + 1] = 0
+    p_phase_full = out["p_phase"].copy()
+    p_phase_full[:, :, : dom.source_z + 1] = 0
+
+    data = {
+        "p_amp": mask_frame(p_amp_full),
+        "p_complex_re": mask_frame(p_amp_full * np.cos(p_phase_full)),
+        "p_complex_im": mask_frame(p_amp_full * np.sin(p_phase_full)),
+        "MaterialMap": mask_frame(dom.material_map).astype(np.uint32),
+        "Material": dom.materials,
+        "x_vec": dom.x_vec[dom.offsets[0] : -dom.offsets[1]],
+        "y_vec": dom.y_vec[dom.offsets[2] : -dom.offsets[3]],
+        "z_vec": dom.z_vec[dom.offsets[4] : -dom.offsets[5]],
+        "SpatialStep": dom.dx,
+        "TargetLocation": dom.focal_idx
+        - np.array([dom.offsets[0], dom.offsets[2], dom.offsets[4]]),
+        "SourcePlane_re": np.real(
+            src[dom.npml : -dom.npml, dom.npml : -dom.npml]
+        ),
+        "SourcePlane_im": np.imag(
+            src[dom.npml : -dom.npml, dom.npml : -dom.npml]
+        ),
+    }
+    if use_rayleigh_for_water:
+        data["p_amp_water"] = np.abs(mask_frame(u2_masked))
+    if refocus_out is not None:
+        pr = refocus_out["p_amp"].copy()
+        pr[:, :, : dom.source_z + 1] = 0
+        data["p_amp_refocus"] = mask_frame(pr)
+
+    return AcousticResult(
+        p_amp=data["p_amp"],
+        p_phase=mask_frame(p_phase_full),
+        p_amp_refocus=data.get("p_amp_refocus"),
+        rayleigh_field=mask_frame(np.abs(u2_masked))
+        * np.exp(1j * mask_frame(np.angle(u2_masked))),
+        data_for_sim=data,
+        phased_array_programming=programming,
+        phased_array_refocus=refocus_programming,
+        meta={"peak": float(out["peak"].max())},
+    )
+
+
+def position_transducer(tx, dom: Domain, focal_length: float, extra_z: float = 0.0):
+    """Place a transducer built with its focus at the origin so the bowl sits
+    fully below the source plane, mirroring the reference's repositioning
+    loop (`BabelIntegrationSingle.py:256-278`).
+
+    The domain's z axis is zero at the focal spot; the source plane is at
+    z_vec[source_z]. The transducer's natural position puts its focus at
+    z=0 via a +focal_length shift from the apex frame; it is then pushed
+    down until max(center_z) <= source-plane z.
+    """
+    z_plane = dom.z_vec[dom.source_z]
+    shifted = tx.translated([0.0, 0.0, extra_z])
+    over = shifted.centers[:, 2].max() - z_plane
+    if over > 0:
+        shifted = shifted.translated([0.0, 0.0, -(over + 1e-6)])
+    return shifted

@@ -1,0 +1,187 @@
+"""YAML profile loaders (thermal profiles, transducer registry).
+
+Honors the reference's profile contracts:
+* thermal profiles (`Profiles/Thermal_Profile_*.yaml`): ``BaseIsppa`` + a
+  list of ``AllDC_PRF_Duration`` entries {DC, PRF, Duration, DurationOff,
+  Repetitions, NumberGroupedSonications, PauseBetweenGroupedSonications}.
+* per-transducer geometry (`BabelBrain/Babel_<Tx>/default.yaml`): frequency
+  lists, aperture/focal length, ring diameters, steering limits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import yaml
+
+from .thermal import SonicationParams
+
+
+def load_thermal_profile(path: str) -> tuple[float, list[SonicationParams]]:
+    """Parse a thermal profile YAML into (base_isppa, [SonicationParams])."""
+    with open(path) as f:
+        prof = yaml.safe_load(f)
+    base_isppa = float(prof.get("BaseIsppa", 5.0))
+    combos = []
+    for entry in prof.get("AllDC_PRF_Duration", []):
+        combos.append(
+            SonicationParams(
+                duration_on=float(entry["Duration"]),
+                duration_off=float(entry.get("DurationOff", entry["Duration"])),
+                duty_cycle=float(entry["DC"]),
+                prf=float(entry["PRF"]),
+                repetitions=int(entry.get("Repetitions", 1)),
+                grouped_sonications=int(entry.get("NumberGroupedSonications", 1)),
+                pause_between_groups=float(
+                    entry.get("PauseBetweenGroupedSonications", 0.0)
+                ),
+                isppa=base_isppa,
+            )
+        )
+    return base_isppa, combos
+
+
+@dataclass
+class TransducerSpec:
+    """Registry entry describing a supported transducer system."""
+
+    name: str
+    kind: str  # 'single' | 'annular' | 'concave' | 'flat' | 'dome'
+    diameter: float
+    focal_length: float | None = None
+    frequencies: tuple = ()
+    in_diameters: tuple = ()
+    out_diameters: tuple = ()
+    n_elements: int | None = None
+    elem_diameter: float | None = None
+    pitch: float | None = None
+    grid_dims: tuple = ()
+    steering_range: dict = field(default_factory=dict)
+    meta: dict = field(default_factory=dict)
+
+
+# Published device specs (mirrors the Babel_<Tx>/default.yaml files of the
+# reference; SURVEY.md section 2.4). Element-coordinate tables for the
+# concave arrays are manufacturer CSVs the user supplies at run time.
+TRANSDUCER_REGISTRY = {
+    "Single": TransducerSpec(
+        "Single", "single", diameter=50e-3, focal_length=50e-3,
+        frequencies=(250e3, 500e3, 650e3),
+        meta={"user_adjustable": True},
+    ),
+    "CTX_500": TransducerSpec(
+        "CTX_500", "annular", diameter=64e-3, focal_length=62.94e-3,
+        frequencies=(500e3, 545e3),
+        in_diameters=(0.0, 31.6988e-3, 44.2688e-3, 53.6688e-3),
+        out_diameters=(31.14e-3, 43.71e-3, 53.11e-3, 60.83e-3),
+    ),
+    "CTX_250": TransducerSpec(
+        "CTX_250", "annular", diameter=64e-3, focal_length=62.94e-3,
+        frequencies=(250e3,),
+        in_diameters=(0.0, 30.1788e-3, 42.1388e-3, 51.1088e-3),
+        out_diameters=(29.62e-3, 41.58e-3, 50.55e-3, 57.94e-3),
+    ),
+    "CTX_250_2ch": TransducerSpec(
+        "CTX_250_2ch", "annular", diameter=45.5e-3, focal_length=62.9e-3,
+        frequencies=(250e3,),
+        in_diameters=(0.0, 29.2588e-3),
+        out_diameters=(28.7e-3, 40.2e-3),
+    ),
+    "DPX_500": TransducerSpec(
+        "DPX_500", "annular", diameter=64e-3, focal_length=150.0e-3,
+        frequencies=(500e3,),
+    ),
+    "H317": TransducerSpec(
+        "H317", "concave", diameter=157e-3, focal_length=135e-3,
+        frequencies=(250e3, 700e3, 825e3), n_elements=128,
+        elem_diameter=9.5e-3,
+        steering_range={"z": (-50e-3, 50e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+    ),
+    "H301": TransducerSpec(
+        "H301", "concave", diameter=150e-3, focal_length=150e-3,
+        frequencies=(650e3,), n_elements=128, elem_diameter=10e-3,
+    ),
+    "ATAC": TransducerSpec(
+        "ATAC", "concave", diameter=58e-3, focal_length=53.2e-3,
+        frequencies=(1000e3,), n_elements=128, elem_diameter=3.5e-3,
+    ),
+    "I12378": TransducerSpec(
+        "I12378", "concave", diameter=103e-3, focal_length=72e-3,
+        frequencies=(650e3,), n_elements=128, elem_diameter=6.5e-3,
+    ),
+    "R15148": TransducerSpec(
+        "R15148", "concave", diameter=103e-3, focal_length=80e-3,
+        frequencies=(500e3,), n_elements=128, elem_diameter=6.5e-3,
+    ),
+    "R15646": TransducerSpec(
+        "R15646", "concave", diameter=103e-3, focal_length=80e-3,
+        frequencies=(500e3,), n_elements=64, elem_diameter=9e-3,
+    ),
+    "IGT64_500": TransducerSpec(
+        "IGT64_500", "concave", diameter=103e-3, focal_length=80e-3,
+        frequencies=(500e3,), n_elements=64, elem_diameter=9e-3,
+    ),
+    "REMOPD": TransducerSpec(
+        "REMOPD", "flat", diameter=52e-3, focal_length=0.0,
+        frequencies=(300e3, 490e3), n_elements=256, pitch=3.08e-3,
+        grid_dims=(16, 16), elem_diameter=2.8e-3,
+    ),
+    "H246": TransducerSpec(
+        "H246", "flat", diameter=33.6e-3, focal_length=0.0,
+        frequencies=(500e3,),
+    ),
+    "DomeTx": TransducerSpec(
+        "DomeTx", "dome", diameter=300e-3, focal_length=150e-3,
+        frequencies=(220e3, 670e3), n_elements=1024,
+    ),
+    "BSonix": TransducerSpec(
+        "BSonix", "single", diameter=64e-3, focal_length=80e-3,
+        frequencies=(650e3,),
+    ),
+}
+
+
+def build_transducer(
+    spec: TransducerSpec,
+    frequency: float,
+    sos_water: float = 1482.3,
+    ppw_surface: float = 8.0,
+    elem_centers=None,
+):
+    """Instantiate geometry for a registry entry (focus at origin)."""
+    from ..tx import (
+        make_annular_array,
+        make_concave_array,
+        make_flat_grid_array,
+        make_focused_bowl,
+    )
+
+    if spec.kind == "single":
+        return make_focused_bowl(
+            frequency, spec.focal_length, spec.diameter, sos_water, ppw_surface
+        )
+    if spec.kind == "annular":
+        if not spec.in_diameters:
+            return make_focused_bowl(
+                frequency, spec.focal_length, spec.diameter, sos_water, ppw_surface
+            )
+        return make_annular_array(
+            frequency, spec.focal_length, spec.in_diameters, spec.out_diameters,
+            sos_water, ppw_surface,
+        )
+    if spec.kind in ("concave", "dome"):
+        if elem_centers is None:
+            raise ValueError(
+                f"{spec.name}: element-center table required (manufacturer CSV)"
+            )
+        return make_concave_array(
+            frequency, spec.focal_length, spec.elem_diameter or 9.5e-3,
+            elem_centers, sos_water, ppw_surface,
+        )
+    if spec.kind == "flat":
+        nx, ny = spec.grid_dims or (16, 16)
+        return make_flat_grid_array(
+            frequency, spec.pitch or 3.08e-3, nx, ny,
+            spec.elem_diameter or 2.8e-3, sos_water, ppw_surface,
+        )
+    raise ValueError(f"unknown transducer kind {spec.kind}")

@@ -209,3 +209,30 @@ class TestFocusedWater:
         assert af.max() / ab.max() == pytest.approx(1.0, abs=0.12)
         ib = np.unravel_index(np.argmax(ab), ab.shape)
         assert np.all(np.abs(np.array(ia) - np.array(ib)) <= 4)
+
+
+class TestFluidSpecialization:
+    def test_fluid_matches_viscoelastic_solver(self):
+        """The 5-field acoustic path must reproduce the 15-field viscoelastic
+        solver on a fluid-only medium (same physics, different state)."""
+        shape = (48, 48, 100)
+        grid, ppp = _water_grid(shape, cycles=14)
+        amp = np.zeros(shape[:2])
+        amp[14:-14, 14:-14] = 60e3
+        ph = np.random.default_rng(5).uniform(-2, 2, shape[:2])
+        mats_fluid = np.array([[RHO, C, 0.0, 20.0, 0.0]])
+        # force the viscoelastic path by adding an unused shear material
+        mats_shear = np.array(
+            [[RHO, C, 0.0, 20.0, 0.0], [1896.5, 2494.0, 1594.0, 106.0, 214.0]]
+        )
+        idx = np.zeros(shape, np.uint8)  # nothing references material 1
+        o_fluid = run_fdtd(idx, mats_fluid, grid, source_amp=amp, source_phase=ph)
+        o_full = run_fdtd(idx, mats_shear, grid, source_amp=amp, source_phase=ph)
+        # compare the physical interior only: inside the PML the two state
+        # decompositions absorb differently (non-physical region)
+        reg = (slice(13, -13), slice(13, -13), slice(15, -13))
+        scale = o_full["p_amp"][reg].max()
+        np.testing.assert_allclose(
+            o_fluid["p_amp"][reg], o_full["p_amp"][reg],
+            atol=scale * 5e-4, rtol=1e-3,
+        )

@@ -1,0 +1,226 @@
+"""Pipeline-layer tests: IO contracts, domain arithmetic, Step 1 on a
+synthetic spherical-shell head phantom."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from babelbrain_tpu.pipeline import (
+    Nifti,
+    build_domain,
+    build_label_materials,
+    compute_time_stepping,
+    generate_mask,
+    load_dict_h5,
+    load_nifti,
+    remap_labels,
+    save_dict_h5,
+    save_nifti,
+    snap_ppp,
+)
+from babelbrain_tpu.pipeline.domain import simulation_steps
+from babelbrain_tpu.pipeline.profiles import (
+    TRANSDUCER_REGISTRY,
+    build_transducer,
+    load_thermal_profile,
+)
+
+
+class TestIO:
+    def test_nifti_roundtrip(self, rng):
+        data = rng.normal(size=(12, 14, 10)).astype(np.float32)
+        aff = np.diag([0.9, 0.9, 0.9, 1.0])
+        aff[:3, 3] = [-5, 3, 7]
+        f = tempfile.mktemp(suffix=".nii.gz")
+        try:
+            save_nifti(f, data, aff, b"hash:abc")
+            back = load_nifti(f)
+            np.testing.assert_allclose(back.data, data, atol=1e-7)
+            np.testing.assert_allclose(back.affine, aff, atol=1e-5)
+            assert back.descrip == b"hash:abc"
+            np.testing.assert_allclose(back.zooms(), [0.9, 0.9, 0.9], atol=1e-6)
+        finally:
+            os.remove(f)
+
+    def test_nifti_uint32(self):
+        data = (np.arange(24).reshape(2, 3, 4) * 100).astype(np.uint32)
+        f = tempfile.mktemp(suffix=".nii")
+        try:
+            save_nifti(f, data, np.eye(4))
+            np.testing.assert_array_equal(load_nifti(f).data, data)
+        finally:
+            os.remove(f)
+
+    def test_h5_nested_roundtrip(self, rng):
+        d = {
+            "p_amp": rng.normal(size=(4, 5, 6)).astype(np.float32),
+            "Material": rng.normal(size=(5, 5)),
+            "scalar": 3.25,
+            "name": "CTX_500",
+            "nested": {"x_vec": np.arange(7.0), "deep": {"v": 2}},
+            "Materials": [{"Density": 1000.0}, {"Density": 1850.0}],
+        }
+        f = tempfile.mktemp(suffix=".h5")
+        try:
+            save_dict_h5(d, f)
+            back = load_dict_h5(f)
+            np.testing.assert_allclose(back["p_amp"], d["p_amp"])
+            assert back["scalar"] == 3.25
+            assert back["name"] == "CTX_500"
+            np.testing.assert_allclose(back["nested"]["x_vec"], np.arange(7.0))
+            assert back["nested"]["deep"]["v"] == 2
+            assert back["Materials"][1]["Density"] == 1850.0
+        finally:
+            os.remove(f)
+
+
+class TestDomainArithmetic:
+    def test_snap_ppp_fixups(self):
+        assert snap_ppp(31) == 32
+        assert snap_ppp(23) == 24
+        assert snap_ppp(47) == 48
+        assert snap_ppp(71) == 72
+        assert snap_ppp(74) == 75
+        assert snap_ppp(79) == 80
+        assert snap_ppp(34) == 35
+        assert snap_ppp(21) == 25
+        assert snap_ppp(20) == 20
+        assert snap_ppp(12.3) == 15
+
+    def test_time_stepping(self):
+        mats = build_label_materials(500e3, segmented=False)
+        dx, dt, ppp, adj = compute_time_stepping(mats, 500e3, 6.0, 0.5)
+        # dx from the global smallest speed (Pichardo shear bound 1102.5)
+        assert dx == pytest.approx(1102.515 / 500e3 / 6.0, rel=1e-6)
+        assert ppp % 5 == 0 or ppp in (32, 24, 48, 72, 75, 80, 35)
+        assert dt == pytest.approx(1 / 500e3 / ppp)
+
+    def test_simulation_steps_multiple_of_ppp(self):
+        n = simulation_steps(np.array([0.06, 0.06, 0.1]), 1500.0, 1e-7, 20)
+        assert n % 20 == 0
+        assert n * 1e-7 >= np.linalg.norm([0.06, 0.06, 0.1]) / 1500.0
+
+    def test_remap_labels_plain(self):
+        ids = np.array([[[0, 1, 2, 3, 4, 5]]])
+        out = remap_labels(ids, segmented=False)
+        np.testing.assert_array_equal(out[0, 0], [0, 1, 2, 3, 4, 4])
+
+    def test_remap_labels_segmented(self):
+        ids = np.array([[[0, 1, 2, 3, 4, 5, 6, 7, 8]]])
+        out = remap_labels(ids, segmented=True)
+        np.testing.assert_array_equal(out[0, 0], [0, 1, 2, 3, 4, 4, 5, 6, 7])
+
+    def test_remap_labels_ct(self):
+        ids = np.array([[[0, 1, 2, 3, 4, 5]]])
+        ct = np.array([[[0, 0, 7, 9, 0, 0]]])
+        out = remap_labels(ids, ct, segmented=False)
+        # water0 skin1 brain2; bone -> 3 + ct index
+        np.testing.assert_array_equal(out[0, 0], [0, 1, 10, 12, 2, 2])
+
+    def test_build_domain_shapes(self):
+        mask = np.zeros((40, 40, 60), np.uint8)
+        mask[10:30, 10:30, 20:40] = 4
+        mask[20, 20, 30] = 5
+        dom = build_domain(mask, 500e3, 6.0)
+        assert dom.material_map.shape == (64, 64, 84)
+        # focal voxel: mask z=30 flips to 29, +12 offset
+        np.testing.assert_array_equal(dom.focal_idx, [32, 32, 41])
+        assert dom.z_vec[dom.focal_idx[2]] == 0.0
+        # tissue below source plane removed
+        assert dom.material_map[:, :, : dom.source_z + 1].max() == 0
+        # crop/unflip roundtrip restores mask shape
+        restored = dom.crop_and_unflip(dom.material_map)
+        assert restored.shape == mask.shape
+
+
+class TestStep1Phantom:
+    @pytest.fixture(scope="class")
+    def phantom(self):
+        # spherical-shell head: skin r<46, bone 36<r<42, brain r<36
+        n = 96
+        aff = np.diag([2.0, 2.0, 2.0, 1.0])
+        aff[:3, 3] = -96.0  # center at RAS origin
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n]
+        ras = np.stack([ii, jj, kk], -1) * 2.0 - 96.0
+        r = np.linalg.norm(ras, axis=-1)
+        labels = np.zeros((n, n, n), np.int32)
+        labels[r < 46] = 5  # skin
+        labels[r < 42] = 7  # compact bone
+        labels[r < 39] = 4  # spongy bone
+        labels[r < 36] = 2  # GM
+        labels[r < 25] = 1  # WM
+        return labels, aff
+
+    def test_generate_mask_structure(self, phantom):
+        labels, aff = phantom
+        res = generate_mask(
+            labels, aff, target_ras=[0, 0, 32], direction_ras=[0, 0, -1],
+            frequency=500e3, ppw=6.0, shape=(96, 96, 160),
+        )
+        m = res.mask
+        assert m[tuple(res.target_idx)] == 5
+        # tissue layers present along the trajectory in correct order:
+        center = m[48, 48, :]
+        kinds = [v for v in center[::-1] if v != 0]
+        # from transducer side: skin... bone... brain
+        first_skin = next(i for i, v in enumerate(kinds) if v == 1)
+        first_bone = next(i for i, v in enumerate(kinds) if v in (2, 3))
+        first_brain = next(i for i, v in enumerate(kinds) if v in (4, 5))
+        assert first_skin < first_bone < first_brain
+        assert (m == 3).sum() > 0  # trabecular core exists
+        assert (m == 2).sum() > 0
+
+    def test_generate_mask_ct(self, phantom):
+        labels, aff = phantom
+        # synthetic CT: bone ~1500 HU, soft ~40
+        n = labels.shape[0]
+        ct = np.where(np.isin(labels, [4, 7]), 1500.0, 40.0) + np.random.default_rng(
+            0
+        ).normal(0, 30, labels.shape)
+        res = generate_mask(
+            labels, aff, target_ras=[0, 0, 32], direction_ras=[0, 0, -1],
+            frequency=500e3, ppw=6.0, shape=(96, 96, 160),
+            ct_data=ct, ct_affine=aff,
+        )
+        assert res.unique_hu is not None
+        bone = (res.mask == 2) | (res.mask == 3)
+        assert res.ct_index[bone].max() > 0
+        assert len(res.unique_hu) <= 1023
+        # mapped HU values in the bone range
+        vals = res.unique_hu[res.ct_index[bone]]
+        assert np.median(vals) > 800
+
+
+class TestProfiles:
+    def test_registry_covers_all_families(self):
+        kinds = {spec.kind for spec in TRANSDUCER_REGISTRY.values()}
+        assert kinds == {"single", "annular", "concave", "flat", "dome"}
+        assert len(TRANSDUCER_REGISTRY) >= 15
+
+    def test_build_ctx500(self):
+        tx = build_transducer(TRANSDUCER_REGISTRY["CTX_500"], 500e3)
+        assert tx.num_elements == 4
+
+    def test_build_flat(self):
+        tx = build_transducer(TRANSDUCER_REGISTRY["REMOPD"], 490e3)
+        assert tx.num_elements == 256
+
+    def test_thermal_profile_yaml(self, tmp_path):
+        p = tmp_path / "prof.yaml"
+        p.write_text(
+            "BaseIsppa: 10.0\n"
+            "AllDC_PRF_Duration:\n"
+            "  - DC: 0.3\n    PRF: 100\n    Duration: 30.0\n    DurationOff: 30.0\n"
+            "  - DC: 0.5\n    PRF: 250\n    Duration: 10.0\n    DurationOff: 10.0\n"
+            "    Repetitions: 3\n    NumberGroupedSonications: 2\n"
+            "    PauseBetweenGroupedSonications: 5.0\n"
+        )
+        base, combos = load_thermal_profile(str(p))
+        assert base == 10.0
+        assert len(combos) == 2
+        assert combos[1].repetitions == 3
+        assert combos[1].grouped_sonications == 2
+        assert combos[1].pause_between_groups == 5.0
+        assert combos[0].isppa == 10.0
