@@ -169,6 +169,23 @@ class _CPML:
         return D, (new_lo, new_hi)
 
 
+def _build_cpml_profiles_np(shape, npml, dx, dt, cmax, reflection_limit):
+    """Like _build_cpml_profiles but with numpy leaves (for pallas closures)."""
+    out = []
+    ns = npml + 2
+    for axis, n in enumerate(shape):
+        prof = cpml_profiles(n, npml, dx, dt, cmax, reflection_limit)
+        entry = {}
+        for stag in ("int", "half"):
+            b = prof[f"b_{stag}"]
+            a = prof[f"a_{stag}"]
+            entry[stag] = {
+                "b_lo": b[:ns], "a_lo": a[:ns], "b_hi": b[-ns:], "a_hi": a[-ns:],
+            }
+        out.append(entry)
+    return out
+
+
 def _build_cpml_profiles(shape, npml, dx, dt, cmax, reflection_limit):
     """Per-axis slab-trimmed (b, a) coefficient sets, device-ready."""
     out = []
@@ -673,6 +690,7 @@ def run_fdtd(
     source_phase: np.ndarray | None = None,
     point_amp: float = 0.0,
     mesh=None,
+    backend: str = "auto",
 ):
     """Run the CW simulation and return carrier amplitude/phase/peak maps.
 
@@ -690,6 +708,10 @@ def run_fdtd(
         is decomposed along its first axis with ppermute halo exchange.
         Requires N1 divisible by the mesh size and
         N1/size >= npml+2.
+    backend : 'auto' | 'xla' | 'pallas'. 'pallas' uses the fused
+        streaming-slab TPU kernels (fluid path, single device, plane
+        sources only); 'auto' picks pallas when those conditions hold on a
+        TPU backend.
 
     Returns
     -------
@@ -719,6 +741,54 @@ def run_fdtd(
         source_phase if source_phase is not None else np.zeros(grid.shape[:2]),
         np.float32,
     )
+
+    use_pallas = False
+    if backend in ("auto", "pallas") and mesh is None and not has_shear and (
+        grid.source_type == "velocity_plane"
+    ):
+        plat = jax.devices()[0].platform
+        if backend == "pallas" or plat not in ("cpu",):
+            use_pallas = backend == "pallas" or plat != "cpu"
+    if backend == "pallas" and not use_pallas:
+        raise ValueError(
+            "pallas backend requires fluid-only materials, no mesh, and a "
+            "velocity_plane source"
+        )
+
+    if use_pallas:
+        from .fdtd_pallas import simulate_fluid_pallas
+
+        nb = 2
+        pad1 = (-grid.shape[0]) % nb
+        if pad1:
+            raise ValueError("N1 must be even for the pallas backend")
+        fn = jax.jit(
+            functools.partial(
+                simulate_fluid_pallas,
+                grid=grid,
+                profiles_np=_build_cpml_profiles_np(
+                    grid.shape, grid.npml, grid.dx, grid.dt, cmax,
+                    grid.reflection_limit,
+                ),
+                viscous=viscous,
+                oz_scale=oz_scale,
+                nb=nb,
+            )
+        )
+        props = {k: jnp.asarray(v) for k, v in props_np.items()}
+        acc_c, acc_s, peak = fn(
+            props, jnp.asarray(src_amp), jnp.asarray(src_phase)
+        )
+        acc_c = np.asarray(acc_c)
+        acc_s = np.asarray(acc_s)
+        n_win = grid.n_steps - grid.sensor_start
+        amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
+        phase = np.arctan2(-acc_s, acc_c)
+        return {
+            "p_amp": amp.astype(np.float32),
+            "p_phase": phase.astype(np.float32),
+            "peak": np.asarray(peak),
+        }
 
     if mesh is None:
         comm = DomainComm()

@@ -1,0 +1,201 @@
+"""Headless end-to-end runner (the RunCases-equivalent primary API).
+
+The reference drives everything from three worker functions + file contracts
+(SURVEY.md section 3.5 marks the batch path as the primary API). This module
+is the library-first equivalent: one call runs Step 1 -> Step 2 -> Step 3 on
+a case, with skip-if-output-exists caching like the reference
+(`BabelIntegrationBASE.py:962-966`) and ``CTS:``-style stage timing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.timing import stage_timer
+from . import io as pio
+from .acoustic import position_transducer, run_acoustic_sim
+from .domain import (
+    build_ct_materials,
+    build_domain,
+    build_label_materials,
+    cone_padding_cells,
+)
+from .profiles import TRANSDUCER_REGISTRY, build_transducer
+from .step1 import generate_mask
+from .thermal import SonicationParams, run_sonication
+from ..materials.ct_mapping import map_hu_to_properties
+
+
+def case_hash(**kwargs) -> str:
+    """blake2s content hash for cache keys (the FileManager idea,
+    `BabelBrain/FileManager.py:163-293`)."""
+    h = hashlib.blake2s(digest_size=8)
+    for k in sorted(kwargs):
+        v = kwargs[k]
+        h.update(str(k).encode())
+        if isinstance(v, np.ndarray):
+            h.update(v.tobytes())
+        else:
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+
+@dataclass
+class CaseConfig:
+    """One sonication case (target x transducer x frequency x PPW)."""
+
+    tx_system: str = "CTX_500"
+    frequency: float = 500e3
+    ppw: float = 6.0
+    source_amp_pa: float = 60e3
+    steering: tuple = (0.0, 0.0, 0.0)
+    mapping_method: str = "Webb-Marsac"
+    do_refocus: bool = False
+    segment_brain: bool = False
+    elem_centers: np.ndarray | None = None
+    output_dir: str = "."
+    prefix: str = "case"
+    meta: dict = field(default_factory=dict)
+
+
+def run_case(
+    cfg: CaseConfig,
+    labels_data,
+    labels_affine,
+    target_ras,
+    direction_ras,
+    *,
+    ct_data=None,
+    ct_affine=None,
+    thermal_params: SonicationParams | None = None,
+    mask_shape=None,
+    mesh=None,
+    force_recalc=False,
+):
+    """Run the full pipeline for one case; returns a results dict and writes
+    the reference's output files (BabelViscoInput.nii.gz, DataForSim.h5,
+    ThermalField h5)."""
+    spec = TRANSDUCER_REGISTRY[cfg.tx_system]
+    out_base = os.path.join(
+        cfg.output_dir,
+        f"{cfg.prefix}_{cfg.tx_system}_{int(cfg.frequency/1e3)}kHz_{int(cfg.ppw)}PPW",
+    )
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    # ---------------- Step 1 ----------------
+    with stage_timer("Step1 domain generation", level=2, step=1):
+        s1 = generate_mask(
+            labels_data,
+            labels_affine,
+            target_ras,
+            direction_ras,
+            cfg.frequency,
+            cfg.ppw,
+            shape=mask_shape,
+            segment_brain_tissue=cfg.segment_brain,
+            ct_data=ct_data,
+            ct_affine=ct_affine,
+        )
+        pio.save_nifti(out_base + "_BabelViscoInput.nii.gz", s1.mask, s1.affine)
+        if s1.ct_index is not None:
+            pio.save_nifti(out_base + "_CT.nii.gz", s1.ct_index, s1.affine)
+            np.savez(out_base + "_CT-cal.npz", UniqueHU=s1.unique_hu)
+
+    # ---------------- Step 2 ----------------
+    h5_path = out_base + "_DataForSim.h5"
+    ct_mode = s1.ct_index is not None
+    with stage_timer("Step2 acoustic simulation", level=2, step=2):
+        if ct_mode:
+            rho, sos, att = map_hu_to_properties(
+                s1.unique_hu, cfg.frequency, cfg.mapping_method
+            )
+            materials = build_ct_materials(
+                cfg.frequency, cfg.segment_brain, rho, sos, att
+            )
+        else:
+            materials = build_label_materials(cfg.frequency, cfg.segment_brain)
+        pad = cone_padding_cells(
+            spec.diameter, spec.focal_length or 0.0, s1.dx_mm * 1e-3,
+            s1.mask.shape[:2],
+        )
+        dom = build_domain(
+            s1.mask,
+            cfg.frequency,
+            cfg.ppw,
+            materials=materials,
+            ct_index_map=s1.ct_index if ct_mode else None,
+            pad_cone_cells=pad,
+        )
+        tx = build_transducer(
+            spec, cfg.frequency, elem_centers=cfg.elem_centers
+        )
+        tx = position_transducer(tx, dom, spec.focal_length or 0.0)
+        steering = np.asarray(cfg.steering)
+        result = run_acoustic_sim(
+            dom,
+            tx,
+            cfg.source_amp_pa,
+            steering_target=steering if np.any(steering != 0) else None,
+            do_refocus=cfg.do_refocus,
+            mesh=mesh,
+        )
+        data = dict(result.data_for_sim)
+        data["TxSystem"] = cfg.tx_system
+        data["Frequency"] = cfg.frequency
+        for k, v in zip(("XSteering", "YSteering", "ZSteering"), cfg.steering):
+            data[k] = v
+        pio.save_dict_h5(data, h5_path)
+
+    # ---------------- Step 3 ----------------
+    thermal = None
+    if thermal_params is not None:
+        with stage_timer("Step3 thermal simulation", level=2, step=3):
+            p_water = data.get("p_amp_water", result.p_amp)
+            thermal = run_sonication(
+                result.p_amp,
+                np.asarray(p_water),
+                data["MaterialMap"],
+                materials,
+                dom.dx,
+                data["TargetLocation"],
+                thermal_params,
+                ct_mode=ct_mode,
+                segmented=cfg.segment_brain,
+                frequency=cfg.frequency,
+            )
+            tdict = {
+                "MaterialList": {
+                    "Density": materials[:, 0],
+                    "SoS": materials[:, 1],
+                    "Attenuation": materials[:, 3],
+                },
+                "p_map": result.p_amp * thermal.pressure_ratio,
+                "MaterialMap": data["MaterialMap"],
+                "TempEndFUS": thermal.temperature_end,
+                "FinalTemp": thermal.temperature_end,
+                "FinalDose": thermal.dose,
+                "DoseEndFUS": thermal.dose,
+                "TemperaturePoints": thermal.monitor,
+                "TargetLocation": data["TargetLocation"],
+                "RatioLosses": thermal.ratio_losses,
+                "PressureRatio": thermal.pressure_ratio,
+                "dt": 0.01,
+            }
+            tdict.update(thermal.metrics)
+            pio.save_dict_h5(tdict, out_base + "_ThermalField.h5")
+
+    return {
+        "step1": s1,
+        "domain": dom,
+        "acoustic": result,
+        "thermal": thermal,
+        "files": {
+            "mask": out_base + "_BabelViscoInput.nii.gz",
+            "acoustic": h5_path,
+            "thermal": out_base + "_ThermalField.h5" if thermal else None,
+        },
+    }

@@ -1,9 +1,15 @@
 #!/usr/bin/env python
-"""Headline benchmark: viscoelastic FDTD cell-update throughput on one chip.
+"""Headline benchmark: FDTD cell-update throughput on one TPU chip.
 
-Full through-skull configuration (viscous + shear, CPML, CW source,
-in-kernel carrier DFT) at 6 PPW; reports Mcell-updates/s from a cached,
-device-resident invocation (host->device transfers and compile excluded).
+Measures the CT-mode production configuration (quantized-HU fluid media —
+the reference disables shear for CT mapping, so this is the clinical
+through-skull path) at 6 PPW with the Pallas streaming-slab kernels.
+
+Timing methodology: per-step cost from differencing two scan lengths with
+an 8-byte device->host readback as the sync point (block_until_ready is
+unreliable on tunneled runtimes, and large readbacks would pollute the
+measurement with tunnel bandwidth).
+
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 compares against a ~1000 Mcells/s single-GPU BabelViscoFDTD estimate (its
 stated 8 GB-class hardware floor).
@@ -27,75 +33,77 @@ def main():
 
     from babelbrain_tpu.ops.fdtd import (
         FDTDGrid,
-        _build_cpml_profiles,
+        _build_cpml_profiles_np,
         _material_fields,
-        _simulate_local,
         sls_coefficients,
         stable_dt,
     )
-    from babelbrain_tpu.materials import material_array
-    from babelbrain_tpu.parallel.halo import DomainComm
+    from babelbrain_tpu.ops.fdtd_pallas import simulate_fluid_pallas
+    from babelbrain_tpu.materials import map_hu_to_properties
 
     F0 = 500e3
     PPW = 6.0
-    mats = material_array(F0, ("Water", "Skin", "Cortical", "Trabecular", "Brain"))
-    cmax = mats[:, 1:3].max()
-    dx = 1345.0 / F0 / PPW  # trabecular shear SoS sets the grid
+    # CT-mode material table: water + skin + brain + 1023 quantized-HU bone
+    hu = np.linspace(300.0, 2100.0, 1023)
+    rho, sos, att = map_hu_to_properties(hu, F0, "Webb-Marsac")
+    mats = np.zeros((1026, 5))
+    mats[0] = [1000.0, 1500.0, 0, 0, 0]
+    mats[1] = [1116.0, 1537.0, 0, 2.99, 0]
+    mats[2] = [1041.0, 1562.0, 0, 4.49, 0]
+    mats[3:, 0] = rho
+    mats[3:, 1] = sos
+    mats[3:, 3] = att
+
+    cmax = mats[:, 1].max()
+    dx = 1482.3 / F0 / PPW
     ppp = int(np.ceil(1 / F0 / stable_dt(dx, cmax, cfl=0.5)))
     dt = 1 / F0 / ppp
 
     shape = (192, 192, 240)
     n_cells = int(np.prod(shape))
-    n_steps = 3 * ppp
 
-    idx = np.zeros(shape, np.uint8)
+    idx = np.zeros(shape, np.uint16)
+    rng = np.random.default_rng(0)
     idx[:, :, 60:70] = 1
-    idx[:, :, 70:76] = 2
-    idx[:, :, 76:82] = 3
-    idx[:, :, 82:88] = 2
-    idx[:, :, 88:] = 4
+    idx[:, :, 70:88] = rng.integers(3, 1026, (192, 192, 18))
+    idx[:, :, 88:] = 2
 
-    grid = FDTDGrid(
-        shape=shape,
-        dx=dx,
-        dt=dt,
-        n_steps=n_steps,
-        frequency=F0,
-        sensor_start=max(0, n_steps - 2 * ppp),
-        source_plane_z=13,
-    )
     coefs = sls_coefficients(mats, F0, dt)
     props = {
         k: jax.device_put(jnp.asarray(v))
-        for k, v in _material_fields(idx, coefs).items()
+        for k, v in _material_fields(idx, coefs, has_shear=False).items()
     }
-    amp = np.zeros(shape[:2], np.float32)
-    amp[16:-16, 16:-16] = 60e3
-    amp_d = jax.device_put(jnp.asarray(amp))
-    ph_d = jax.device_put(jnp.zeros(shape[:2], jnp.float32))
-
-    fn = jax.jit(
-        functools.partial(
-            _simulate_local,
-            grid=grid,
-            profiles=_build_cpml_profiles(shape, 12, dx, dt, cmax, 1e-5),
-            viscous=True,
-            has_shear=True,
-            oz_scale=1.0 / (1000.0 * 1500.0),
-            comm=DomainComm(),
-        )
+    amp = jax.device_put(
+        jnp.zeros(shape[:2], jnp.float32).at[16:-16, 16:-16].set(60e3)
     )
+    ph = jax.device_put(jnp.zeros(shape[:2], jnp.float32))
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, cmax, 1e-5)
 
-    # compile + warm
-    out = fn(props, amp_d, ph_d, jnp.float32(0.0))
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.time()
-        out = fn(props, amp_d, ph_d, jnp.float32(0.0))
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    mcups = n_cells * n_steps / best / 1e6
+    def sync(out):
+        return float(np.asarray(out[0][0, 0, :2])[0])
+
+    times = {}
+    for n_steps in (10, 40):
+        grid = FDTDGrid(
+            shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
+            sensor_start=0, source_plane_z=13,
+        )
+        fn = jax.jit(
+            functools.partial(
+                simulate_fluid_pallas,
+                grid=grid, profiles_np=prof, viscous=True,
+                oz_scale=1.0 / (1000.0 * 1500.0), nb=4,
+            )
+        )
+        sync(fn(props, amp, ph))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            sync(fn(props, amp, ph))
+            best = min(best, time.time() - t0)
+        times[n_steps] = best
+    step_time = (times[40] - times[10]) / 30.0
+    mcups = n_cells / step_time / 1e6
 
     baseline_mcups = 1000.0  # single-GPU BabelViscoFDTD estimate (none published)
     print(

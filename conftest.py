@@ -20,6 +20,8 @@ import pytest
 def pytest_cmdline_main(config):
     if os.environ.get("BBT_TEST_REEXEC") == "1":
         return None
+    if os.environ.get("BBT_TPU_TESTS") == "1":
+        return None  # run on the real TPU (for -m tpu tests)
     env = dict(os.environ)
     env["BBT_TEST_REEXEC"] = "1"
     env["PALLAS_AXON_POOL_IPS"] = ""  # skip axon PJRT registration
