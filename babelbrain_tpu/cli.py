@@ -1,0 +1,156 @@
+"""Command-line interface (the headless replacement for the reference GUI).
+
+    python -m babelbrain_tpu run --labels charm.nii.gz --trajectory t.txt \
+        --tx CTX_500 --frequency 500e3 --ppw 6 --out outdir [--ct ct.nii.gz]
+        [--thermal-profile profile.yaml]
+    python -m babelbrain_tpu bench
+    python -m babelbrain_tpu list-tx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args):
+    from .pipeline.io import load_nifti
+    from .pipeline.profiles import TRANSDUCER_REGISTRY
+    from .pipeline.runner import CaseConfig, run_case
+    from .pipeline.thermal import SonicationParams
+    from .pipeline.transforms import (
+        read_trajectory_brainsight,
+        trajectory_target_direction,
+    )
+
+    labels = load_nifti(args.labels)
+    if args.trajectory:
+        _, m = read_trajectory_brainsight(args.trajectory)
+        target, direction = trajectory_target_direction(m)
+    else:
+        target = np.array([float(v) for v in args.target.split(",")])
+        direction = np.array([float(v) for v in args.direction.split(",")])
+
+    ct = ct_aff = None
+    if args.ct:
+        ct_nii = load_nifti(args.ct)
+        ct, ct_aff = ct_nii.get_fdata(), ct_nii.affine
+
+    thermal = None
+    if args.thermal_profile:
+        from .pipeline.profiles import load_thermal_profile
+
+        _, combos = load_thermal_profile(args.thermal_profile)
+        thermal = combos[0] if combos else None
+    elif args.thermal:
+        dc, prf, dur, off = (float(v) for v in args.thermal.split(","))
+        thermal = SonicationParams(
+            duration_on=dur, duration_off=off, duty_cycle=dc, prf=prf,
+            isppa=args.isppa,
+        )
+
+    elem_centers = None
+    if args.elements_csv:
+        elem_centers = np.loadtxt(args.elements_csv, delimiter=",") * (
+            1e-3 if args.elements_unit == "mm" else 1.0
+        )
+
+    cfg = CaseConfig(
+        tx_system=args.tx,
+        frequency=args.frequency,
+        ppw=args.ppw,
+        steering=tuple(float(v) for v in args.steering.split(",")),
+        do_refocus=args.refocus,
+        segment_brain=args.segment_brain,
+        elem_centers=elem_centers,
+        output_dir=args.out,
+        prefix=args.prefix,
+    )
+    mask_shape = None
+    if args.mask_shape:
+        mask_shape = tuple(int(v) for v in args.mask_shape.split(","))
+    res = run_case(
+        cfg,
+        labels.get_fdata().astype(np.int32),
+        labels.affine,
+        target,
+        direction,
+        ct_data=ct,
+        ct_affine=ct_aff,
+        thermal_params=thermal,
+        mask_shape=mask_shape,
+    )
+    summary = {"files": res["files"]}
+    if res["thermal"] is not None:
+        summary["metrics"] = {
+            k: float(v)
+            for k, v in res["thermal"].metrics.items()
+            if np.isscalar(v) or isinstance(v, (int, float))
+        }
+    print(json.dumps(summary, indent=2, default=str))
+
+
+def _cmd_list_tx(args):
+    from .pipeline.profiles import TRANSDUCER_REGISTRY
+
+    for name, spec in sorted(TRANSDUCER_REGISTRY.items()):
+        freqs = "/".join(f"{f/1e3:.0f}k" for f in spec.frequencies)
+        print(
+            f"{name:14s} {spec.kind:8s} D={spec.diameter*1e3:.1f}mm "
+            f"F={0 if not spec.focal_length else spec.focal_length*1e3:.1f}mm "
+            f"[{freqs}]"
+        )
+
+
+def _cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="babelbrain_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a full planning case")
+    r.add_argument("--labels", required=True, help="segmentation labels NIfTI")
+    r.add_argument("--trajectory", help="Brainsight trajectory export")
+    r.add_argument("--target", default="0,0,0", help="target RAS mm (x,y,z)")
+    r.add_argument("--direction", default="0,0,-1", help="sonication direction")
+    r.add_argument("--tx", default="CTX_500")
+    r.add_argument("--frequency", type=float, default=500e3)
+    r.add_argument("--ppw", type=float, default=6.0)
+    r.add_argument("--ct", help="CT / pseudo-CT NIfTI (enables CT mode)")
+    r.add_argument("--steering", default="0,0,0", help="steering offsets (m)")
+    r.add_argument("--refocus", action="store_true")
+    r.add_argument("--segment-brain", action="store_true")
+    r.add_argument("--thermal", help="DC,PRF,DurOn,DurOff")
+    r.add_argument("--thermal-profile", help="Thermal_Profile yaml")
+    r.add_argument("--isppa", type=float, default=5.0)
+    r.add_argument("--elements-csv", help="element centers for phased arrays")
+    r.add_argument("--elements-unit", default="mm", choices=["mm", "m"])
+    r.add_argument("--out", default=".")
+    r.add_argument("--prefix", default="case")
+    r.add_argument(
+        "--mask-shape",
+        help="override Step-1 grid shape as N1,N2,N3 (default sized for a "
+        "full head at the chosen PPW)",
+    )
+    r.set_defaults(fn=_cmd_run)
+
+    lt = sub.add_parser("list-tx", help="list supported transducers")
+    lt.set_defaults(fn=_cmd_list_tx)
+
+    b = sub.add_parser("bench", help="run the single-chip FDTD benchmark")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

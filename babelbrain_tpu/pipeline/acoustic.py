@@ -242,3 +242,38 @@ def position_transducer(tx, dom: Domain, focal_length: float, extra_z: float = 0
     if over > 0:
         shifted = shifted.translated([0.0, 0.0, -(over + 1e-6)])
     return shifted
+
+
+def run_multipoint(
+    dom: Domain,
+    tx,
+    steering_targets,
+    source_amp_pa: float = 60e3,
+    *,
+    mesh=None,
+    do_refocus: bool = False,
+) -> tuple[list[AcousticResult], dict]:
+    """Sequential multipoint steering (`CalculateFieldProcess.py:78-111`).
+
+    Runs one full acoustic case per steering target and combines the
+    per-point fields by voxelwise maximum for display; per-point fields are
+    kept for the time-multiplexed BHTE (`BHTEMultiplePressureFields`).
+    """
+    results = []
+    for target in steering_targets:
+        results.append(
+            run_acoustic_sim(
+                dom,
+                tx,
+                source_amp_pa,
+                steering_target=np.asarray(target),
+                do_refocus=do_refocus,
+                mesh=mesh,
+            )
+        )
+    combined = {
+        "p_amp_max": np.max([r.p_amp for r in results], axis=0),
+        "p_amp_all": np.stack([r.p_amp for r in results]),
+        "steering_targets": np.asarray(steering_targets),
+    }
+    return results, combined

@@ -37,7 +37,7 @@ def read_trajectory_brainsight(path: str):
                 floats.append(float(p))
             except ValueError:
                 pass
-        if len(floats) >= 15:
+        if len(floats) >= 12:
             name = parts[0]
             data = floats
             break

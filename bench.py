@@ -82,27 +82,27 @@ def main():
     def sync(out):
         return float(np.asarray(out[0][0, 0, :2])[0])
 
-    times = {}
-    for n_steps in (10, 40):
-        grid = FDTDGrid(
-            shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
-            sensor_start=0, source_plane_z=13,
+    # single compile; long-enough scan that the ~30 ms dispatch overhead of
+    # the tunneled runtime stays under a few percent
+    n_steps = 200
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
+        sensor_start=0, source_plane_z=13,
+    )
+    fn = jax.jit(
+        functools.partial(
+            simulate_fluid_pallas,
+            grid=grid, profiles_np=prof, viscous=True,
+            oz_scale=1.0 / (1000.0 * 1500.0), nb=4,
         )
-        fn = jax.jit(
-            functools.partial(
-                simulate_fluid_pallas,
-                grid=grid, profiles_np=prof, viscous=True,
-                oz_scale=1.0 / (1000.0 * 1500.0), nb=4,
-            )
-        )
+    )
+    sync(fn(props, amp, ph))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
         sync(fn(props, amp, ph))
-        best = np.inf
-        for _ in range(3):
-            t0 = time.time()
-            sync(fn(props, amp, ph))
-            best = min(best, time.time() - t0)
-        times[n_steps] = best
-    step_time = (times[40] - times[10]) / 30.0
+        best = min(best, time.time() - t0)
+    step_time = best / n_steps
     mcups = n_cells / step_time / 1e6
 
     baseline_mcups = 1000.0  # single-GPU BabelViscoFDTD estimate (none published)
