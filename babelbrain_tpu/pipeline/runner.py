@@ -78,13 +78,58 @@ def run_case(
 ):
     """Run the full pipeline for one case; returns a results dict and writes
     the reference's output files (BabelViscoInput.nii.gz, DataForSim.h5,
-    ThermalField h5)."""
+    ThermalField h5).
+
+    Caching: a blake2s hash over the inputs + config is stored next to the
+    outputs; when it matches and ``force_recalc`` is False, Steps 1+2 are
+    reloaded from disk instead of recomputed (the reference's
+    skip-if-output-exists + FileManager hash-chain behavior,
+    `BabelIntegrationBASE.py:962-966`, `FileManager.py:223`).
+    """
     spec = TRANSDUCER_REGISTRY[cfg.tx_system]
     out_base = os.path.join(
         cfg.output_dir,
         f"{cfg.prefix}_{cfg.tx_system}_{int(cfg.frequency/1e3)}kHz_{int(cfg.ppw)}PPW",
     )
     os.makedirs(cfg.output_dir, exist_ok=True)
+
+    chash = case_hash(
+        labels=np.asarray(labels_data),
+        target=np.asarray(target_ras, float),
+        direction=np.asarray(direction_ras, float),
+        ct=np.asarray(ct_data) if ct_data is not None else "none",
+        tx=cfg.tx_system,
+        freq=cfg.frequency,
+        ppw=cfg.ppw,
+        steering=tuple(cfg.steering),
+        refocus=cfg.do_refocus,
+        mapping=cfg.mapping_method,
+        segment=cfg.segment_brain,
+        amp=cfg.source_amp_pa,
+        mask_shape=tuple(mask_shape) if mask_shape else "auto",
+    )
+    hash_file = out_base + ".hash"
+    h5_path_probe = out_base + "_DataForSim.h5"
+    if (
+        not force_recalc
+        and os.path.isfile(hash_file)
+        and os.path.isfile(h5_path_probe)
+        and open(hash_file).read().strip() == chash
+    ):
+        cached = pio.load_dict_h5(h5_path_probe)
+        return {
+            "step1": None,
+            "domain": None,
+            "acoustic": None,
+            "thermal": None,
+            "cached": True,
+            "data_for_sim": cached,
+            "files": {
+                "mask": out_base + "_BabelViscoInput.nii.gz",
+                "acoustic": h5_path_probe,
+                "thermal": None,
+            },
+        }
 
     # ---------------- Step 1 ----------------
     with stage_timer("Step1 domain generation", level=2, step=1):
@@ -188,11 +233,14 @@ def run_case(
             tdict.update(thermal.metrics)
             pio.save_dict_h5(tdict, out_base + "_ThermalField.h5")
 
+    with open(hash_file, "w") as f:
+        f.write(chash)
     return {
         "step1": s1,
         "domain": dom,
         "acoustic": result,
         "thermal": thermal,
+        "cached": False,
         "files": {
             "mask": out_base + "_BabelViscoInput.nii.gz",
             "acoustic": h5_path,

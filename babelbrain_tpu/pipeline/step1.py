@@ -83,6 +83,26 @@ def aligned_grid_affine(target_ras, direction_ras, dx_mm, shape, focus_frac=0.7)
     return A
 
 
+def _skin_depth_along_ray(labels, affine, target_ras, direction_ras,
+                          max_mm=160.0, step_mm=0.5):
+    """Distance (mm) from the target to the outermost labeled voxel along
+    the outward trajectory (used to size the grid so skin/skull fit)."""
+    lab = np.asarray(labels)
+    inv = np.linalg.inv(affine)
+    d = np.asarray(direction_ras, np.float64)
+    d = d / np.linalg.norm(d)
+    t = np.asarray(target_ras, np.float64)
+    ts = np.arange(0.0, max_mm, step_mm)
+    pts = t[None, :] - d[None, :] * ts[:, None]  # outward = -direction
+    vox = (inv[:3, :3] @ pts.T + inv[:3, 3:4]).T
+    ijk = np.round(vox).astype(int)
+    ok = np.all((ijk >= 0) & (ijk < np.array(lab.shape)), axis=1)
+    vals = np.zeros(len(ts))
+    vals[ok] = lab[ijk[ok, 0], ijk[ok, 1], ijk[ok, 2]]
+    nz = np.nonzero(vals > 0)[0]
+    return float(ts[nz.max()]) if len(nz) else 60.0
+
+
 @dataclass
 class Step1Result:
     mask: np.ndarray  # label volume {0..8}
@@ -114,7 +134,7 @@ def generate_mask(
     hu_threshold: float = 300.0,
     hu_cap: float = 2100.0,
     ct_quantification_bits: int = 10,
-    focus_frac: float = 0.7,
+    focus_frac: float | None = None,
 ) -> Step1Result:
     """Build the simulation-label volume on the trajectory-aligned grid.
 
@@ -134,11 +154,21 @@ def generate_mask(
     label_map = label_map or CHARM_TO_TISSUE
     dx_mm = c_min / frequency / ppw * 1000.0
 
-    # resample labels into aligned grid (nearest-neighbor)
+    # depth of the outermost tissue along the trajectory (for z sizing)
+    depth_mm = _skin_depth_along_ray(
+        labels_data, labels_affine, target_ras, direction_ras
+    )
+
     if shape is None:
         n_xy = int(np.ceil(120.0 / dx_mm))
-        n_z = int(np.ceil(140.0 / dx_mm))
+        above = depth_mm + 18.0
+        below = 40.0
+        n_z = int(np.ceil((above + below) / dx_mm))
         shape = (n_xy, n_xy, n_z)
+        focus_frac = below / (above + below)
+    elif focus_frac is None:
+        above = min(depth_mm + 15.0, shape[2] * dx_mm * 0.85)
+        focus_frac = 1.0 - above / (shape[2] * dx_mm)
     A = aligned_grid_affine(target_ras, direction_ras, dx_mm, shape, focus_frac)
 
     lab = im.resample_from_to(

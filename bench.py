@@ -20,10 +20,15 @@ Prints exactly one JSON line:
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: tunneled remote-compilation is slow, cache hits
+# across invocations make reruns near-instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
 def main():

@@ -116,9 +116,9 @@ class TestMultipoint:
         )
         from babelbrain_tpu.tx import make_annular_array
 
-        mask = np.zeros((72, 72, 100), np.uint8)
-        mask[20:52, 20:52, 30:70] = 4
-        mask[36, 36, 50] = 5
+        mask = np.zeros((56, 56, 88), np.uint8)
+        mask[16:40, 16:40, 26:62] = 4
+        mask[28, 28, 44] = 5
         mats = build_label_materials(500e3, False)
         mats = mats[:1]  # water only: fast fluid path
         dom = build_domain(mask, 500e3, 6.0, materials=mats, water_only=True)
@@ -127,7 +127,7 @@ class TestMultipoint:
             500e3, F,
             [0.0, 31.6988e-3, 44.2688e-3, 53.6688e-3],
             [31.14e-3, 43.71e-3, 53.11e-3, 60.83e-3],
-            1500.0, ppw_surface=5,
+            1500.0, ppw_surface=2.5,
         ).translated([0, 0, F])
         tx = position_transducer(tx, dom, F)
         # two z-steered points (annular arrays steer in z only)

@@ -154,3 +154,51 @@ class TestThermalMaterials:
         ml = th.build_thermal_material_list(mats, ct_mode=False, segmented_brain=True)
         assert len(ml.specific_heat) == 8
         np.testing.assert_allclose(ml.specific_heat[5:], [3583.0, 3696.0, 4096.0])
+
+
+class TestPseudoCT:
+    def _head(self, rng):
+        # synthetic ZTE-like: soft tissue ~1000, bone ~400, air 20
+        n = 48
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n]
+        r = np.sqrt((ii - 24.0) ** 2 + (jj - 24.0) ** 2 + (kk - 24.0) ** 2)
+        img = np.full((n, n, n), 20.0)
+        head = r < 20
+        img[head] = 1000.0
+        bone = (r > 14) & (r < 18)
+        img[bone] = 400.0
+        img += rng.normal(0, 10, img.shape)
+        return img, head, bone
+
+    def test_zte_pct_bone_range(self, rng):
+        from babelbrain_tpu.materials.pseudo_ct import mri_to_pseudo_ct
+
+        img, head, bone = self._head(rng)
+        pct = mri_to_pseudo_ct(img, head, "ZTE")
+        # bone at norm ~0.4 -> pCT ~ -2085*0.4+2329 ~ 1495 HU
+        med = np.median(pct[bone])
+        assert 1300 < med < 1700
+        assert np.all(pct[~head] == -1000.0)
+        # soft tissue mapped to ~42
+        soft = head & ~bone
+        assert np.median(pct[soft]) == 42.0
+
+    def test_petra_pct(self, rng):
+        from babelbrain_tpu.materials.pseudo_ct import mri_to_pseudo_ct
+
+        img, head, bone = self._head(rng)
+        pct = mri_to_pseudo_ct(img, head, "PETRA")
+        med = np.median(pct[bone])
+        assert 1100 < med < 1700
+
+    def test_sdr(self):
+        from babelbrain_tpu.materials.pseudo_ct import compute_sdr
+
+        # uniform-density skull slab -> SDR = 1; porous core -> < 1
+        vol = np.zeros((10, 10, 30))
+        mask = np.zeros_like(vol, bool)
+        vol[:, :, 10:20] = 1000.0
+        mask[:, :, 10:20] = True
+        assert compute_sdr(vol, mask) == pytest.approx(1.0)
+        vol[:, :, 14:16] = 400.0
+        assert compute_sdr(vol, mask) == pytest.approx(0.4, abs=0.01)

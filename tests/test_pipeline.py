@@ -224,3 +224,72 @@ class TestProfiles:
         assert combos[1].grouped_sonications == 2
         assert combos[1].pause_between_groups == 5.0
         assert combos[0].isppa == 10.0
+
+
+class TestCaseCache:
+    @pytest.mark.slow
+    def test_cache_hit_skips_recompute(self, tmp_path):
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            TransducerSpec,
+        )
+        from babelbrain_tpu.pipeline.runner import CaseConfig, run_case
+
+        TRANSDUCER_REGISTRY.setdefault(
+            "MiniCache",
+            TransducerSpec("MiniCache", "single", diameter=20e-3,
+                           focal_length=25e-3, frequencies=(500e3,)),
+        )
+        n = 64
+        aff = np.diag([2.0, 2.0, 2.0, 1.0])
+        aff[:3, 3] = -64.0
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n]
+        r = np.linalg.norm(np.stack([ii, jj, kk], -1) * 2.0 - 64.0, axis=-1)
+        labels = np.zeros((n, n, n), np.int32)
+        labels[r < 30] = 5
+        labels[r < 26] = 7
+        labels[r < 22] = 2
+        cfg = CaseConfig(tx_system="MiniCache", output_dir=str(tmp_path),
+                         prefix="c")
+        kw = dict(
+            target_ras=[0, 0, 14], direction_ras=[0, 0, -1],
+            mask_shape=(48, 48, 72),
+        )
+        r1 = run_case(cfg, labels, aff, **kw)
+        assert not r1["cached"]
+        r2 = run_case(cfg, labels, aff, **kw)
+        assert r2["cached"]
+        assert "p_amp" in r2["data_for_sim"]
+        # changing an input invalidates the cache
+        labels2 = labels.copy()
+        labels2[0, 0, 0] = 1
+        r3 = run_case(cfg, labels2, aff, **kw)
+        assert not r3["cached"]
+
+
+class TestCoregistration:
+    def test_recover_known_rigid_transform(self, rng):
+        from babelbrain_tpu.ops.imaging import resample_affine
+        from babelbrain_tpu.pipeline.coreg import euler_matrix, register_rigid
+
+        # structured phantom (ellipsoid + bright rods) so NCC has gradients
+        n = 48
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n].astype(float)
+        fixed = np.exp(
+            -(((ii - 24) / 12) ** 2 + ((jj - 24) / 9) ** 2 + ((kk - 24) / 15) ** 2)
+        )
+        fixed += 0.7 * np.exp(-(((ii - 30) / 2) ** 2 + ((jj - 18) / 2) ** 2))
+        fixed += 0.5 * np.exp(-(((jj - 30) / 2) ** 2 + ((kk - 14) / 2) ** 2))
+
+        # apply a known rigid transform to create the moving image
+        p_true = np.array([0.06, -0.04, 0.08, 2.0, -1.5, 1.0])
+        R = np.asarray(euler_matrix(*p_true[:3]))
+        c = np.array([24.0, 24, 24])
+        off = c - R @ c + p_true[3:]
+        moving = resample_affine(fixed, np.linalg.inv(R),
+                                 -np.linalg.inv(R) @ off, (n, n, n), 1)
+
+        p, m = register_rigid(fixed, moving, levels=(2,), iters_per_level=200)
+        # recovered parameters close to truth (rot in rad, trans in voxels)
+        np.testing.assert_allclose(p[:3], p_true[:3], atol=0.02)
+        np.testing.assert_allclose(p[3:], p_true[3:], atol=0.5)

@@ -109,3 +109,66 @@ class TestFullPipeline:
         assert t.metrics["TIC"] > 0.5 * t.metrics["TI"]
         d = load_dict_h5(case_result["files"]["thermal"])
         assert "TI" in d and "CEMBrain" in d and "RatioLosses" in d
+
+
+@pytest.mark.slow
+class TestRefocusing:
+    def test_refocus_recovers_aberrated_focus(self):
+        """Backpropagation refocusing (S4b/S6-S8) through an aberrating wedge
+        should recover focal pressure vs the uncorrected run
+        (`BabelIntegrationBASE.py:2372-2399,2562` capability)."""
+        import numpy as np
+        from babelbrain_tpu.pipeline import build_domain
+        from babelbrain_tpu.pipeline.acoustic import (
+            position_transducer,
+            run_acoustic_sim,
+        )
+        from babelbrain_tpu.tx import make_focused_bowl
+
+        # fluid media: water + fast wedge
+        mats = np.array([[1000.0, 1500.0, 0, 0, 0], [1300.0, 2600.0, 0, 20.0, 0]])
+        mask = np.zeros((56, 56, 76), np.uint8)
+        mask[28, 28, 42] = 5  # target marker
+        dom = build_domain(mask, 500e3, 6.0, materials=mats, water_only=True)
+        # insert a wedge aberrator directly into the sim material map:
+        # thickness growing along x, placed between source and focus
+        mm = dom.material_map
+        N1 = mm.shape[0]
+        for i in range(N1):
+            th = 3 + (9 * i) // N1  # 3..12 cells thick
+            mm[i, :, 32 : 32 + th] = 1
+        # multi-element concave array: refocusing needs per-element phase
+        # degrees of freedom (a single-element bowl cannot correct)
+        from babelbrain_tpu.tx import make_concave_array
+
+        F, D = 28e-3, 22e-3
+        rng = np.random.default_rng(7)
+        n_el = 32
+        beta_max = np.arcsin(0.5 * D / F)
+        b = np.sqrt(rng.uniform(0.03, 1.0, n_el)) * beta_max
+        a = rng.uniform(0, 2 * np.pi, n_el)
+        ec = np.stack(
+            [F * np.sin(b) * np.cos(a), F * np.sin(b) * np.sin(a),
+             -F * np.cos(b)], axis=1,
+        )
+        tx = make_concave_array(
+            500e3, F, 3.2e-3, ec, 1500.0, ppw_surface=2.5
+        ).translated([0, 0, F])
+        tx = position_transducer(tx, dom, F)
+
+        plain = run_acoustic_sim(dom, tx, 60e3, do_refocus=False)
+        refoc = run_acoustic_sim(dom, tx, 60e3, do_refocus=True)
+        assert refoc.p_amp_refocus is not None
+        assert refoc.phased_array_refocus is not None
+        # TargetLocation is in cropped sim coordinates; output maps are in
+        # the mask frame (z-flipped), so flip the z index
+        t = np.asarray(plain.data_for_sim["TargetLocation"]).ravel()
+        tm = (int(t[0]), int(t[1]), int(plain.p_amp.shape[2] - 1 - t[2]))
+
+        def ball(p):
+            return p[
+                tm[0] - 3 : tm[0] + 4, tm[1] - 3 : tm[1] + 4, tm[2] - 3 : tm[2] + 4
+            ].max()
+
+        gain = ball(refoc.p_amp_refocus) / ball(plain.p_amp)
+        assert gain > 1.05  # refocusing recovers focal pressure
