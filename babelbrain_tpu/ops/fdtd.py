@@ -743,42 +743,53 @@ def run_fdtd(
     )
 
     use_pallas = False
-    if backend in ("auto", "pallas") and mesh is None and not has_shear and (
+    pallas_ok = mesh is None and (
         grid.source_type == "velocity_plane"
-    ):
+        or (grid.source_type == "stress_point" and has_shear)
+    )
+    if backend in ("auto", "pallas") and pallas_ok:
         plat = jax.devices()[0].platform
-        if backend == "pallas" or plat not in ("cpu",):
-            use_pallas = backend == "pallas" or plat != "cpu"
+        use_pallas = backend == "pallas" or plat != "cpu"
     if backend == "pallas" and not use_pallas:
         raise ValueError(
-            "pallas backend requires fluid-only materials, no mesh, and a "
-            "velocity_plane source"
+            "pallas backend requires no mesh and a velocity_plane source "
+            "(stress_point is supported for shear media)"
         )
 
     if use_pallas:
-        from .fdtd_pallas import simulate_fluid_pallas
+        from .fdtd_pallas import simulate_fluid_pallas, simulate_visco_pallas
 
         nb = 2
-        pad1 = (-grid.shape[0]) % nb
-        if pad1:
+        if grid.shape[0] % nb:
             raise ValueError("N1 must be even for the pallas backend")
-        fn = jax.jit(
-            functools.partial(
-                simulate_fluid_pallas,
-                grid=grid,
-                profiles_np=_build_cpml_profiles_np(
-                    grid.shape, grid.npml, grid.dx, grid.dt, cmax,
-                    grid.reflection_limit,
-                ),
-                viscous=viscous,
-                oz_scale=oz_scale,
-                nb=nb,
-            )
+        profiles_np = _build_cpml_profiles_np(
+            grid.shape, grid.npml, grid.dx, grid.dt, cmax,
+            grid.reflection_limit,
         )
         props = {k: jnp.asarray(v) for k, v in props_np.items()}
-        acc_c, acc_s, peak = fn(
-            props, jnp.asarray(src_amp), jnp.asarray(src_phase)
-        )
+        if has_shear:
+            fn = jax.jit(
+                functools.partial(
+                    simulate_visco_pallas,
+                    grid=grid, profiles_np=profiles_np, viscous=viscous,
+                    oz_scale=oz_scale, nb=nb,
+                )
+            )
+            acc_c, acc_s, peak = fn(
+                props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+                jnp.float32(point_amp),
+            )
+        else:
+            fn = jax.jit(
+                functools.partial(
+                    simulate_fluid_pallas,
+                    grid=grid, profiles_np=profiles_np, viscous=viscous,
+                    oz_scale=oz_scale, nb=nb,
+                )
+            )
+            acc_c, acc_s, peak = fn(
+                props, jnp.asarray(src_amp), jnp.asarray(src_phase)
+            )
         acc_c = np.asarray(acc_c)
         acc_s = np.asarray(acc_s)
         n_win = grid.n_steps - grid.sensor_start

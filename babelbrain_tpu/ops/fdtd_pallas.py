@@ -514,3 +514,597 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
     }
     carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
     return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+
+
+# ---------------------------------------------------------------------------
+# viscoelastic (shear) kernels — label-mode media
+# ---------------------------------------------------------------------------
+
+
+def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
+    """Streaming-slab kernels for the full velocity-stress system.
+
+    Same architecture as the fluid pair: x-slabs stream with VMEM rings for
+    every array whose x-derivative is needed (3 per kernel), y/z CPML
+    in-kernel, x-CPML via the linear jnp post-pass in
+    ``make_visco_pallas_step``.
+    """
+    N1, N2, N3 = grid.shape
+    if N1 % nb or nb < 2:
+        raise ValueError(f"N1={N1} must be divisible by slab size {nb} >= 2")
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    dt_dx = np.float32(grid.dt / grid.dx)
+    dt = np.float32(grid.dt)
+    inv_dx = np.float32(1.0 / grid.dx)
+
+    cy_h = _make_profiles_const(profiles_np, 1, "half", ns)
+    cz_h = _make_profiles_const(profiles_np, 2, "half", ns)
+    cy_i = _make_profiles_const(profiles_np, 1, "int", ns)
+    cz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+
+    slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
+    slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx, memory_space=pltpu.VMEM)
+    slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx, memory_space=pltpu.VMEM)
+    coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
+    lag = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+
+    def stash(ring, incoming, i):
+        @pl.when(i < n_slabs)
+        def _():
+            ring[i % 2] = incoming
+
+    def window(ring, tail, incoming, i):
+        s = i - 1
+        prev2 = jnp.where(s >= 1, tail[...], 0.0)
+        nxt = jnp.where(s < n_slabs - 1, incoming[0:2], 0.0)
+        return jnp.concatenate([prev2, ring[(i - 1) % 2], nxt], axis=0)
+
+    def dpx_w(w):
+        return _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
+            w[4 : 4 + nb] - w[1 : 1 + nb]
+        )
+
+    def dmx_w(w):
+        return _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
+            w[3 : 3 + nb] - w[0:nb]
+        )
+
+    def cpml(d, lo_ref, hi_ref, coefs, axis):
+        return _apply_cpml_inplane(
+            d, lo_ref[...], hi_ref[...],
+            coefs[0][...], coefs[1][...], coefs[2][...], coefs[3][...],
+            axis=axis,
+        )
+
+    # ------------------------------------------------------------------
+    # velocity kernel: streams sxx, sxy, sxz
+    # ------------------------------------------------------------------
+    def vel_kernel(
+        sxx_ref, sxy_ref, sxz_ref,
+        syy_ref, szz_ref, syz_ref, vx_ref, vy_ref, vz_ref, rho_ref,
+        p_sxyy_lo, p_sxyy_hi, p_syyy_lo, p_syyy_hi, p_syzy_lo, p_syzy_hi,
+        p_sxzz_lo, p_sxzz_hi, p_syzz_lo, p_syzz_hi, p_szzz_lo, p_szzz_hi,
+        cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
+        czh_blo, czh_alo, czh_bhi, czh_ahi,
+        cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
+        czi_blo, czi_alo, czi_bhi, czi_ahi,
+        ovx, ovy, ovz,
+        o_sxyy_lo, o_sxyy_hi, o_syyy_lo, o_syyy_hi, o_syzy_lo, o_syzy_hi,
+        o_sxzz_lo, o_sxzz_hi, o_syzz_lo, o_syzz_hi, o_szzz_lo, o_szzz_hi,
+        ring_xx, ring_xy, ring_xz, tail_xx, tail_xy, tail_xz,
+    ):
+        i = pl.program_id(0)
+        in_xx = sxx_ref[...]
+        in_xy = sxy_ref[...]
+        in_xz = sxz_ref[...]
+        stash(ring_xx, in_xx, i)
+        stash(ring_xy, in_xy, i)
+        stash(ring_xz, in_xz, i)
+
+        @pl.when(i >= 1)
+        def _():
+            w_xx = window(ring_xx, tail_xx, in_xx, i)
+            w_xy = window(ring_xy, tail_xy, in_xy, i)
+            w_xz = window(ring_xz, tail_xz, in_xz, i)
+            cyh = (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi)
+            czh = (czh_blo, czh_alo, czh_bhi, czh_ahi)
+            cyi = (cyi_blo, cyi_alo, cyi_bhi, cyi_ahi)
+            czi = (czi_blo, czi_alo, czi_bhi, czi_ahi)
+
+            sxy = w_xy[2 : 2 + nb]
+            sxz = w_xz[2 : 2 + nb]
+            dsxx_x = dpx_w(w_xx)
+            dsxy_x = dmx_w(w_xy)
+            dsxz_x = dmx_w(w_xz)
+            dsxy_y, n_sxyy_lo, n_sxyy_hi = cpml(
+                _d_minus_y(sxy), p_sxyy_lo, p_sxyy_hi, cyi, 1
+            )
+            dsyy_y, n_syyy_lo, n_syyy_hi = cpml(
+                _d_plus_y(syy_ref[...]), p_syyy_lo, p_syyy_hi, cyh, 1
+            )
+            dsyz_y, n_syzy_lo, n_syzy_hi = cpml(
+                _d_minus_y(syz_ref[...]), p_syzy_lo, p_syzy_hi, cyi, 1
+            )
+            dsxz_z, n_sxzz_lo, n_sxzz_hi = cpml(
+                _d_minus_z(sxz), p_sxzz_lo, p_sxzz_hi, czi, 2
+            )
+            dsyz_z, n_syzz_lo, n_syzz_hi = cpml(
+                _d_minus_z(syz_ref[...]), p_syzz_lo, p_syzz_hi, czi, 2
+            )
+            dszz_z, n_szzz_lo, n_szzz_hi = cpml(
+                _d_plus_z(szz_ref[...]), p_szzz_lo, p_szzz_hi, czh, 2
+            )
+            rho_inv = rho_ref[...]
+            ovx[...] = vx_ref[...] + dt_dx * rho_inv * (dsxx_x + dsxy_y + dsxz_z)
+            ovy[...] = vy_ref[...] + dt_dx * rho_inv * (dsxy_x + dsyy_y + dsyz_z)
+            ovz[...] = vz_ref[...] + dt_dx * rho_inv * (dsxz_x + dsyz_y + dszz_z)
+            o_sxyy_lo[...] = n_sxyy_lo
+            o_sxyy_hi[...] = n_sxyy_hi
+            o_syyy_lo[...] = n_syyy_lo
+            o_syyy_hi[...] = n_syyy_hi
+            o_syzy_lo[...] = n_syzy_lo
+            o_syzy_hi[...] = n_syzy_hi
+            o_sxzz_lo[...] = n_sxzz_lo
+            o_sxzz_hi[...] = n_sxzz_hi
+            o_syzz_lo[...] = n_syzz_lo
+            o_syzz_hi[...] = n_syzz_hi
+            o_szzz_lo[...] = n_szzz_lo
+            o_szzz_hi[...] = n_szzz_hi
+            tail_xx[...] = w_xx[nb : nb + 2]
+            tail_xy[...] = w_xy[nb : nb + 2]
+            tail_xz[...] = w_xz[nb : nb + 2]
+
+    n_psi_v = 12
+    vel_call = pl.pallas_call(
+        vel_kernel,
+        grid=(n_slabs + 1,),
+        in_specs=(
+            [slab(cur)] * 3
+            + [slab(lag)] * 7
+            + [slab_y(lag)] * 6
+            + [slab_z(lag)] * 6
+            + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
+        ),
+        out_specs=(
+            [slab(lag)] * 3 + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
+            + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+        ),
+        scratch_shapes=[pltpu.VMEM((2, nb, N2, N3), jnp.float32)] * 3
+        + [pltpu.VMEM((2, N2, N3), jnp.float32)] * 3,
+        input_output_aliases={
+            6: 0, 7: 1, 8: 2,  # vx, vy, vz
+            10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,  # psi y
+            16: 9, 17: 10, 18: 11, 19: 12, 20: 13, 21: 14,  # psi z
+        },
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )
+
+    # ------------------------------------------------------------------
+    # stress kernel: streams vx, vy, vz
+    # ------------------------------------------------------------------
+    def stress_kernel(
+        vx_ref, vy_ref, vz_ref,
+        sxx_ref, syy_ref, szz_ref, sxy_ref, sxz_ref, syz_ref,
+        rxx_ref, ryy_ref, rzz_ref, rxy_ref, rxz_ref, ryz_ref,
+        piu_ref, muu_ref, crp_ref, crs_ref, br_ref,
+        acc_c_ref, acc_s_ref, peak_ref,
+        p_vyy_lo, p_vyy_hi, p_vxy_lo, p_vxy_hi, p_vzy_lo, p_vzy_hi,
+        p_vzz_lo, p_vzz_hi, p_vxz_lo, p_vxz_hi, p_vyz_lo, p_vyz_hi,
+        scal_ref,
+        cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
+        czh_blo, czh_alo, czh_bhi, czh_ahi,
+        cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
+        czi_blo, czi_alo, czi_bhi, czi_ahi,
+        osxx, osyy, oszz, osxy, osxz, osyz,
+        orxx, oryy, orzz, orxy, orxz, oryz,
+        oacc_c, oacc_s, opeak,
+        o_vyy_lo, o_vyy_hi, o_vxy_lo, o_vxy_hi, o_vzy_lo, o_vzy_hi,
+        o_vzz_lo, o_vzz_hi, o_vxz_lo, o_vxz_hi, o_vyz_lo, o_vyz_hi,
+        ring_x, ring_y, ring_z, tail_x, tail_y, tail_z,
+    ):
+        i = pl.program_id(0)
+        in_x = vx_ref[...]
+        in_y = vy_ref[...]
+        in_z = vz_ref[...]
+        stash(ring_x, in_x, i)
+        stash(ring_y, in_y, i)
+        stash(ring_z, in_z, i)
+
+        @pl.when(i >= 1)
+        def _():
+            w_x = window(ring_x, tail_x, in_x, i)
+            w_y = window(ring_y, tail_y, in_y, i)
+            w_z = window(ring_z, tail_z, in_z, i)
+            cyh = (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi)
+            czh = (czh_blo, czh_alo, czh_bhi, czh_ahi)
+            cyi = (cyi_blo, cyi_alo, cyi_bhi, cyi_ahi)
+            czi = (czi_blo, czi_alo, czi_bhi, czi_ahi)
+
+            vx = w_x[2 : 2 + nb]
+            vy = w_y[2 : 2 + nb]
+            vz = w_z[2 : 2 + nb]
+            dvx_x = dmx_w(w_x)
+            dvy_x = dpx_w(w_y)
+            dvz_x = dpx_w(w_z)
+            dvy_y, n_vyy_lo, n_vyy_hi = cpml(
+                _d_minus_y(vy), p_vyy_lo, p_vyy_hi, cyi, 1
+            )
+            dvx_y, n_vxy_lo, n_vxy_hi = cpml(
+                _d_plus_y(vx), p_vxy_lo, p_vxy_hi, cyh, 1
+            )
+            dvz_y, n_vzy_lo, n_vzy_hi = cpml(
+                _d_plus_y(vz), p_vzy_lo, p_vzy_hi, cyh, 1
+            )
+            dvz_z, n_vzz_lo, n_vzz_hi = cpml(
+                _d_minus_z(vz), p_vzz_lo, p_vzz_hi, czi, 2
+            )
+            dvx_z, n_vxz_lo, n_vxz_hi = cpml(
+                _d_plus_z(vx), p_vxz_lo, p_vxz_hi, czh, 2
+            )
+            dvy_z, n_vyz_lo, n_vyz_hi = cpml(
+                _d_plus_z(vy), p_vyz_lo, p_vyz_hi, czh, 2
+            )
+            theta = dvx_x + dvy_y + dvz_z
+            pi_u = piu_ref[...]
+            mu_u = muu_ref[...]
+            b_r = br_ref[...]
+            c_rp = crp_ref[...]
+            c_rs = crs_ref[...]
+
+            def diag(s_old, r_old, d_own):
+                if viscous:
+                    phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
+                    r_new = b_r * r_old - phi * inv_dx
+                    s_new = (
+                        s_old
+                        + dt_dx * (pi_u * theta - 2 * mu_u * (theta - d_own))
+                        + dt * 0.5 * (r_new + r_old)
+                    )
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * (
+                        pi_u * theta - 2 * mu_u * (theta - d_own)
+                    )
+                return s_new, r_new
+
+            sxx_n, rxx_n = diag(sxx_ref[...], rxx_ref[...], dvx_x)
+            syy_n, ryy_n = diag(syy_ref[...], ryy_ref[...], dvy_y)
+            szz_n, rzz_n = diag(szz_ref[...], rzz_ref[...], dvz_z)
+
+            def shear(s_old, r_old, e):
+                if viscous:
+                    r_new = b_r * r_old - c_rs * e * inv_dx
+                    s_new = s_old + dt_dx * mu_u * e + dt * 0.5 * (r_new + r_old)
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * mu_u * e
+                return s_new, r_new
+
+            sxy_n, rxy_n = shear(sxy_ref[...], rxy_ref[...], dvx_y + dvy_x)
+            sxz_n, rxz_n = shear(sxz_ref[...], rxz_ref[...], dvx_z + dvz_x)
+            syz_n, ryz_n = shear(syz_ref[...], ryz_ref[...], dvy_z + dvz_y)
+
+            pressure = -(sxx_n + syy_n + szz_n) * (1.0 / 3.0)
+            cosw = scal_ref[0, 0]
+            sinw = scal_ref[0, 1]
+            osxx[...] = sxx_n
+            osyy[...] = syy_n
+            oszz[...] = szz_n
+            osxy[...] = sxy_n
+            osxz[...] = sxz_n
+            osyz[...] = syz_n
+            orxx[...] = rxx_n
+            oryy[...] = ryy_n
+            orzz[...] = rzz_n
+            orxy[...] = rxy_n
+            orxz[...] = rxz_n
+            oryz[...] = ryz_n
+            oacc_c[...] = acc_c_ref[...] + pressure * cosw
+            oacc_s[...] = acc_s_ref[...] + pressure * sinw
+            opeak[...] = jnp.maximum(
+                peak_ref[...],
+                jnp.abs(pressure) * (cosw * cosw + sinw * sinw > 0),
+            )
+            o_vyy_lo[...] = n_vyy_lo
+            o_vyy_hi[...] = n_vyy_hi
+            o_vxy_lo[...] = n_vxy_lo
+            o_vxy_hi[...] = n_vxy_hi
+            o_vzy_lo[...] = n_vzy_lo
+            o_vzy_hi[...] = n_vzy_hi
+            o_vzz_lo[...] = n_vzz_lo
+            o_vzz_hi[...] = n_vzz_hi
+            o_vxz_lo[...] = n_vxz_lo
+            o_vxz_hi[...] = n_vxz_hi
+            o_vyz_lo[...] = n_vyz_lo
+            o_vyz_hi[...] = n_vyz_hi
+            tail_x[...] = w_x[nb : nb + 2]
+            tail_y[...] = w_y[nb : nb + 2]
+            tail_z[...] = w_z[nb : nb + 2]
+
+    stress_call = pl.pallas_call(
+        stress_kernel,
+        grid=(n_slabs + 1,),
+        in_specs=(
+            [slab(cur)] * 3          # vx, vy, vz streamed
+            + [slab(lag)] * 6        # stresses
+            + [slab(lag)] * 6        # memory vars
+            + [slab(lag)] * 5        # props
+            + [slab(lag)] * 3        # acc_c, acc_s, peak
+            + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
+            + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+            + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
+        ),
+        out_specs=(
+            [slab(lag)] * 15 + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)] * 15
+            + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
+            + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+        ),
+        scratch_shapes=[pltpu.VMEM((2, nb, N2, N3), jnp.float32)] * 3
+        + [pltpu.VMEM((2, N2, N3), jnp.float32)] * 3,
+        input_output_aliases={
+            3: 0, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5,       # stresses
+            9: 6, 10: 7, 11: 8, 12: 9, 13: 10, 14: 11,  # memory vars
+            20: 12, 21: 13, 22: 14,                      # accs, peak
+            23: 15, 24: 16, 25: 17, 26: 18, 27: 19, 28: 20,  # psi y
+            29: 21, 30: 22, 31: 23, 32: 24, 33: 25, 34: 26,  # psi z
+        },
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )
+
+    kc = {
+        "y_half": tuple(jnp.asarray(c) for c in cy_h),
+        "z_half": tuple(jnp.asarray(c) for c in cz_h),
+        "y_int": tuple(jnp.asarray(c) for c in cy_i),
+        "z_int": tuple(jnp.asarray(c) for c in cz_i),
+    }
+    return vel_call, stress_call, kc
+
+
+def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
+    """Complete viscoelastic per-timestep function (kernels + x-CPML post)."""
+    N1, N2, N3 = grid.shape
+    ns = grid.npml + 2
+    dt_dx = grid.dt / grid.dx
+    omega = 2.0 * np.pi * grid.frequency
+    zsrc = grid.source_plane_z
+
+    vel_call, stress_call, kc = build_visco_pallas_step(
+        grid, profiles_np, viscous, oz_scale, nb
+    )
+
+    def prof_x(stag):
+        p = profiles_np[0][stag]
+        return tuple(
+            jnp.asarray(np.asarray(p[k]).reshape(ns, 1, 1))
+            for k in ("b_lo", "a_lo", "b_hi", "a_hi")
+        )
+
+    xh = prof_x("half")  # for d_plus derivatives (sxx_x, vy_x, vz_x)
+    xi = prof_x("int")  # for d_minus derivatives (sxy_x, sxz_x, vx_x)
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        pr = s["props"]
+        t = n.astype(jnp.float32) * grid.dt
+
+        # ---- velocity kernel ----
+        psi_v_in = [s[k] for k in _V_PSI_KEYS]
+        outs = vel_call(
+            f["sxx"], f["sxy"], f["sxz"],
+            f["syy"], f["szz"], f["syz"], f["vx"], f["vy"], f["vz"],
+            pr["rho_inv"],
+            *psi_v_in,
+            *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
+        )
+        vx, vy, vz = outs[0], outs[1], outs[2]
+        psi_v_out = outs[3:]
+
+        # ---- x-CPML post for velocities ----
+        dsxx = _slab_dplus_x(f["sxx"], 0, ns)
+        n_sxxx_lo = xh[0] * s["psi_sxxx_lo"] + xh[1] * dsxx
+        dsxx = _slab_dplus_x(f["sxx"], N1 - ns, ns)
+        n_sxxx_hi = xh[2] * s["psi_sxxx_hi"] + xh[3] * dsxx
+        dsxy = _slab_dminus_x(f["sxy"], 0, ns)
+        n_sxyx_lo = xi[0] * s["psi_sxyx_lo"] + xi[1] * dsxy
+        dsxy = _slab_dminus_x(f["sxy"], N1 - ns, ns)
+        n_sxyx_hi = xi[2] * s["psi_sxyx_hi"] + xi[3] * dsxy
+        dsxz = _slab_dminus_x(f["sxz"], 0, ns)
+        n_sxzx_lo = xi[0] * s["psi_sxzx_lo"] + xi[1] * dsxz
+        dsxz = _slab_dminus_x(f["sxz"], N1 - ns, ns)
+        n_sxzx_hi = xi[2] * s["psi_sxzx_hi"] + xi[3] * dsxz
+        rho_lo = pr["rho_inv"][:ns]
+        rho_hi = pr["rho_inv"][-ns:]
+        vx = vx.at[:ns].add(dt_dx * rho_lo * n_sxxx_lo)
+        vx = vx.at[-ns:].add(dt_dx * rho_hi * n_sxxx_hi)
+        vy = vy.at[:ns].add(dt_dx * rho_lo * n_sxyx_lo)
+        vy = vy.at[-ns:].add(dt_dx * rho_hi * n_sxyx_hi)
+        vz = vz.at[:ns].add(dt_dx * rho_lo * n_sxzx_lo)
+        vz = vz.at[-ns:].add(dt_dx * rho_hi * n_sxzx_hi)
+
+        # ---- source injection ----
+        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+        ramp = jnp.where(
+            n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
+        ).astype(jnp.float32)
+        if grid.source_type == "velocity_plane":
+            amp2d = s["src_amp"]
+            sval = amp2d * jnp.sin(omega * t + s["src_phase"]) * ramp * oz_scale
+            plane = vz[:, :, zsrc]
+            vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
+
+        # ---- stress kernel ----
+        in_window = (n >= grid.sensor_start).astype(jnp.float32)
+        cosw = jnp.cos(omega * t) * in_window
+        sinw = jnp.sin(omega * t) * in_window
+        scal = jnp.stack([cosw, sinw]).reshape(1, 2)
+        psi_s_in = [s[k] for k in _S_PSI_KEYS]
+        souts = stress_call(
+            vx, vy, vz,
+            f["sxx"], f["syy"], f["szz"], f["sxy"], f["sxz"], f["syz"],
+            f["rxx"], f["ryy"], f["rzz"], f["rxy"], f["rxz"], f["ryz"],
+            pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"], pr["b_r"],
+            s["acc_cos"], s["acc_sin"], s["peak"],
+            *psi_s_in,
+            scal,
+            *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
+        )
+        (sxx, syy, szz, sxy, sxz, syz,
+         rxx, ryy, rzz, rxy, rxz, ryz,
+         acc_c, acc_s, peak) = souts[:15]
+        psi_s_out = souts[15:]
+
+        # ---- x-CPML post for stresses (linear corrections) ----
+        dvx = _slab_dminus_x(vx, 0, ns)
+        n_vxx_lo = xi[0] * s["psi_vxx_lo"] + xi[1] * dvx
+        dvx = _slab_dminus_x(vx, N1 - ns, ns)
+        n_vxx_hi = xi[2] * s["psi_vxx_hi"] + xi[3] * dvx
+        dvy = _slab_dplus_x(vy, 0, ns)
+        n_vyx_lo = xh[0] * s["psi_vyx_lo"] + xh[1] * dvy
+        dvy = _slab_dplus_x(vy, N1 - ns, ns)
+        n_vyx_hi = xh[2] * s["psi_vyx_hi"] + xh[3] * dvy
+        dvz = _slab_dplus_x(vz, 0, ns)
+        n_vzx_lo = xh[0] * s["psi_vzx_lo"] + xh[1] * dvz
+        dvz = _slab_dplus_x(vz, N1 - ns, ns)
+        n_vzx_hi = xh[2] * s["psi_vzx_hi"] + xh[3] * dvz
+
+        def corr_diag(sl, dth):
+            """corrections from a theta increment dth (= psi_vx_x slab)."""
+            piu = pr["pi_u"][sl]
+            muu = pr["mu_u"][sl]
+            if viscous:
+                crp = pr["c_rp"][sl]
+                crs = pr["c_rs"][sl]
+                # own-derivative term for sxx cancels (theta - dvx_x unchanged)
+                dr_xx = -crp * dth / grid.dx
+                d_sxx = dt_dx * piu * dth + grid.dt * 0.5 * dr_xx
+                dr_oo = -(crp - 2 * crs) * dth / grid.dx
+                d_soo = dt_dx * (piu - 2 * muu) * dth + grid.dt * 0.5 * dr_oo
+            else:
+                dr_xx = dr_oo = jnp.zeros_like(dth)
+                d_sxx = dt_dx * piu * dth
+                d_soo = dt_dx * (piu - 2 * muu) * dth
+            return d_sxx, dr_xx, d_soo, dr_oo
+
+        def corr_shear(sl, de):
+            muu = pr["mu_u"][sl]
+            if viscous:
+                crs = pr["c_rs"][sl]
+                dr = -crs * de / grid.dx
+                ds = dt_dx * muu * de + grid.dt * 0.5 * dr
+            else:
+                dr = jnp.zeros_like(de)
+                ds = dt_dx * muu * de
+            return ds, dr
+
+        for sl, dth, dvyx, dvzx in (
+            (slice(0, ns), n_vxx_lo, n_vyx_lo, n_vzx_lo),
+            (slice(N1 - ns, N1), n_vxx_hi, n_vyx_hi, n_vzx_hi),
+        ):
+            d_sxx, dr_xx, d_soo, dr_oo = corr_diag(sl, dth)
+            sxx = sxx.at[sl].add(d_sxx)
+            syy = syy.at[sl].add(d_soo)
+            szz = szz.at[sl].add(d_soo)
+            dp = -(d_sxx + 2 * d_soo) / 3.0
+            acc_c = acc_c.at[sl].add(dp * cosw)
+            acc_s = acc_s.at[sl].add(dp * sinw)
+            if viscous:
+                rxx = rxx.at[sl].add(dr_xx)
+                ryy = ryy.at[sl].add(dr_oo)
+                rzz = rzz.at[sl].add(dr_oo)
+            ds_xy, dr_xy = corr_shear(sl, dvyx)
+            sxy = sxy.at[sl].add(ds_xy)
+            ds_xz, dr_xz = corr_shear(sl, dvzx)
+            sxz = sxz.at[sl].add(ds_xz)
+            if viscous:
+                rxy = rxy.at[sl].add(dr_xy)
+                rxz = rxz.at[sl].add(dr_xz)
+
+        if grid.source_type == "stress_point":
+            i0, j0, k0 = grid.source_ijk
+            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp
+            sxx = sxx.at[i0, j0, k0].add(sval)
+            syy = syy.at[i0, j0, k0].add(sval)
+            szz = szz.at[i0, j0, k0].add(sval)
+
+        new_carry = dict(
+            s,
+            fields=dict(
+                vx=vx, vy=vy, vz=vz, sxx=sxx, syy=syy, szz=szz,
+                sxy=sxy, sxz=sxz, syz=syz,
+                rxx=rxx, ryy=ryy, rzz=rzz, rxy=rxy, rxz=rxz, ryz=ryz,
+            ),
+            acc_cos=acc_c, acc_sin=acc_s, peak=peak,
+            psi_sxxx_lo=n_sxxx_lo, psi_sxxx_hi=n_sxxx_hi,
+            psi_sxyx_lo=n_sxyx_lo, psi_sxyx_hi=n_sxyx_hi,
+            psi_sxzx_lo=n_sxzx_lo, psi_sxzx_hi=n_sxzx_hi,
+            psi_vxx_lo=n_vxx_lo, psi_vxx_hi=n_vxx_hi,
+            psi_vyx_lo=n_vyx_lo, psi_vyx_hi=n_vyx_hi,
+            psi_vzx_lo=n_vzx_lo, psi_vzx_hi=n_vzx_hi,
+            **dict(zip(_V_PSI_KEYS, psi_v_out)),
+            **dict(zip(_S_PSI_KEYS, psi_s_out)),
+        )
+        return new_carry, None
+
+    return step
+
+
+_V_PSI_KEYS = [
+    "psi_sxyy_lo", "psi_sxyy_hi", "psi_syyy_lo", "psi_syyy_hi",
+    "psi_syzy_lo", "psi_syzy_hi",
+    "psi_sxzz_lo", "psi_sxzz_hi", "psi_syzz_lo", "psi_syzz_hi",
+    "psi_szzz_lo", "psi_szzz_hi",
+]
+_S_PSI_KEYS = [
+    "psi_vyy_lo", "psi_vyy_hi", "psi_vxy_lo", "psi_vxy_hi",
+    "psi_vzy_lo", "psi_vzy_hi",
+    "psi_vzz_lo", "psi_vzz_hi", "psi_vxz_lo", "psi_vxz_hi",
+    "psi_vyz_lo", "psi_vyz_hi",
+]
+
+
+def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
+                          profiles_np, viscous, oz_scale, nb=2):
+    """Scan driver for the viscoelastic pallas path."""
+    N1, N2, N3 = grid.shape
+    ns = grid.npml + 2
+    step = make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb)
+    z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
+    zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
+    zz = lambda: jnp.zeros((N1, N2, ns), jnp.float32)
+    zx = lambda: jnp.zeros((ns, N2, N3), jnp.float32)
+    carry = {
+        "fields": {
+            k: z3()
+            for k in (
+                "vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz",
+                "rxx", "ryy", "rzz", "rxy", "rxz", "ryz",
+            )
+        },
+        "props": props,
+        "acc_cos": z3(), "acc_sin": z3(), "peak": z3(),
+        "src_amp": src_amp, "src_phase": src_phase,
+        "src_amp_point": point_amp,
+        "psi_sxxx_lo": zx(), "psi_sxxx_hi": zx(),
+        "psi_sxyx_lo": zx(), "psi_sxyx_hi": zx(),
+        "psi_sxzx_lo": zx(), "psi_sxzx_hi": zx(),
+        "psi_vxx_lo": zx(), "psi_vxx_hi": zx(),
+        "psi_vyx_lo": zx(), "psi_vyx_hi": zx(),
+        "psi_vzx_lo": zx(), "psi_vzx_hi": zx(),
+    }
+    for k in _V_PSI_KEYS + _S_PSI_KEYS:
+        # derivative axis is the last letter of the field part: psi_sxyY_lo
+        axis_y = k[:-3].endswith("y")
+        carry[k] = zy() if axis_y else zz()
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
+    return carry["acc_cos"], carry["acc_sin"], carry["peak"]
