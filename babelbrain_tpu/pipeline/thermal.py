@@ -290,3 +290,46 @@ def thermal_out_name(
     if repetitions > 1:
         suffix += "-%iReps" % repetitions
     return base + suffix
+
+
+def save_thermal_mat(path: str, save_dict: dict):
+    """Write the MATLAB twin of the thermal h5 (the reference saves both,
+    `CalculateTemperatureEffects.py:1234-1235`)."""
+    from scipy.io import savemat
+
+    clean = {}
+    for k, v in save_dict.items():
+        kk = k.replace("-", "_")
+        clean[kk] = v if not isinstance(v, dict) else v
+    savemat(path, clean)
+
+
+def focal_metrics(p_amp, spacing_m: float, threshold_db: float = -6.0):
+    """-6 dB focal-spot metrics (`BabelBrain/_BabelBaseTx.py:48`
+    `CalcVolumetricMetrics` capability): ellipsoid axis lengths through the
+    peak, volume of the connected -6 dB region, and the peak location."""
+    p = np.asarray(p_amp)
+    peak = p.max()
+    thr = peak * 10 ** (threshold_db / 20.0)
+    pk = np.unravel_index(np.argmax(p), p.shape)
+    region = p >= thr
+
+    # connected component containing the peak
+    from ..ops.imaging import label_components
+
+    labels, _ = label_components(region)
+    region = labels == labels[pk]
+
+    axes_mm = []
+    for ax in range(3):
+        idx = [pk[0], pk[1], pk[2]]
+        idx[ax] = slice(None)
+        line = region[tuple(idx)]
+        axes_mm.append(float(line.sum()) * spacing_m * 1e3)
+    volume_mm3 = float(region.sum()) * (spacing_m * 1e3) ** 3
+    return {
+        "peak_Pa": float(peak),
+        "peak_ijk": tuple(int(v) for v in pk),
+        "axes_mm": tuple(axes_mm),
+        "volume_mm3": volume_mm3,
+    }

@@ -28,7 +28,7 @@ import numpy as np
 
 # persistent compile cache: tunneled remote-compilation is slow, cache hits
 # across invocations make reruns near-instant
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
 def main():

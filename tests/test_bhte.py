@@ -129,3 +129,25 @@ class TestBHTE:
         q = absorption_heating(np.array([[[2e6]]]), np.zeros((1, 1, 1), int), mats, 0.5)
         expect = 0.85 * 4.49 * 4e12 / (1041 * 1562) * 0.5
         assert q[0, 0, 0] == pytest.approx(expect, rel=1e-6)
+
+
+class TestFocalMetrics:
+    def test_ellipsoid_axes(self):
+        from babelbrain_tpu.pipeline.thermal import focal_metrics
+
+        # gaussian blob with known -6 dB widths
+        n = 48
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n].astype(float)
+        sx, sy, sz = 3.0, 4.0, 8.0
+        p = np.exp(
+            -(((ii - 24) / sx) ** 2 + ((jj - 24) / sy) ** 2 + ((kk - 24) / sz) ** 2)
+            / 2
+        )
+        m = focal_metrics(p, spacing_m=1e-3)
+        # -6 dB radius = sigma*sqrt(2*ln(2)) -> full width = 2*that
+        w = 2 * np.sqrt(2 * np.log(2))
+        assert m["axes_mm"][0] == pytest.approx(sx * w, abs=1.2)
+        assert m["axes_mm"][1] == pytest.approx(sy * w, abs=1.2)
+        assert m["axes_mm"][2] == pytest.approx(sz * w, abs=1.2)
+        assert m["peak_ijk"] == (24, 24, 24)
+        assert m["volume_mm3"] > 0
