@@ -485,6 +485,19 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
                 sxz = sxz + dt_dx * mu_u * exz
                 syz = syz + dt_dx * mu_u * eyz
 
+        if "keep" in p:
+            keep = p["keep"]
+            sxx = sxx * keep
+            syy = syy * keep
+            szz = szz * keep
+            sxy = sxy * keep
+            sxz = sxz * keep
+            syz = syz * keep
+            if viscous:
+                carry_fields["rxx"] = carry_fields.get("rxx", f.get("rxx")) * keep
+                carry_fields["ryy"] = carry_fields.get("ryy", f.get("ryy")) * keep
+                carry_fields["rzz"] = carry_fields.get("rzz", f.get("rzz")) * keep
+
         if grid.source_type == "stress_point":
             i0, j0, k0 = grid.source_ijk
             i_loc = jnp.int32(i0) - comm.local_x_offset(sxx.shape[0])
@@ -604,6 +617,12 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
             carry_fields["r"] = new_r
         else:
             p = p - dt_dx * pr["pi_u"] * theta
+        if "keep" in pr:
+            # pressure-release reflector voxels (air cavities): the
+            # reference's ReflectorMask (`BabelIntegrationBASE.py:2365`)
+            p = p * pr["keep"]
+            if viscous:
+                carry_fields["r"] = carry_fields["r"] * pr["keep"]
 
         if grid.source_type == "stress_point":
             i0, j0, k0 = grid.source_ijk
@@ -691,6 +710,7 @@ def run_fdtd(
     point_amp: float = 0.0,
     mesh=None,
     backend: str = "auto",
+    reflector_mask=None,
 ):
     """Run the CW simulation and return carrier amplitude/phase/peak maps.
 
@@ -741,6 +761,13 @@ def run_fdtd(
         source_phase if source_phase is not None else np.zeros(grid.shape[:2]),
         np.float32,
     )
+
+    if reflector_mask is not None:
+        props_np["keep"] = (
+            1.0 - np.asarray(reflector_mask).astype(np.float32)
+        )
+        if backend == "auto":
+            backend = "xla"  # reflector not yet wired into the pallas kernels
 
     use_pallas = False
     pallas_ok = mesh is None and (

@@ -124,6 +124,7 @@ def run_acoustic_sim(
 
     # --- S4: FDTD through skull ---
     grid = _make_grid(dom)
+    reflector = dom.meta.get("reflector_mask")
     out = run_fdtd(
         dom.material_map,
         dom.materials,
@@ -131,6 +132,7 @@ def run_acoustic_sim(
         source_amp=np.abs(src),
         source_phase=np.angle(src),
         mesh=mesh,
+        reflector_mask=reflector,
     )
 
     refocus_out = None
@@ -208,6 +210,20 @@ def run_acoustic_sim(
     }
     if use_rayleigh_for_water:
         data["p_amp_water"] = np.abs(mask_frame(u2_masked))
+    else:
+        # full water-only FDTD pass (the reference's bUseRayleighForWater=False
+        # branch, `CalculateFieldProcess.py:55-77`)
+        water_out = run_fdtd(
+            np.zeros_like(dom.material_map),
+            dom.materials[:1],
+            grid,
+            source_amp=np.abs(src),
+            source_phase=np.angle(src),
+            mesh=mesh,
+        )
+        pw = water_out["p_amp"].copy()
+        pw[:, :, : dom.source_z + 1] = 0
+        data["p_amp_water"] = mask_frame(pw)
     if refocus_out is not None:
         pr = refocus_out["p_amp"].copy()
         pr[:, :, : dom.source_z + 1] = 0

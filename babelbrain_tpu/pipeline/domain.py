@@ -55,7 +55,11 @@ def compute_time_stepping(
     """
     mats = np.asarray(materials, np.float64)
     speeds = mats[:, 1:3].ravel()
-    cmin = speeds[speeds > 0].min()
+    # speeds below 500 m/s belong to sub-resolution reflector materials
+    # (air cavities); they set an impedance contrast, not a resolved
+    # wavelength, so they must not shrink the grid
+    resolved = speeds[speeds >= 500.0]
+    cmin = resolved.min()
     if bound_by_tissue_minimum:
         cmin = min(cmin, smallest_sos(frequency, include_shear=True))
     cmax = speeds.max()
@@ -131,9 +135,21 @@ def build_label_materials(frequency: float, segmented: bool, no_shear=False):
     return mats
 
 
-def build_ct_materials(frequency: float, segmented: bool, hu_density, hu_sos, hu_att):
+AIR_MATERIAL = np.array([1.2, 343.0, 0.0, 30.0, 0.0])
+
+
+def build_ct_materials(
+    frequency: float, segmented: bool, hu_density, hu_sos, hu_att,
+    with_air: bool = False,
+):
     """CT-mode material table: water + soft tissues + one material per
-    quantized HU (`BabelIntegrationBASE.py:1322-1354`); shear disabled."""
+    quantized HU (`BabelIntegrationBASE.py:1322-1354`); shear disabled.
+
+    ``with_air`` appends a low-impedance air material as the LAST index;
+    intracranial air cavities mapped to it reflect nearly all energy — the
+    physically-grounded equivalent of the reference's ``ReflectorMask``
+    (`BabelIntegrationBASE.py:2365` ReflectorMask argument).
+    """
     tissues = ["Water", "Skin", "Brain"]
     if segmented:
         tissues += ["WhiteMatter", "GrayMatter", "CSF"]
@@ -145,6 +161,12 @@ def build_ct_materials(frequency: float, segmented: bool, hu_density, hu_sos, hu
     skull[:, 0] = hu_density
     skull[:, 1] = hu_sos
     skull[:, 3] = hu_att
+    if with_air:
+        raise NotImplementedError(
+            "air is handled as a pressure-release reflector mask, not a "
+            "material (extreme impedance contrast is unstable on the grid); "
+            "pass reflector_mask to run_fdtd / air_mask to build_domain"
+        )
     return np.concatenate([soft, skull])
 
 
@@ -194,6 +216,7 @@ def build_domain(
     *,
     materials: np.ndarray | None = None,
     ct_index_map: np.ndarray | None = None,
+    air_mask: np.ndarray | None = None,
     npml: int = 12,
     alpha_cfl: float = 0.5,
     cycles_to_track: int = 2,
@@ -244,6 +267,13 @@ def build_domain(
         # remove tissue layers at/below the source plane (water instead)
         mat_map[:, :, : src_z + 1] = 0
 
+    reflector = None
+    if air_mask is not None:
+        am = np.flip(np.asarray(air_mask).astype(bool), axis=2)
+        reflector = np.zeros(shape, bool)
+        reflector[xl:-xr, yl:-yr, zl:-zr] = am
+        reflector[:, :, : src_z + 1] = False
+
     focal = np.argwhere(mask == LABEL_TARGET)
     if len(focal) == 0:
         focal_idx = np.array(shape) // 2
@@ -274,7 +304,11 @@ def build_domain(
         z_vec=z_vec,
         frequency=frequency,
         mask_shape=tuple(mask.shape),
-        meta={"adjusted_cfl": adj_cfl, "segmented": segmented},
+        meta={
+            "adjusted_cfl": adj_cfl,
+            "segmented": segmented,
+            "reflector_mask": reflector,
+        },
     )
 
 

@@ -173,6 +173,9 @@ def run_case(
             cfg.ppw,
             materials=materials,
             ct_index_map=s1.ct_index if ct_mode else None,
+            air_mask=s1.air_mask
+            if (ct_mode and s1.air_mask is not None and s1.air_mask.any())
+            else None,
             pad_cone_cells=pad,
         )
         tx = build_transducer(

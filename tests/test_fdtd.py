@@ -236,3 +236,25 @@ class TestFluidSpecialization:
             o_fluid["p_amp"][reg], o_full["p_amp"][reg],
             atol=scale * 5e-4, rtol=1e-3,
         )
+
+
+class TestAirReflector:
+    def test_air_cavity_blocks_transmission(self):
+        """A pressure-release reflector layer must block transmission (the
+        reference's ReflectorMask, `BabelIntegrationBASE.py:2365`)."""
+        shape = (40, 40, 150)
+        grid, ppp = _water_grid(shape, cycles=22)
+        mats = np.array([[RHO, C, 0.0, 0.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        reflector = np.zeros(shape, bool)
+        reflector[:, :, 80:84] = True  # air layer
+        amp = np.full(shape[:2], 60e3)
+        out = run_fdtd(idx, mats, grid, source_amp=amp,
+                       source_phase=np.zeros(shape[:2]),
+                       reflector_mask=reflector)
+        line = out["p_amp"][20, 20, :]
+        # behind the air layer: near-total blockage
+        assert line[95:120].max() < 0.05 * 60e3
+        # in front: standing wave (incident + reflected), peaks up to ~2x
+        assert line[30:75].max() > 1.4 * 60e3
+        assert np.isfinite(out["p_amp"]).all()
