@@ -124,10 +124,23 @@ LABEL_BRAIN, LABEL_TARGET, LABEL_WM, LABEL_GM, LABEL_CSF = 4, 5, 6, 7, 8
 
 def build_label_materials(frequency: float, segmented: bool, no_shear=False):
     """Label-mode material table: water, skin, cortical, trabecular, brain
-    (+WM, GM, CSF) — `BabelIntegrationBASE.py:1357-1377`."""
+    (+WM, GM, CSF) — `BabelIntegrationBASE.py:1357-1377`.
+
+    Env hook: ``BBT_PAPER_CONDITIONS=1`` models all soft tissues as water
+    (the reference's ``BABEL_PYTEST_PAPER`` hook,
+    `BabelIntegrationBASE.py:1323-1335`), reproducing its paper conditions.
+    """
+    import os
+
+    paper = os.environ.get("BBT_PAPER_CONDITIONS") == "1"
     tissues = ["Water", "Skin", "Cortical", "Trabecular", "Brain"]
     if segmented:
         tissues += ["WhiteMatter", "GrayMatter", "CSF"]
+    if paper:
+        tissues = [
+            "Water" if t not in ("Cortical", "Trabecular") else t
+            for t in tissues
+        ]
     mats = material_array(frequency, tissues)
     if no_shear:
         mats[:, 2] = 0.0

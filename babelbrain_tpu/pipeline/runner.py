@@ -198,6 +198,11 @@ def run_case(
             data[k] = v
         pio.save_dict_h5(data, h5_path)
 
+    if os.environ.get("BBT_FORCE_ERROR_STEP2") == "1":
+        # error-path test hook (the reference's TEST_FORCE_ERROR_BABEL_STEP2,
+        # `BabelIntegrationBASE.py:1034-1036`)
+        raise RuntimeError("forced Step-2 error (BBT_FORCE_ERROR_STEP2)")
+
     # ---------------- Step 3 ----------------
     thermal = None
     if thermal_params is not None:
