@@ -9,8 +9,8 @@ equivalents:
   * label_components    <- GPULabel (connected components, 6-connectivity)
   * map_to_unique       <- GPUMapping (value -> index in quantized table)
   * resample_affine / resample_from_to <- GPUResample (affine resample,
-    order 0/1; the reference's cubic-spline path is approximated linearly
-    for now)
+    orders 0/1/3; order 3 = cubic B-spline with host-side prefilter and
+    on-device interpolation)
   * voxelization lives in ops/voxelize.py (host-side scanline prepass)
 
 The reference chunks volumes through limited GPU memory
@@ -254,13 +254,82 @@ def _resample(vol, matrix, offset, out_shape, order):
     return out.reshape(out_shape)
 
 
+def _bspline3_weights(t):
+    """Cubic B-spline basis weights for fractional offset t in [0,1)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0
+    w1 = (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0
+    w2 = (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0
+    w3 = t3 / 6.0
+    return (w0, w1, w2, w3)
+
+
+@functools.partial(jax.jit, static_argnames=("out_shape",))
+def _resample_cubic(coeff, matrix, offset, out_shape):
+    """Cubic B-spline interpolation of prefiltered coefficients (zero
+    outside, like scipy 'grid-constant')."""
+    n1, n2, n3 = coeff.shape
+    ii, jj, kk = jnp.meshgrid(
+        jnp.arange(out_shape[0], dtype=jnp.float32),
+        jnp.arange(out_shape[1], dtype=jnp.float32),
+        jnp.arange(out_shape[2], dtype=jnp.float32),
+        indexing="ij",
+    )
+    coords = jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()])
+    src = matrix @ coords + offset[:, None]
+
+    base = jnp.floor(src).astype(jnp.int32)  # (3, P)
+    frac = src - base
+    wx = _bspline3_weights(frac[0])
+    wy = _bspline3_weights(frac[1])
+    wz = _bspline3_weights(frac[2])
+
+    out = jnp.zeros(coords.shape[1], jnp.float32)
+    dims = jnp.array([n1, n2, n3])
+    for a in range(4):
+        ix = base[0] + (a - 1)
+        okx = (ix >= 0) & (ix < n1)
+        cx = jnp.clip(ix, 0, n1 - 1)
+        for b in range(4):
+            iy = base[1] + (b - 1)
+            oky = (iy >= 0) & (iy < n2)
+            cy = jnp.clip(iy, 0, n2 - 1)
+            for c in range(4):
+                iz = base[2] + (c - 1)
+                okz = (iz >= 0) & (iz < n3)
+                cz = jnp.clip(iz, 0, n3 - 1)
+                w = wx[a] * wy[b] * wz[c] * (okx & oky & okz)
+                out = out + w * coeff[cx, cy, cz]
+    return out.reshape(out_shape)
+
+
 def resample_affine(volume, matrix, offset, out_shape, order: int = 1):
     """Resample with out_voxel -> in_voxel affine (scipy.ndimage convention).
 
-    order 0 (nearest) or 1 (linear). The reference's GPUResample implements
-    cubic-spline orders as well (`GPUResample/affine_transform.cpp`); linear
-    is used here pending a Pallas spline kernel.
+    Orders 0 (nearest), 1 (linear), and 3 (cubic B-spline with prefilter) —
+    the same set the reference's GPUResample exposes
+    (`GPUResample/affine_transform.cpp` + `spline_filter.cpp`). Order 3
+    prefilters host-side and interpolates on-device.
     """
+    if order == 3:
+        import scipy.ndimage as _ndi
+
+        # zero-pad before prefiltering so boundary coefficients blend with
+        # the outside value, matching scipy's 'grid-constant' handling
+        PAD = 8
+        padded = np.pad(np.asarray(volume, np.float32), PAD)
+        coeff = _ndi.spline_filter(padded, order=3, output=np.float32)
+        mat = np.asarray(matrix, np.float64)
+        off = np.asarray(offset, np.float64) + PAD
+        return np.asarray(
+            _resample_cubic(
+                jnp.asarray(coeff),
+                jnp.asarray(mat, jnp.float32),
+                jnp.asarray(off, jnp.float32),
+                tuple(out_shape),
+            )
+        )
     return np.asarray(
         _resample(
             jnp.asarray(volume, jnp.float32),

@@ -251,7 +251,7 @@ def generate_mask(
             ct_affine if ct_affine is not None else labels_affine,
             A,
             shape,
-            order=1,
+            order=3,  # cubic, as the reference's CT resample
         )
         ct = np.minimum(ct, hu_cap)
         ct = im.median_filter3d(ct, 3)

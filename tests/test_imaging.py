@@ -125,3 +125,25 @@ class TestResample:
         out = im.resample_from_to(vol, aff, aff2, vol.shape, 1)
         # shifting target origin by +2 in world == sampling vol at i+2
         np.testing.assert_allclose(out[:-3], vol[2:-1], atol=1e-5)
+
+
+class TestCubicResample:
+    def test_cubic_matches_scipy(self, vol):
+        M = np.eye(3)
+        off = np.array([0.4, -0.3, 1.6])
+        got = im.resample_affine(vol, M, off, vol.shape, 3)
+        want = ndi.affine_transform(vol, M, off, order=3, mode="grid-constant")
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_cubic_identity_exact(self, vol):
+        out = im.resample_affine(vol, np.eye(3), np.zeros(3), vol.shape, 3)
+        np.testing.assert_allclose(out, vol, atol=2e-4)
+
+    def test_cubic_scale(self, vol):
+        M = np.diag([0.5, 2.0, 1.0])
+        got = im.resample_affine(vol, M, np.zeros(3), (30, 10, 28), 3)
+        want = ndi.affine_transform(
+            vol, M, np.zeros(3), output_shape=(30, 10, 28), order=3,
+            mode="grid-constant",
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)

@@ -293,3 +293,28 @@ class TestCoregistration:
         # recovered parameters close to truth (rot in rad, trans in voxels)
         np.testing.assert_allclose(p[:3], p_true[:3], atol=0.02)
         np.testing.assert_allclose(p[3:], p_true[3:], atol=0.5)
+
+
+class TestBiasCorrection:
+    def test_removes_smooth_shading(self, rng):
+        from babelbrain_tpu.pipeline.bias import correct_bias_field
+
+        n = 40
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n].astype(float) / (n - 1)
+        r = np.sqrt((ii - 0.5) ** 2 + (jj - 0.5) ** 2 + (kk - 0.5) ** 2)
+        mask = r < 0.4
+        truth = np.where(mask, 1000.0, 10.0)
+        truth[(r > 0.25) & (r < 0.32)] = 400.0  # bone-like shell
+        bias = np.exp(0.8 * (ii - 0.5) + 0.5 * (jj - 0.5) ** 2)
+        img = truth * bias * rng.normal(1.0, 0.01, truth.shape)
+
+        corrected, est = correct_bias_field(img, mask)
+        # shading across the soft-tissue region should collapse
+        soft = mask & (truth == 1000.0)
+        cv_before = img[soft].std() / img[soft].mean()
+        cv_after = corrected[soft].std() / corrected[soft].mean()
+        assert cv_after < 0.35 * cv_before
+        # median intensity preserved
+        assert np.median(corrected[mask]) == pytest.approx(
+            np.median(img[mask]), rel=0.15
+        )
