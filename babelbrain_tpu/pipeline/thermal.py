@@ -333,3 +333,39 @@ def focal_metrics(p_amp, spacing_m: float, threshold_db: float = -6.0):
         "axes_mm": tuple(axes_mm),
         "volume_mm3": volume_mm3,
     }
+
+
+def rescale_isppa(result: ThermalResult, p_amp, new_isppa: float, old_isppa: float):
+    """Return the pressure map scaled for a new Isppa without re-simulating
+    the acoustics (fields are linear; the reference's Babel_Thermal
+    `OverWriteIsppa` display path, `Babel_Thermal.py:314`). The BHTE must be
+    rerun on the scaled map for new thermal metrics."""
+    scale = float(np.sqrt(new_isppa / old_isppa))
+    return np.asarray(p_amp) * result.pressure_ratio * scale
+
+
+def export_summary_csv(path: str, rows: list[dict]):
+    """Write the thermal-summary table (one row per DC/duration combination;
+    the Babel_Thermal export capability, `Babel_Thermal.py:708,786`)."""
+    import csv
+
+    keys = [
+        "Isppa", "DC", "PRF", "DurationOn", "DurationOff", "Repetitions",
+        "TI", "TIS", "TIC", "CEMBrain", "CEMSkin", "CEMSkull", "MI",
+        "MaxBrainPressure", "MaxIsppa", "MaxIspta", "RatioLosses",
+    ]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+def summary_row(params: SonicationParams, result: ThermalResult) -> dict:
+    row = dict(result.metrics)
+    row.update(
+        Isppa=params.isppa, DC=params.duty_cycle, PRF=params.prf,
+        DurationOn=params.duration_on, DurationOff=params.duration_off,
+        Repetitions=params.repetitions, RatioLosses=result.ratio_losses,
+    )
+    return row

@@ -151,3 +151,42 @@ class TestFocalMetrics:
         assert m["axes_mm"][2] == pytest.approx(sz * w, abs=1.2)
         assert m["peak_ijk"] == (24, 24, 24)
         assert m["volume_mm3"] > 0
+
+
+class TestThermalExports:
+    def test_summary_csv(self, tmp_path):
+        from babelbrain_tpu.pipeline.thermal import (
+            SonicationParams,
+            ThermalResult,
+            export_summary_csv,
+            summary_row,
+        )
+
+        res = ThermalResult(
+            temperature_end=np.zeros((2, 2, 2)),
+            temperature_peak=np.zeros((2, 2, 2)),
+            dose=np.zeros((2, 2, 2)),
+            monitor=np.zeros((4, 10)),
+            metrics={"TI": 1.5, "TIS": 0.5, "TIC": 2.0, "CEMBrain": 0.1,
+                     "CEMSkin": 0.0, "CEMSkull": 0.3, "MI": 0.8,
+                     "MaxBrainPressure": 5e5, "MaxIsppa": 10.0,
+                     "MaxIspta": 3.0},
+            ratio_losses=0.25,
+        )
+        p = SonicationParams(duration_on=30, duration_off=30, duty_cycle=0.3,
+                             isppa=10.0)
+        f = str(tmp_path / "summary.csv")
+        export_summary_csv(f, [summary_row(p, res)])
+        text = open(f).read()
+        assert "TIC" in text and "0.25" in text and "30" in text
+
+    def test_rescale_isppa(self):
+        from babelbrain_tpu.pipeline.thermal import ThermalResult, rescale_isppa
+
+        res = ThermalResult(
+            temperature_end=None, temperature_peak=None, dose=None,
+            monitor=None, pressure_ratio=2.0,
+        )
+        p = np.ones((2, 2, 2))
+        out = rescale_isppa(res, p, new_isppa=20.0, old_isppa=5.0)
+        np.testing.assert_allclose(out, 2.0 * 2.0)  # ratio * sqrt(4)
