@@ -298,7 +298,7 @@ class FDTDGrid:
     reflection_limit: float = 1e-5
     sensor_start: int = 0  # first step of the DFT window
     source_plane_z: int = 13  # z-index of the CW source plane
-    source_type: str = "velocity_plane"  # or "stress_point"
+    source_type: str = "velocity_plane"  # or "stress_point" / "velocity_volume"
     source_ijk: tuple = (0, 0, 0)  # for stress_point
     ramp_cycles: float = 4.0
 
@@ -413,6 +413,16 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
             sval = amp2d * jnp.sin(omega * t + ph2d) * ramp * oz_scale
             plane = vz[:, :, zsrc]
             vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
+        elif grid.source_type == "velocity_volume":
+            # dome transducers: the whole array sits inside the domain and
+            # drives particle velocity along per-voxel normals
+            # (`BabelIntegrationDOME_PHASEDARRAY.py:344-407` capability)
+            amp3 = s["src_amp3d"]
+            sv = amp3 * jnp.sin(omega * t + s["src_phase3d"]) * ramp * oz_scale
+            on = amp3 > 0
+            vx = jnp.where(on, sv * s["src_ox"], vx)
+            vy = jnp.where(on, sv * s["src_oy"], vy)
+            vz = jnp.where(on, sv * s["src_oz"], vz)
         carry_fields = dict(f)
 
         # ---- stress update ----
@@ -599,6 +609,13 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
             sval = amp2d * jnp.sin(omega * t + ph2d) * ramp * oz_scale
             plane = vz[:, :, zsrc]
             vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
+        elif grid.source_type == "velocity_volume":
+            amp3 = s["src_amp3d"]
+            sv = amp3 * jnp.sin(omega * t + s["src_phase3d"]) * ramp * oz_scale
+            on = amp3 > 0
+            vx = jnp.where(on, sv * s["src_ox"], vx)
+            vy = jnp.where(on, sv * s["src_oy"], vy)
+            vz = jnp.where(on, sv * s["src_oz"], vz)
 
         # ---- pressure update ----
         vx_pad = comm.pad_x(vx)
@@ -697,6 +714,9 @@ def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
         "src_phase": src_phase,
         "src_amp_point": point_amp,
     }
+    if grid.source_type == "velocity_volume":
+        for k in ("src_amp3d", "src_phase3d", "src_ox", "src_oy", "src_oz"):
+            carry[k] = props.pop(k)
     carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
     return carry["acc_cos"], carry["acc_sin"], carry["peak"]
 
@@ -711,6 +731,7 @@ def run_fdtd(
     mesh=None,
     backend: str = "auto",
     reflector_mask=None,
+    volume_source: dict | None = None,
 ):
     """Run the CW simulation and return carrier amplitude/phase/peak maps.
 
@@ -761,6 +782,14 @@ def run_fdtd(
         source_phase if source_phase is not None else np.zeros(grid.shape[:2]),
         np.float32,
     )
+
+    if volume_source is not None:
+        for k in ("amp", "phase", "ox", "oy", "oz"):
+            props_np["src_" + (k + "3d" if k in ("amp", "phase") else k)] = (
+                np.asarray(volume_source[k], np.float32)
+            )
+        if backend == "auto":
+            backend = "xla"  # volumetric sources not in the pallas kernels
 
     if reflector_mask is not None:
         props_np["keep"] = (

@@ -293,3 +293,83 @@ def run_multipoint(
         "steering_targets": np.asarray(steering_targets),
     }
     return results, combined
+
+
+def make_volume_source(dom: Domain, tx, u0):
+    """Splat transducer sub-elements into a volumetric vector source.
+
+    For dome transducers the whole array sits inside the simulation domain
+    (`BabelIntegrationDOME_PHASEDARRAY.py` capability): each sub-element is
+    deposited on its nearest voxel with its complex drive and unit normal;
+    voxels receiving several sub-elements sum complex amplitudes and average
+    normals. Returns the dict ``run_fdtd(volume_source=...)`` consumes.
+    """
+    shape = dom.material_map.shape
+    centers = np.asarray(tx.centers, np.float64)
+    ijk = np.stack(
+        [
+            np.round((centers[:, 0] - dom.x_vec[0]) / dom.dx),
+            np.round((centers[:, 1] - dom.y_vec[0]) / dom.dx),
+            np.round((centers[:, 2] - dom.z_vec[0]) / dom.dx),
+        ],
+        axis=1,
+    ).astype(int)
+    ok = np.all((ijk >= 0) & (ijk < np.array(shape)), axis=1)
+    ijk = ijk[ok]
+    u = np.asarray(u0, np.complex128).ravel()[ok]
+    nrm = np.asarray(tx.normals, np.float64)[ok]
+
+    ds = np.asarray(tx.areas, np.float64)[ok]
+    lin = np.ravel_multi_index((ijk[:, 0], ijk[:, 1], ijk[:, 2]), shape)
+    # conserve volume-velocity: deposit u*ds and renormalize by the voxel
+    # face area, so a sparse voxel shell radiates like the continuous surface
+    acc = np.zeros(np.prod(shape), np.complex128)
+    np.add.at(acc, lin, u * ds)
+    nacc = np.zeros((np.prod(shape), 3))
+    np.add.at(nacc, lin, nrm * ds[:, None])
+    acc /= dom.dx**2
+    ln = np.linalg.norm(nacc, axis=1)
+    nacc[ln > 0] /= ln[ln > 0, None]
+    return {
+        "amp": np.abs(acc).reshape(shape).astype(np.float32),
+        "phase": np.angle(acc).reshape(shape).astype(np.float32),
+        "ox": nacc[:, 0].reshape(shape).astype(np.float32),
+        "oy": nacc[:, 1].reshape(shape).astype(np.float32),
+        "oz": nacc[:, 2].reshape(shape).astype(np.float32),
+    }
+
+
+def run_dome_sim(
+    dom: Domain,
+    tx,
+    source_amp_pa: float = 60e3,
+    *,
+    steering_target=None,
+    mesh=None,
+):
+    """Acoustic run for a dome transducer fully inside the domain."""
+    k_water = 2 * np.pi * dom.frequency / dom.materials[0, 1]
+    if steering_target is not None:
+        programming = steering_phases(k_water, tx.elem_centers, steering_target)
+        u0 = expand_element_weights(tx, programming) * source_amp_pa
+    else:
+        programming = None
+        u0 = np.full(tx.num_subelements, source_amp_pa, np.complex64)
+    vsrc = make_volume_source(dom, tx, u0)
+    grid = FDTDGrid(
+        shape=dom.material_map.shape,
+        dx=dom.dx,
+        dt=dom.dt,
+        n_steps=dom.n_steps,
+        frequency=dom.frequency,
+        npml=dom.npml,
+        sensor_start=dom.sensor_start,
+        source_plane_z=dom.source_z,
+        source_type="velocity_volume",
+    )
+    out = run_fdtd(
+        dom.material_map, dom.materials, grid, volume_source=vsrc, mesh=mesh,
+        reflector_mask=dom.meta.get("reflector_mask"),
+    )
+    out["programming"] = programming
+    return out

@@ -258,3 +258,49 @@ class TestAirReflector:
         # in front: standing wave (incident + reflected), peaks up to ~2x
         assert line[30:75].max() > 1.4 * 60e3
         assert np.isfinite(out["p_amp"]).all()
+
+
+class TestDomeSource:
+    @pytest.mark.slow
+    def test_dome_focuses_at_center(self):
+        """A hemispheric dome source inside the domain focuses at its
+        geometric center (DomeTx capability)."""
+        from babelbrain_tpu.pipeline import build_domain
+        from babelbrain_tpu.pipeline.acoustic import run_dome_sim
+        from babelbrain_tpu.tx import make_concave_array
+
+        mask = np.zeros((72, 72, 80), np.uint8)
+        mask[36, 36, 40] = 5
+        mats = np.array([[RHO, C, 0.0, 0.0, 0.0]])
+        dom = build_domain(mask, F0, 6.0, materials=mats, water_only=True)
+        # dome: elements over a hemisphere of radius 10 mm facing the target
+        F = 10e-3
+        rng = np.random.default_rng(3)
+        n_el = 80
+        b = np.arccos(rng.uniform(0.05, 0.95, n_el))
+        a = rng.uniform(0, 2 * np.pi, n_el)
+        ec = np.stack(
+            [F * np.sin(b) * np.cos(a), F * np.sin(b) * np.sin(a),
+             -F * np.cos(b)], axis=1,
+        )
+        tx = make_concave_array(F0, F, 2.2e-3, ec, C, ppw_surface=3)
+        out = run_dome_sim(dom, tx, 60e3)
+        pa = out["p_amp"]
+        # the global max sits on the source shell (near-singular like the
+        # Rayleigh surface); check the focal region instead: peak within the
+        # inner 6 mm ball must be at the center and strongly amplified
+        ii, jj, kk = np.mgrid[0 : pa.shape[0], 0 : pa.shape[1], 0 : pa.shape[2]]
+        r = (
+            np.sqrt(
+                (ii - dom.focal_idx[0]) ** 2
+                + (jj - dom.focal_idx[1]) ** 2
+                + (kk - dom.focal_idx[2]) ** 2
+            )
+            * dom.dx
+        )
+        inner = np.where(r < 6e-3, pa, 0.0)
+        pk = np.array(np.unravel_index(np.argmax(inner), pa.shape))
+        dist = np.linalg.norm((pk - dom.focal_idx) * dom.dx)
+        assert dist < 2e-3
+        # strong focal gain vs the drive
+        assert inner.max() > 3 * 60e3

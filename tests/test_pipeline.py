@@ -318,3 +318,39 @@ class TestBiasCorrection:
         assert np.median(corrected[mask]) == pytest.approx(
             np.median(img[mask]), rel=0.15
         )
+
+
+class TestCalibration:
+    def test_recovers_known_element_weights(self):
+        from babelbrain_tpu.pipeline.calibration import (
+            fit_element_weights,
+            scan_plane_points,
+        )
+        from babelbrain_tpu.tx import make_annular_array
+        from babelbrain_tpu.ops import expand_element_weights, rayleigh_field
+
+        F0, C = 500e3, 1500.0
+        k = 2 * np.pi * F0 / C
+        tx = make_annular_array(
+            F0, 62.94e-3,
+            [0.0, 31.6988e-3, 44.2688e-3, 53.6688e-3],
+            [31.14e-3, 43.71e-3, 53.11e-3, 60.83e-3],
+            C, ppw_surface=3,
+        ).translated([0, 0, 62.94e-3])
+
+        # synthetic "measurement": known per-ring weights, plane at 30 mm
+        rng = np.random.default_rng(11)
+        w_true = (rng.uniform(0.6, 1.1, 4) * np.exp(1j * rng.uniform(-1, 1, 4)))
+        u0 = expand_element_weights(tx, w_true.astype(np.complex64))
+        pts = scan_plane_points(
+            np.linspace(-20, 20, 21), np.linspace(-20, 20, 21), 30e-3
+        )
+        measured = np.asarray(
+            rayleigh_field(k, tx.centers, tx.areas, u0, pts)
+        )
+        w_fit, resid = fit_element_weights(k, tx, pts, measured, lam=1e-4)
+        # global phase is unobservable-ish; compare ratios normalized to ring 0
+        ratio_true = w_true / w_true[0]
+        ratio_fit = np.asarray(w_fit, np.complex128) / w_fit[0]
+        np.testing.assert_allclose(ratio_fit, ratio_true, atol=0.03)
+        assert resid < 0.02
