@@ -38,6 +38,7 @@ VMEM instead.
 from __future__ import annotations
 
 import functools
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -799,6 +800,14 @@ def run_fdtd(
             backend = "xla"  # reflector not yet wired into the pallas kernels
 
     use_pallas = False
+    pallas_sharded = (
+        mesh is not None
+        and backend == "pallas"
+        and (
+            grid.source_type == "velocity_plane"
+            or (grid.source_type == "stress_point" and has_shear)
+        )
+    )
     pallas_ok = mesh is None and (
         grid.source_type == "velocity_plane"
         or (grid.source_type == "stress_point" and has_shear)
@@ -806,11 +815,88 @@ def run_fdtd(
     if backend in ("auto", "pallas") and pallas_ok:
         plat = jax.devices()[0].platform
         use_pallas = backend == "pallas" or plat != "cpu"
-    if backend == "pallas" and not use_pallas:
+    if backend == "pallas" and not (use_pallas or pallas_sharded):
         raise ValueError(
-            "pallas backend requires no mesh and a velocity_plane source "
-            "(stress_point is supported for shear media)"
+            "pallas backend requires a velocity_plane source (stress_point "
+            "is supported for shear media)"
         )
+
+    if pallas_sharded:
+        from jax.sharding import PartitionSpec as P
+
+        from .fdtd_pallas import simulate_fluid_pallas, simulate_visco_pallas
+
+        nb = 2
+        n_shards = mesh.devices.size
+        n1_local, rem = divmod(grid.shape[0], n_shards)
+        if rem or n1_local % nb:
+            raise ValueError(
+                f"N1={grid.shape[0]} must divide into mesh size {n_shards} "
+                f"with an even local extent"
+            )
+        if n1_local < grid.npml + 2:
+            raise ValueError("shard too thin for the PML slab; reduce mesh size")
+        profiles_np = _build_cpml_profiles_np(
+            grid.shape, grid.npml, grid.dx, grid.dt, cmax,
+            grid.reflection_limit,
+        )
+        grid_local = dataclasses.replace(
+            grid, shape=(n1_local, grid.shape[1], grid.shape[2])
+        )
+        comm = DomainComm("x", n_shards)
+        interpret = next(iter(mesh.devices.flat)).platform == "cpu"
+        spec3 = P("x", None, None)
+        spec2 = P("x", None)
+        props = {k: jnp.asarray(v) for k, v in props_np.items()}
+        if has_shear:
+            fn = jax.jit(
+                jax.shard_map(
+                    functools.partial(
+                        simulate_visco_pallas,
+                        grid=grid_local, profiles_np=profiles_np,
+                        viscous=viscous, oz_scale=oz_scale, nb=nb,
+                        comm=comm, interpret=interpret,
+                    ),
+                    mesh=mesh,
+                    in_specs=({k: spec3 for k in props_np}, spec2, spec2, P()),
+                    out_specs=(spec3, spec3, spec3),
+                    # pallas_call outputs carry no vma annotation
+                    check_vma=False,
+                )
+            )
+            acc_c, acc_s, peak = fn(
+                props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+                jnp.float32(point_amp),
+            )
+        else:
+            fn = jax.jit(
+                jax.shard_map(
+                    functools.partial(
+                        simulate_fluid_pallas,
+                        grid=grid_local, profiles_np=profiles_np,
+                        viscous=viscous, oz_scale=oz_scale, nb=nb,
+                        comm=comm, interpret=interpret,
+                    ),
+                    mesh=mesh,
+                    in_specs=({k: spec3 for k in props_np}, spec2, spec2),
+                    out_specs=(spec3, spec3, spec3),
+                    # pallas_call outputs carry no vma annotation
+                    check_vma=False,
+                )
+            )
+            acc_c, acc_s, peak = fn(
+                props, jnp.asarray(src_amp), jnp.asarray(src_phase)
+            )
+        acc_c = np.asarray(acc_c)
+        acc_s = np.asarray(acc_s)
+        n_win = grid.n_steps - grid.sensor_start
+        amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
+        phase = np.arctan2(-acc_s, acc_c)
+        return {
+            "p_amp": amp.astype(np.float32),
+            "p_phase": phase.astype(np.float32),
+            "peak": np.asarray(peak),
+        }
 
     if use_pallas:
         from .fdtd_pallas import simulate_fluid_pallas, simulate_visco_pallas

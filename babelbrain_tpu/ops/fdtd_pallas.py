@@ -107,7 +107,8 @@ def _make_profiles_const(profiles, axis, stag, ns):
     )
 
 
-def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
+def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
+                            interpret=False):
     """Return (vel_fn, press_fn) jitted pallas pipelines for one time step.
 
     ``profiles_np`` is the output of ``fdtd._build_cpml_profiles`` computed
@@ -135,18 +136,21 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
     slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx, memory_space=pltpu.VMEM)
     cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
     lag = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
 
-    def window(ring, tail, incoming, i):
-        """(nb+4, N2, N3) x-window around output slab s = i-1."""
+    def window(ring, tail, incoming, i, ghost_lo, ghost_hi):
+        """(nb+4, N2, N3) x-window around output slab s = i-1.
+
+        ghost_lo/ghost_hi are the neighbor shards' boundary planes (zeros at
+        global edges), used at the first/last output slab.
+        """
         s = i - 1
-        prev2 = jnp.where(s >= 1, tail[...], 0.0)
+        prev2 = jnp.where(s >= 1, tail[...], ghost_lo)
         cur_slab = ring[(i - 1) % 2]
-        nxt2 = jnp.where(s < n_slabs - 1, incoming[0:2] if nb >= 2 else incoming[0:1], 0.0)
-        if nb >= 2:
-            nxt = nxt2
-        else:
-            nxt = jnp.concatenate([nxt2, jnp.zeros((1, N2, N3), jnp.float32)])
-        return jnp.concatenate([prev2, cur_slab, nxt], axis=0)
+        nxt2 = jnp.where(s < n_slabs - 1, incoming[0:2], ghost_hi)
+        return jnp.concatenate([prev2, cur_slab, nxt2], axis=0)
 
     # ------------------------------------------------------------------
     # velocity kernel
@@ -154,6 +158,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
     def vel_kernel(
         p_ref, vx_ref, vy_ref, vz_ref, rho_ref,
         psi_py_lo_ref, psi_py_hi_ref, psi_pz_lo_ref, psi_pz_hi_ref,
+        ghost_lo_ref, ghost_hi_ref,
         cy_blo, cy_alo, cy_bhi, cy_ahi, cz_blo, cz_alo, cz_bhi, cz_ahi,
         ovx, ovy, ovz,
         opsi_py_lo, opsi_py_hi, opsi_pz_lo, opsi_pz_hi,
@@ -168,7 +173,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
 
         @pl.when(i >= 1)
         def _():
-            w = window(ring, tail, incoming, i)
+            w = window(ring, tail, incoming, i, ghost_lo_ref[...], ghost_hi_ref[...])
             # d_plus x at local plane j: c1*(w[j+3]-w[j+2]) + c2*(w[j+4]-w[j+1])
             dpx = _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
                 w[4 : 4 + nb] - w[1 : 1 + nb]
@@ -202,6 +207,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             slab(lag), slab(lag), slab(lag),  # vx, vy, vz
             slab(lag),  # rho_inv
             slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag),  # psi in
+            ghost_spec, ghost_spec,
             coef_y, coef_y, coef_y, coef_y, coef_z, coef_z, coef_z, coef_z,
         ],
         out_specs=[
@@ -225,6 +231,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=interpret,
     )
 
     # ------------------------------------------------------------------
@@ -235,6 +242,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         piu_ref, crp_ref, br_ref,
         acc_c_ref, acc_s_ref, peak_ref,
         psi_vy_lo_ref, psi_vy_hi_ref, psi_vz_lo_ref, psi_vz_hi_ref,
+        ghost_lo_ref, ghost_hi_ref,
         scal_ref,
         cy_blo, cy_alo, cy_bhi, cy_ahi, cz_blo, cz_alo, cz_bhi, cz_ahi,
         op, orr, oacc_c, oacc_s, opeak,
@@ -250,7 +258,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
 
         @pl.when(i >= 1)
         def _():
-            w = window(ring, tail, incoming, i)
+            w = window(ring, tail, incoming, i, ghost_lo_ref[...], ghost_hi_ref[...])
             # d_minus x at local j: c1*(w[j+2]-w[j+1]) + c2*(w[j+3]-w[j])
             dvx = _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
                 w[3 : 3 + nb] - w[0:nb]
@@ -301,6 +309,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             slab(lag), slab(lag), slab(lag),  # piu, crp, br
             slab(lag), slab(lag), slab(lag),  # acc_c, acc_s, peak
             slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag),  # psi in
+            ghost_spec, ghost_spec,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             coef_y, coef_y, coef_y, coef_y, coef_z, coef_z, coef_z, coef_z,
         ],
@@ -327,6 +336,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=interpret,
     )
 
     coefs = {
@@ -366,11 +376,18 @@ def _slab_dminus_x(f, lo, size):
     )
 
 
-def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
+def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
+                           comm=None, interpret=False):
     """Build the complete per-timestep function for lax.scan.
 
     Carry layout: dict with fields (p, vx, vy, vz, r), psi blocks (y/z in
     kernel-layout arrays + x slab pairs), props, accumulators, sources.
+
+    With ``comm`` (a ``parallel.halo.DomainComm`` used inside shard_map) the
+    x axis is domain-decomposed: 2-plane ghost exchanges feed the kernels'
+    x-stencil windows and the x-CPML post-passes are masked to the global
+    edge shards. ``interpret=True`` runs the kernels in pallas interpret
+    mode (CPU-mesh testing).
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
@@ -379,8 +396,12 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
     zsrc = grid.source_plane_z
 
     vel_call, press_call, kcoefs = build_fluid_pallas_step(
-        grid, profiles_np, viscous, oz_scale, nb
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret
     )
+    if comm is None:
+        from ..parallel.halo import DomainComm
+
+        comm = DomainComm()
 
     px = profiles_np[0]["half"]
     bx_lo = jnp.asarray(np.asarray(px["b_lo"]).reshape(ns, 1, 1))
@@ -399,19 +420,23 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         pr = s["props"]
         t = n.astype(jnp.float32) * grid.dt
 
+        is_first, is_last = comm.edge_masks()
+
         # ---- velocity kernel ----
+        gp_lo, gp_hi = comm.ghosts(f["p"])
         vx, vy, vz, psi_py_lo, psi_py_hi, psi_pz_lo, psi_pz_hi = vel_call(
             f["p"], f["vx"], f["vy"], f["vz"], pr["rho_inv"],
             s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
+            gp_lo, gp_hi,
             *kcoefs["y_half"], *kcoefs["z_half"],
         )
 
-        # ---- x-CPML post-pass for vx (dp/dx slabs) ----
+        # ---- x-CPML post-pass for vx (dp/dx slabs); edge shards only ----
         p = f["p"]
         d_lo = _slab_dplus_x(p, 0, ns)
-        new_px_lo = bx_lo * s["psi_px_lo"] + ax_lo * d_lo
+        new_px_lo = (bx_lo * s["psi_px_lo"] + ax_lo * d_lo) * is_first
         d_hi = _slab_dplus_x(p, N1 - ns, ns)
-        new_px_hi = bx_hi * s["psi_px_hi"] + ax_hi * d_hi
+        new_px_hi = (bx_hi * s["psi_px_hi"] + ax_hi * d_hi) * is_last
         rho_lo = pr["rho_inv"][:ns]
         rho_hi = pr["rho_inv"][-ns:]
         vx = vx.at[:ns].add(-dt_dx * rho_lo * new_px_lo)
@@ -433,6 +458,7 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         cosw = jnp.cos(omega * t) * in_window
         sinw = jnp.sin(omega * t) * in_window
         scal = jnp.stack([cosw, sinw]).reshape(1, 2)
+        gv_lo, gv_hi = comm.ghosts(vx)
         (
             p_new, r_new, acc_c, acc_s, peak,
             psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi,
@@ -441,15 +467,16 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             pr["pi_u"], pr["c_rp"], pr["b_r"],
             s["acc_cos"], s["acc_sin"], s["peak"],
             s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
+            gv_lo, gv_hi,
             scal,
             *kcoefs["y_int"], *kcoefs["z_int"],
         )
 
         # ---- x-CPML post-pass for p/r (dvx/dx slabs); linear in dtheta ----
         dv_lo = _slab_dminus_x(vx, 0, ns)
-        new_vx_lo = bxi_lo * s["psi_vx_lo"] + axi_lo * dv_lo
+        new_vx_lo = (bxi_lo * s["psi_vx_lo"] + axi_lo * dv_lo) * is_first
         dv_hi = _slab_dminus_x(vx, N1 - ns, ns)
-        new_vx_hi = bxi_hi * s["psi_vx_hi"] + axi_hi * dv_hi
+        new_vx_hi = (bxi_hi * s["psi_vx_hi"] + axi_hi * dv_hi) * is_last
 
         def correct(lo_slice, dtheta):
             piu = pr["pi_u"][lo_slice]
@@ -491,11 +518,16 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
 
 
 def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
-                          oz_scale, nb=2):
-    """Scan driver mirroring fdtd._simulate_local for the pallas fluid path."""
+                          oz_scale, nb=2, comm=None, interpret=False):
+    """Scan driver mirroring fdtd._simulate_local for the pallas fluid path.
+
+    With ``comm`` the first axis of every (N1, ...) array is the LOCAL shard
+    extent (call under shard_map with grid.shape set to the local shape).
+    """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
-    step = make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb)
+    step = make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
+                                  comm=comm, interpret=interpret)
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
     zz = lambda: jnp.zeros((N1, N2, ns), jnp.float32)
@@ -521,7 +553,8 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
 # ---------------------------------------------------------------------------
 
 
-def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
+def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
+                            interpret=False):
     """Streaming-slab kernels for the full velocity-stress system.
 
     Same architecture as the fluid pair: x-slabs stream with VMEM rings for
@@ -550,16 +583,19 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
     coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
     lag = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
 
     def stash(ring, incoming, i):
         @pl.when(i < n_slabs)
         def _():
             ring[i % 2] = incoming
 
-    def window(ring, tail, incoming, i):
+    def window(ring, tail, incoming, i, ghost_lo, ghost_hi):
         s = i - 1
-        prev2 = jnp.where(s >= 1, tail[...], 0.0)
-        nxt = jnp.where(s < n_slabs - 1, incoming[0:2], 0.0)
+        prev2 = jnp.where(s >= 1, tail[...], ghost_lo)
+        nxt = jnp.where(s < n_slabs - 1, incoming[0:2], ghost_hi)
         return jnp.concatenate([prev2, ring[(i - 1) % 2], nxt], axis=0)
 
     def dpx_w(w):
@@ -587,6 +623,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         syy_ref, szz_ref, syz_ref, vx_ref, vy_ref, vz_ref, rho_ref,
         p_sxyy_lo, p_sxyy_hi, p_syyy_lo, p_syyy_hi, p_syzy_lo, p_syzy_hi,
         p_sxzz_lo, p_sxzz_hi, p_syzz_lo, p_syzz_hi, p_szzz_lo, p_szzz_hi,
+        g_xx_lo, g_xx_hi, g_xy_lo, g_xy_hi, g_xz_lo, g_xz_hi,
         cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
         czh_blo, czh_alo, czh_bhi, czh_ahi,
         cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
@@ -606,9 +643,9 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
 
         @pl.when(i >= 1)
         def _():
-            w_xx = window(ring_xx, tail_xx, in_xx, i)
-            w_xy = window(ring_xy, tail_xy, in_xy, i)
-            w_xz = window(ring_xz, tail_xz, in_xz, i)
+            w_xx = window(ring_xx, tail_xx, in_xx, i, g_xx_lo[...], g_xx_hi[...])
+            w_xy = window(ring_xy, tail_xy, in_xy, i, g_xy_lo[...], g_xy_hi[...])
+            w_xz = window(ring_xz, tail_xz, in_xz, i, g_xz_lo[...], g_xz_hi[...])
             cyh = (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi)
             czh = (czh_blo, czh_alo, czh_bhi, czh_ahi)
             cyi = (cyi_blo, cyi_alo, cyi_bhi, cyi_ahi)
@@ -666,6 +703,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             + [slab(lag)] * 7
             + [slab_y(lag)] * 6
             + [slab_z(lag)] * 6
+            + [ghost_spec] * 6
             + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
         ),
         out_specs=(
@@ -684,6 +722,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             16: 9, 17: 10, 18: 11, 19: 12, 20: 13, 21: 14,  # psi z
         },
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
     )
 
     # ------------------------------------------------------------------
@@ -697,6 +736,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         acc_c_ref, acc_s_ref, peak_ref,
         p_vyy_lo, p_vyy_hi, p_vxy_lo, p_vxy_hi, p_vzy_lo, p_vzy_hi,
         p_vzz_lo, p_vzz_hi, p_vxz_lo, p_vxz_hi, p_vyz_lo, p_vyz_hi,
+        g_x_lo, g_x_hi, g_y_lo, g_y_hi, g_z_lo, g_z_hi,
         scal_ref,
         cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
         czh_blo, czh_alo, czh_bhi, czh_ahi,
@@ -719,9 +759,9 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
 
         @pl.when(i >= 1)
         def _():
-            w_x = window(ring_x, tail_x, in_x, i)
-            w_y = window(ring_y, tail_y, in_y, i)
-            w_z = window(ring_z, tail_z, in_z, i)
+            w_x = window(ring_x, tail_x, in_x, i, g_x_lo[...], g_x_hi[...])
+            w_y = window(ring_y, tail_y, in_y, i, g_y_lo[...], g_y_hi[...])
+            w_z = window(ring_z, tail_z, in_z, i, g_z_lo[...], g_z_hi[...])
             cyh = (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi)
             czh = (czh_blo, czh_alo, czh_bhi, czh_ahi)
             cyi = (cyi_blo, cyi_alo, cyi_bhi, cyi_ahi)
@@ -838,6 +878,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             + [slab(lag)] * 5        # props
             + [slab(lag)] * 3        # acc_c, acc_s, peak
             + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
+            + [ghost_spec] * 6
             + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
             + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
         ),
@@ -859,6 +900,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             29: 21, 30: 22, 31: 23, 32: 24, 33: 25, 34: 26,  # psi z
         },
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
     )
 
     kc = {
@@ -870,8 +912,14 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
     return vel_call, stress_call, kc
 
 
-def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
-    """Complete viscoelastic per-timestep function (kernels + x-CPML post)."""
+def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
+                           comm=None, interpret=False):
+    """Complete viscoelastic per-timestep function (kernels + x-CPML post).
+
+    ``comm`` domain-decomposes x (ghost planes into the kernels' stencil
+    windows, x-CPML posts masked to the global edge shards, point source
+    owned by one shard). ``interpret`` runs the kernels in interpret mode.
+    """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
     dt_dx = grid.dt / grid.dx
@@ -879,8 +927,12 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
     zsrc = grid.source_plane_z
 
     vel_call, stress_call, kc = build_visco_pallas_step(
-        grid, profiles_np, viscous, oz_scale, nb
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret
     )
+    if comm is None:
+        from ..parallel.halo import DomainComm
+
+        comm = DomainComm()
 
     def prof_x(stag):
         p = profiles_np[0][stag]
@@ -898,13 +950,19 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         pr = s["props"]
         t = n.astype(jnp.float32) * grid.dt
 
+        is_first, is_last = comm.edge_masks()
+
         # ---- velocity kernel ----
         psi_v_in = [s[k] for k in _V_PSI_KEYS]
+        gxx = comm.ghosts(f["sxx"])
+        gxy = comm.ghosts(f["sxy"])
+        gxz = comm.ghosts(f["sxz"])
         outs = vel_call(
             f["sxx"], f["sxy"], f["sxz"],
             f["syy"], f["szz"], f["syz"], f["vx"], f["vy"], f["vz"],
             pr["rho_inv"],
             *psi_v_in,
+            *gxx, *gxy, *gxz,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
         )
         vx, vy, vz = outs[0], outs[1], outs[2]
@@ -912,17 +970,17 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
 
         # ---- x-CPML post for velocities ----
         dsxx = _slab_dplus_x(f["sxx"], 0, ns)
-        n_sxxx_lo = xh[0] * s["psi_sxxx_lo"] + xh[1] * dsxx
+        n_sxxx_lo = (xh[0] * s["psi_sxxx_lo"] + xh[1] * dsxx) * is_first
         dsxx = _slab_dplus_x(f["sxx"], N1 - ns, ns)
-        n_sxxx_hi = xh[2] * s["psi_sxxx_hi"] + xh[3] * dsxx
+        n_sxxx_hi = (xh[2] * s["psi_sxxx_hi"] + xh[3] * dsxx) * is_last
         dsxy = _slab_dminus_x(f["sxy"], 0, ns)
-        n_sxyx_lo = xi[0] * s["psi_sxyx_lo"] + xi[1] * dsxy
+        n_sxyx_lo = (xi[0] * s["psi_sxyx_lo"] + xi[1] * dsxy) * is_first
         dsxy = _slab_dminus_x(f["sxy"], N1 - ns, ns)
-        n_sxyx_hi = xi[2] * s["psi_sxyx_hi"] + xi[3] * dsxy
+        n_sxyx_hi = (xi[2] * s["psi_sxyx_hi"] + xi[3] * dsxy) * is_last
         dsxz = _slab_dminus_x(f["sxz"], 0, ns)
-        n_sxzx_lo = xi[0] * s["psi_sxzx_lo"] + xi[1] * dsxz
+        n_sxzx_lo = (xi[0] * s["psi_sxzx_lo"] + xi[1] * dsxz) * is_first
         dsxz = _slab_dminus_x(f["sxz"], N1 - ns, ns)
-        n_sxzx_hi = xi[2] * s["psi_sxzx_hi"] + xi[3] * dsxz
+        n_sxzx_hi = (xi[2] * s["psi_sxzx_hi"] + xi[3] * dsxz) * is_last
         rho_lo = pr["rho_inv"][:ns]
         rho_hi = pr["rho_inv"][-ns:]
         vx = vx.at[:ns].add(dt_dx * rho_lo * n_sxxx_lo)
@@ -949,6 +1007,9 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
         sinw = jnp.sin(omega * t) * in_window
         scal = jnp.stack([cosw, sinw]).reshape(1, 2)
         psi_s_in = [s[k] for k in _S_PSI_KEYS]
+        gvx = comm.ghosts(vx)
+        gvy = comm.ghosts(vy)
+        gvz = comm.ghosts(vz)
         souts = stress_call(
             vx, vy, vz,
             f["sxx"], f["syy"], f["szz"], f["sxy"], f["sxz"], f["syz"],
@@ -956,6 +1017,7 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
             pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"], pr["b_r"],
             s["acc_cos"], s["acc_sin"], s["peak"],
             *psi_s_in,
+            *gvx, *gvy, *gvz,
             scal,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
         )
@@ -966,17 +1028,17 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
 
         # ---- x-CPML post for stresses (linear corrections) ----
         dvx = _slab_dminus_x(vx, 0, ns)
-        n_vxx_lo = xi[0] * s["psi_vxx_lo"] + xi[1] * dvx
+        n_vxx_lo = (xi[0] * s["psi_vxx_lo"] + xi[1] * dvx) * is_first
         dvx = _slab_dminus_x(vx, N1 - ns, ns)
-        n_vxx_hi = xi[2] * s["psi_vxx_hi"] + xi[3] * dvx
+        n_vxx_hi = (xi[2] * s["psi_vxx_hi"] + xi[3] * dvx) * is_last
         dvy = _slab_dplus_x(vy, 0, ns)
-        n_vyx_lo = xh[0] * s["psi_vyx_lo"] + xh[1] * dvy
+        n_vyx_lo = (xh[0] * s["psi_vyx_lo"] + xh[1] * dvy) * is_first
         dvy = _slab_dplus_x(vy, N1 - ns, ns)
-        n_vyx_hi = xh[2] * s["psi_vyx_hi"] + xh[3] * dvy
+        n_vyx_hi = (xh[2] * s["psi_vyx_hi"] + xh[3] * dvy) * is_last
         dvz = _slab_dplus_x(vz, 0, ns)
-        n_vzx_lo = xh[0] * s["psi_vzx_lo"] + xh[1] * dvz
+        n_vzx_lo = (xh[0] * s["psi_vzx_lo"] + xh[1] * dvz) * is_first
         dvz = _slab_dplus_x(vz, N1 - ns, ns)
-        n_vzx_hi = xh[2] * s["psi_vzx_hi"] + xh[3] * dvz
+        n_vzx_hi = (xh[2] * s["psi_vzx_hi"] + xh[3] * dvz) * is_last
 
         def corr_diag(sl, dth):
             """corrections from a theta increment dth (= psi_vx_x slab)."""
@@ -1031,11 +1093,31 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2):
                 rxz = rxz.at[sl].add(dr_xz)
 
         if grid.source_type == "stress_point":
+            # The stress kernel accumulated the DFT/peak BEFORE this
+            # injection; the XLA reference order (fdtd.py stress step) is
+            # inject-then-accumulate. Correct the source voxel exactly:
+            # dp = -sval, and re-derive its peak from post-injection
+            # pressure tracked in the ``peak_src`` carry scalar.
             i0, j0, k0 = grid.source_ijk
-            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp
-            sxx = sxx.at[i0, j0, k0].add(sval)
-            syy = syy.at[i0, j0, k0].add(sval)
-            szz = szz.at[i0, j0, k0].add(sval)
+            li = i0 - comm.local_x_offset(N1)
+            own = ((li >= 0) & (li < N1)).astype(jnp.float32)
+            lic = jnp.clip(li, 0, N1 - 1)
+            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * own
+            sxx = sxx.at[lic, j0, k0].add(sval)
+            syy = syy.at[lic, j0, k0].add(sval)
+            szz = szz.at[lic, j0, k0].add(sval)
+            acc_c = acc_c.at[lic, j0, k0].add(-sval * cosw)
+            acc_s = acc_s.at[lic, j0, k0].add(-sval * sinw)
+            p_post = -(
+                sxx[lic, j0, k0] + syy[lic, j0, k0] + szz[lic, j0, k0]
+            ) * (1.0 / 3.0)
+            peak_src = jnp.maximum(
+                s["peak_src"], jnp.abs(p_post) * in_window * own
+            )
+            peak = peak.at[lic, j0, k0].set(
+                jnp.where(own > 0, peak_src, peak[lic, j0, k0])
+            )
+            s = dict(s, peak_src=peak_src)
 
         new_carry = dict(
             s,
@@ -1074,11 +1156,13 @@ _S_PSI_KEYS = [
 
 
 def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
-                          profiles_np, viscous, oz_scale, nb=2):
-    """Scan driver for the viscoelastic pallas path."""
+                          profiles_np, viscous, oz_scale, nb=2,
+                          comm=None, interpret=False):
+    """Scan driver for the viscoelastic pallas path (optionally sharded)."""
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
-    step = make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb)
+    step = make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
+                                  comm=comm, interpret=interpret)
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
     zz = lambda: jnp.zeros((N1, N2, ns), jnp.float32)
@@ -1102,6 +1186,8 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         "psi_vyx_lo": zx(), "psi_vyx_hi": zx(),
         "psi_vzx_lo": zx(), "psi_vzx_hi": zx(),
     }
+    if grid.source_type == "stress_point":
+        carry["peak_src"] = jnp.float32(0.0)
     for k in _V_PSI_KEYS + _S_PSI_KEYS:
         # derivative axis is the last letter of the field part: psi_sxyY_lo
         axis_y = k[:-3].endswith("y")

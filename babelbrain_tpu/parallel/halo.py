@@ -72,6 +72,25 @@ class DomainComm:
             return x
         return lax.psum(x, self.axis_name)
 
+    def ghosts(self, f, halo: int | None = None):
+        """(from_left, from_right) ghost plane blocks for array ``f``.
+
+        from_left = the left neighbor's top `halo` planes (zeros on the
+        first shard); from_right = the right neighbor's bottom planes.
+        """
+        h = halo if halo is not None else self.halo
+        if self.axis_name is None or self.n_shards == 1:
+            z = jnp.zeros((h,) + f.shape[1:], f.dtype)
+            return z, z
+        n = self.n_shards
+        from_left = lax.ppermute(
+            f[-h:], self.axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_right = lax.ppermute(
+            f[:h], self.axis_name, [(i + 1, i) for i in range(n - 1)]
+        )
+        return from_left, from_right
+
 
 def make_mesh(n_devices: int | None = None, axis: str = "x"):
     """1-D device mesh over available devices."""
