@@ -25,7 +25,7 @@ from .domain import (
     cone_padding_cells,
 )
 from .profiles import TRANSDUCER_REGISTRY, build_transducer
-from .step1 import generate_mask
+from .step1 import Step1Result, generate_mask
 from .thermal import SonicationParams, run_sonication
 from ..materials.ct_mapping import map_hu_to_properties
 
@@ -132,23 +132,72 @@ def run_case(
         }
 
     # ---------------- Step 1 ----------------
-    with stage_timer("Step1 domain generation", level=2, step=1):
-        s1 = generate_mask(
-            labels_data,
-            labels_affine,
-            target_ras,
-            direction_ras,
-            cfg.frequency,
-            cfg.ppw,
-            shape=mask_shape,
-            segment_brain_tissue=cfg.segment_brain,
-            ct_data=ct_data,
-            ct_affine=ct_affine,
-        )
-        pio.save_nifti(out_base + "_BabelViscoInput.nii.gz", s1.mask, s1.affine)
-        if s1.ct_index is not None:
-            pio.save_nifti(out_base + "_CT.nii.gz", s1.ct_index, s1.affine)
-            np.savez(out_base + "_CT-cal.npz", UniqueHU=s1.unique_hu)
+    # Per-step cache (the FileManager hash-chain idea, `FileManager.py:163-293`):
+    # Step 1 only depends on the trajectory + imaging inputs, so steering /
+    # refocus / power / thermal changes reuse the domain files.
+    s1_hash = case_hash(
+        labels=np.asarray(labels_data),
+        target=np.asarray(target_ras, float),
+        direction=np.asarray(direction_ras, float),
+        ct=np.asarray(ct_data) if ct_data is not None else "none",
+        freq=cfg.frequency,
+        ppw=cfg.ppw,
+        segment=cfg.segment_brain,
+        mask_shape=tuple(mask_shape) if mask_shape else "auto",
+    )
+    s1_cache = out_base + "_Step1.h5"
+    s1 = None
+    if not force_recalc and os.path.isfile(s1_cache):
+        try:
+            blob = pio.load_dict_h5(s1_cache)
+            if str(np.asarray(blob["hash"]).item()) in (s1_hash, repr(s1_hash)):
+                s1 = Step1Result(
+                    mask=np.asarray(blob["mask"]),
+                    affine=np.asarray(blob["affine"]),
+                    dx_mm=float(np.asarray(blob["dx_mm"])),
+                    target_idx=np.asarray(blob["target_idx"]),
+                    ct_index=np.asarray(blob["ct_index"])
+                    if "ct_index" in blob else None,
+                    unique_hu=np.asarray(blob["unique_hu"])
+                    if "unique_hu" in blob else None,
+                    air_mask=np.asarray(blob["air_mask"]).astype(bool)
+                    if "air_mask" in blob else None,
+                )
+        except (OSError, KeyError, ValueError):
+            s1 = None
+    if s1 is None:
+        with stage_timer("Step1 domain generation", level=2, step=1):
+            s1 = generate_mask(
+                labels_data,
+                labels_affine,
+                target_ras,
+                direction_ras,
+                cfg.frequency,
+                cfg.ppw,
+                shape=mask_shape,
+                segment_brain_tissue=cfg.segment_brain,
+                ct_data=ct_data,
+                ct_affine=ct_affine,
+            )
+            pio.save_nifti(
+                out_base + "_BabelViscoInput.nii.gz", s1.mask, s1.affine
+            )
+            if s1.ct_index is not None:
+                pio.save_nifti(out_base + "_CT.nii.gz", s1.ct_index, s1.affine)
+                np.savez(out_base + "_CT-cal.npz", UniqueHU=s1.unique_hu)
+            blob = {
+                "hash": s1_hash,
+                "mask": s1.mask,
+                "affine": s1.affine,
+                "dx_mm": s1.dx_mm,
+                "target_idx": s1.target_idx,
+            }
+            if s1.ct_index is not None:
+                blob["ct_index"] = s1.ct_index
+                blob["unique_hu"] = s1.unique_hu
+            if s1.air_mask is not None:
+                blob["air_mask"] = s1.air_mask.astype(np.uint8)
+            pio.save_dict_h5(blob, s1_cache)
 
     # ---------------- Step 2 ----------------
     h5_path = out_base + "_DataForSim.h5"

@@ -267,3 +267,44 @@ def generate_mask(
         result.unique_hu = uhu
         result.air_mask = air
     return result
+
+
+def create_target_mask(in_path, ras_xyz, out_path=None, radii_vox=(1.0, 1.0, 1.0)):
+    """Write a small ellipsoidal target-mask NIfTI at an RAS coordinate.
+
+    Capability of the reference's PlanTUS helper
+    (`BabelBrain/CreateVoxelMask.py:62-120` ``create_target_mask``): the RAS
+    point (mm) is mapped through the inverse affine of ``in_path`` to a voxel
+    index and an ellipsoid of ``radii_vox`` voxels is rasterized there. Used
+    to hand a target seed to PlanTUS-style planning tools.
+
+    Returns (mask ndarray, output path).
+    """
+    from .io import load_nifti, save_nifti
+
+    img = load_nifti(in_path)
+    affine = img.affine
+    shape3 = img.data.shape[:3]
+    vox = np.linalg.inv(affine) @ np.append(np.asarray(ras_xyz, float), 1.0)
+    idx = np.rint(vox[:3]).astype(int)
+    if np.any(idx < 0) or np.any(idx >= np.array(shape3)):
+        raise ValueError(
+            f"target voxel {tuple(idx)} out of bounds for shape {shape3}"
+        )
+    ri, rj, rk = radii_vox
+    ii, jj, kk = np.ogrid[: shape3[0], : shape3[1], : shape3[2]]
+    dist = (
+        ((ii - idx[0]) / ri) ** 2
+        + ((jj - idx[1]) / rj) ** 2
+        + ((kk - idx[2]) / rk) ** 2
+    )
+    mask = (dist <= 1.0).astype(np.float32)
+    if out_path is None:
+        stem = in_path
+        for suf in (".nii.gz", ".nii"):
+            if stem.endswith(suf):
+                stem = stem[: -len(suf)]
+                break
+        out_path = stem + "_mask.nii.gz"
+    save_nifti(out_path, mask, affine)
+    return mask, out_path

@@ -266,6 +266,51 @@ class TestCaseCache:
         r3 = run_case(cfg, labels2, aff, **kw)
         assert not r3["cached"]
 
+    def test_step1_reused_across_steering(self, tmp_path, monkeypatch):
+        """Steering changes must reuse the Step-1 cache (the FileManager
+        per-step hash-chain behavior): generate_mask is not called again."""
+        import babelbrain_tpu.pipeline.runner as runner_mod
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            TransducerSpec,
+        )
+        from babelbrain_tpu.pipeline.runner import CaseConfig, run_case
+
+        TRANSDUCER_REGISTRY.setdefault(
+            "MiniCache",
+            TransducerSpec("MiniCache", "single", diameter=20e-3,
+                           focal_length=25e-3, frequencies=(500e3,)),
+        )
+        n = 64
+        aff = np.diag([2.0, 2.0, 2.0, 1.0])
+        aff[:3, 3] = -64.0
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n]
+        r = np.linalg.norm(np.stack([ii, jj, kk], -1) * 2.0 - 64.0, axis=-1)
+        labels = np.zeros((n, n, n), np.int32)
+        labels[r < 30] = 5
+        labels[r < 26] = 7
+        labels[r < 22] = 2
+        kw = dict(
+            target_ras=[0, 0, 14], direction_ras=[0, 0, -1],
+            mask_shape=(48, 48, 72),
+        )
+        cfg = CaseConfig(tx_system="MiniCache", output_dir=str(tmp_path),
+                         prefix="s")
+        r1 = run_case(cfg, labels, aff, **kw)
+        assert not r1["cached"]
+
+        def boom(*a, **k):
+            raise AssertionError("generate_mask re-ran despite Step-1 cache")
+
+        monkeypatch.setattr(runner_mod, "generate_mask", boom)
+        cfg2 = CaseConfig(tx_system="MiniCache", output_dir=str(tmp_path),
+                          prefix="s", steering=(0.0, 0.0, 2e-3))
+        r2 = run_case(cfg2, labels, aff, **kw)
+        assert not r2["cached"]  # full-case cache misses (steering changed)
+        np.testing.assert_array_equal(
+            r2["step1"].mask, r1["step1"].mask
+        )
+
 
 class TestCoregistration:
     def test_recover_known_rigid_transform(self, rng):
@@ -354,3 +399,36 @@ class TestCalibration:
         ratio_fit = np.asarray(w_fit, np.complex128) / w_fit[0]
         np.testing.assert_allclose(ratio_fit, ratio_true, atol=0.03)
         assert resid < 0.02
+
+
+class TestTargetMask:
+    def test_ellipsoid_at_ras_coordinate(self, tmp_path):
+        """`create_target_mask` rasterizes the PlanTUS seed at the RAS point
+        mapped through the inverse affine (reference CreateVoxelMask.py)."""
+        from babelbrain_tpu.pipeline.io import load_nifti, save_nifti
+        from babelbrain_tpu.pipeline.step1 import create_target_mask
+
+        affine = np.diag([2.0, 2.0, 2.0, 1.0])
+        affine[:3, 3] = [-20.0, -30.0, -10.0]
+        vol = np.zeros((32, 32, 32), np.float32)
+        src = str(tmp_path / "t1.nii.gz")
+        save_nifti(src, vol, affine)
+        ras = affine[:3, :3] @ np.array([10, 12, 14]) + affine[:3, 3]
+        mask, out = create_target_mask(src, ras, radii_vox=(2.0, 2.0, 2.0))
+        assert out.endswith("t1_mask.nii.gz")
+        assert mask[10, 12, 14] == 1.0
+        # ellipsoid of radius 2 vox: 6-neighborhood in, corners out
+        assert mask[12, 12, 14] == 1.0 and mask[10, 14, 14] == 1.0
+        assert mask[12, 14, 16] == 0.0
+        back = load_nifti(out)
+        np.testing.assert_array_equal(back.data, mask)
+        np.testing.assert_allclose(back.affine, affine, atol=1e-5)
+
+    def test_out_of_bounds_raises(self, tmp_path):
+        from babelbrain_tpu.pipeline.io import save_nifti
+        from babelbrain_tpu.pipeline.step1 import create_target_mask
+
+        src = str(tmp_path / "t1.nii.gz")
+        save_nifti(src, np.zeros((8, 8, 8), np.float32), np.eye(4))
+        with pytest.raises(ValueError):
+            create_target_mask(src, (100.0, 0.0, 0.0))
