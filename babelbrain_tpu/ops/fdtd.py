@@ -364,6 +364,15 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
     def init_cpml_state(shape, zeros_fn=None):
         return {name: c.init_state(shape, zeros_fn) for name, c in cp.items()}
 
+    # y derivatives need ghost planes only under y-sharding (static choice so
+    # the single-device trace is unchanged)
+    if comm.sharded_y:
+        dpy = lambda f: comm.crop_y(d_plus(comm.pad_y(f), 1))
+        dmy = lambda f: comm.crop_y(d_minus(comm.pad_y(f), 1))
+    else:
+        dpy = lambda f: d_plus(f, 1)
+        dmy = lambda f: d_minus(f, 1)
+
     def step(carry, n):
         s = carry
         f = s["fields"]
@@ -375,6 +384,7 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
 
         t = n.astype(jnp.float32) * grid.dt
         m_lo, m_hi = comm.edge_masks()
+        my_lo, my_hi = comm.edge_masks_y()
 
         # ---- velocity update ----
         sxx_p = comm.pad_x(sxx)
@@ -383,21 +393,27 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
         dsxx_x, psi["sxx_x"] = c_sxx_x.apply(
             comm.crop_x(d_plus(sxx_p, 0)), psi["sxx_x"], m_lo, m_hi
         )
-        dsxy_y, psi["sxy_y"] = c_sxy_y.apply(d_minus(sxy, 1), psi["sxy_y"])
+        dsxy_y, psi["sxy_y"] = c_sxy_y.apply(
+            dmy(sxy), psi["sxy_y"], my_lo, my_hi
+        )
         dsxz_z, psi["sxz_z"] = c_sxz_z.apply(d_minus(sxz, 2), psi["sxz_z"])
         vx = vx + dt_dx * p["rho_inv"] * (dsxx_x + dsxy_y + dsxz_z)
 
         dsxy_x, psi["sxy_x"] = c_sxy_x.apply(
             comm.crop_x(d_minus(sxy_p, 0)), psi["sxy_x"], m_lo, m_hi
         )
-        dsyy_y, psi["syy_y"] = c_syy_y.apply(d_plus(syy, 1), psi["syy_y"])
+        dsyy_y, psi["syy_y"] = c_syy_y.apply(
+            dpy(syy), psi["syy_y"], my_lo, my_hi
+        )
         dsyz_z, psi["syz_z"] = c_syz_z.apply(d_minus(syz, 2), psi["syz_z"])
         vy = vy + dt_dx * p["rho_inv"] * (dsxy_x + dsyy_y + dsyz_z)
 
         dsxz_x, psi["sxz_x"] = c_sxz_x.apply(
             comm.crop_x(d_minus(sxz_p, 0)), psi["sxz_x"], m_lo, m_hi
         )
-        dsyz_y, psi["syz_y"] = c_syz_y.apply(d_minus(syz, 1), psi["syz_y"])
+        dsyz_y, psi["syz_y"] = c_syz_y.apply(
+            dmy(syz), psi["syz_y"], my_lo, my_hi
+        )
         dszz_z, psi["szz_z"] = c_szz_z.apply(d_plus(szz, 2), psi["szz_z"])
         vz = vz + dt_dx * p["rho_inv"] * (dsxz_x + dsyz_y + dszz_z)
 
@@ -433,7 +449,9 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
         dvx_x, psi["vx_x"] = c_vx_x.apply(
             comm.crop_x(d_minus(vx_p, 0)), psi["vx_x"], m_lo, m_hi
         )
-        dvy_y, psi["vy_y"] = c_vy_y.apply(d_minus(vy, 1), psi["vy_y"])
+        dvy_y, psi["vy_y"] = c_vy_y.apply(
+            dmy(vy), psi["vy_y"], my_lo, my_hi
+        )
         dvz_z, psi["vz_z"] = c_vz_z.apply(d_minus(vz, 2), psi["vz_z"])
         theta = dvx_x + dvy_y + dvz_z
 
@@ -469,7 +487,9 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
 
         # shear stresses (skip entirely for fluid-only media)
         if has_shear:
-            dvx_y, psi["vx_y"] = c_vx_y.apply(d_plus(vx, 1), psi["vx_y"])
+            dvx_y, psi["vx_y"] = c_vx_y.apply(
+                dpy(vx), psi["vx_y"], my_lo, my_hi
+            )
             dvy_x, psi["vy_x"] = c_vy_x.apply(
                 comm.crop_x(d_plus(vy_p, 0)), psi["vy_x"], m_lo, m_hi
             )
@@ -478,7 +498,9 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
                 comm.crop_x(d_plus(vz_p, 0)), psi["vz_x"], m_lo, m_hi
             )
             dvy_z, psi["vy_z"] = c_vy_z.apply(d_plus(vy, 2), psi["vy_z"])
-            dvz_y, psi["vz_y"] = c_vz_y.apply(d_plus(vz, 1), psi["vz_y"])
+            dvz_y, psi["vz_y"] = c_vz_y.apply(
+                dpy(vz), psi["vz_y"], my_lo, my_hi
+            )
             exy = dvx_y + dvy_x
             exz = dvx_z + dvz_x
             eyz = dvy_z + dvz_y
@@ -512,12 +534,17 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
         if grid.source_type == "stress_point":
             i0, j0, k0 = grid.source_ijk
             i_loc = jnp.int32(i0) - comm.local_x_offset(sxx.shape[0])
-            in_range = ((i_loc >= 0) & (i_loc < sxx.shape[0])).astype(jnp.float32)
+            j_loc = jnp.int32(j0) - comm.local_y_offset(sxx.shape[1])
+            in_range = (
+                (i_loc >= 0) & (i_loc < sxx.shape[0])
+                & (j_loc >= 0) & (j_loc < sxx.shape[1])
+            ).astype(jnp.float32)
             i_c = jnp.clip(i_loc, 0, sxx.shape[0] - 1)
+            j_c = jnp.clip(j_loc, 0, sxx.shape[1] - 1)
             sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * in_range
-            sxx = sxx.at[i_c, j0, k0].add(sval)
-            syy = syy.at[i_c, j0, k0].add(sval)
-            szz = szz.at[i_c, j0, k0].add(sval)
+            sxx = sxx.at[i_c, j_c, k0].add(sval)
+            syy = syy.at[i_c, j_c, k0].add(sval)
+            szz = szz.at[i_c, j_c, k0].add(sval)
 
         # ---- carrier DFT + peak accumulation ----
         pressure = -(sxx + syy + szz) * (1.0 / 3.0)
@@ -574,6 +601,13 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
     def init_cpml_state(shape, zeros_fn=None):
         return {name: c.init_state(shape, zeros_fn) for name, c in cp.items()}
 
+    if comm.sharded_y:
+        dpy = lambda f: comm.crop_y(d_plus(comm.pad_y(f), 1))
+        dmy = lambda f: comm.crop_y(d_minus(comm.pad_y(f), 1))
+    else:
+        dpy = lambda f: d_plus(f, 1)
+        dmy = lambda f: d_minus(f, 1)
+
     def step(carry, n):
         s = carry
         f = s["fields"]
@@ -584,13 +618,14 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
 
         t = n.astype(jnp.float32) * grid.dt
         m_lo, m_hi = comm.edge_masks()
+        my_lo, my_hi = comm.edge_masks_y()
 
         # ---- velocity update: v_i -= dt/rho * d+(p, i) ----
         p_pad = comm.pad_x(p)
         dp_x, psi["p_x"] = c_p_x.apply(
             comm.crop_x(d_plus(p_pad, 0)), psi["p_x"], m_lo, m_hi
         )
-        dp_y, psi["p_y"] = c_p_y.apply(d_plus(p, 1), psi["p_y"])
+        dp_y, psi["p_y"] = c_p_y.apply(dpy(p), psi["p_y"], my_lo, my_hi)
         dp_z, psi["p_z"] = c_p_z.apply(d_plus(p, 2), psi["p_z"])
         rho_inv = pr["rho_inv"]
         vx = vx - dt_dx * rho_inv * dp_x
@@ -623,7 +658,7 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
         dvx_x, psi["vx_x"] = c_vx_x.apply(
             comm.crop_x(d_minus(vx_pad, 0)), psi["vx_x"], m_lo, m_hi
         )
-        dvy_y, psi["vy_y"] = c_vy_y.apply(d_minus(vy, 1), psi["vy_y"])
+        dvy_y, psi["vy_y"] = c_vy_y.apply(dmy(vy), psi["vy_y"], my_lo, my_hi)
         dvz_z, psi["vz_z"] = c_vz_z.apply(d_minus(vz, 2), psi["vz_z"])
         theta = dvx_x + dvy_y + dvz_z
 
@@ -645,10 +680,15 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
         if grid.source_type == "stress_point":
             i0, j0, k0 = grid.source_ijk
             i_loc = jnp.int32(i0) - comm.local_x_offset(p.shape[0])
-            in_range = ((i_loc >= 0) & (i_loc < p.shape[0])).astype(jnp.float32)
+            j_loc = jnp.int32(j0) - comm.local_y_offset(p.shape[1])
+            in_range = (
+                (i_loc >= 0) & (i_loc < p.shape[0])
+                & (j_loc >= 0) & (j_loc < p.shape[1])
+            ).astype(jnp.float32)
             i_c = jnp.clip(i_loc, 0, p.shape[0] - 1)
+            j_c = jnp.clip(j_loc, 0, p.shape[1] - 1)
             sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * in_range
-            p = p.at[i_c, j0, k0].add(-sval)
+            p = p.at[i_c, j_c, k0].add(-sval)
 
         # ---- carrier DFT + peak accumulation ----
         in_window = (n >= grid.sensor_start).astype(jnp.float32)
@@ -673,8 +713,13 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
 
 
 def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
-                    viscous, has_shear, oz_scale, comm):
-    """Run the scan on (possibly shard-local) blocks; returns accumulators."""
+                    viscous, has_shear, oz_scale, comm, vary_axes=()):
+    """Run the scan on (possibly shard-local) blocks; returns accumulators.
+
+    ``vary_axes``: extra mesh axes the inputs vary over (e.g. the 'case'
+    fan-out axis) so the zero-initialized scan carry gets matching
+    device-varying types.
+    """
     if has_shear:
         step, init_cpml_state = _make_step_fn(
             grid, profiles, viscous, has_shear, oz_scale, comm
@@ -687,9 +732,10 @@ def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
 
     def zeros_fn(sh=shape):
         z = jnp.zeros(sh, jnp.float32)
-        if comm.axis_name is not None and comm.n_shards > 1:
+        names = comm.axis_names() + tuple(vary_axes)
+        if names:
             # mark as device-varying so the scan carry typing is consistent
-            z = jax.lax.pvary(z, (comm.axis_name,))
+            z = jax.lax.pcast(z, names, to="varying")
         return z
 
     zeros = zeros_fn
@@ -746,10 +792,12 @@ def run_fdtd(
         plane (`BabelIntegrationSingle.py:313-346` contract).
     point_amp : stress amplitude for ``stress_point`` sources (refocusing
         backpropagation, `BabelIntegrationBASE.py:2374`).
-    mesh : optional 1-D ``jax.sharding.Mesh`` with axis name 'x'; the domain
-        is decomposed along its first axis with ppermute halo exchange.
-        Requires N1 divisible by the mesh size and
-        N1/size >= npml+2.
+    mesh : optional ``jax.sharding.Mesh`` with axis name 'x' (1-D) or axis
+        names ('x', 'y') (2-D plane decomposition); the domain is decomposed
+        along its first (and second) grid axis with ppermute halo exchange
+        per step. Requires N1 (N2) divisible by the mesh axis size and the
+        local extent >= npml+2 (so each PML slab lives on one edge shard).
+        The pallas backend supports 1-D x decomposition only.
     backend : 'auto' | 'xla' | 'pallas'. 'pallas' uses the fused
         streaming-slab TPU kernels (fluid path, single device, plane
         sources only); 'auto' picks pallas when those conditions hold on a
@@ -799,10 +847,18 @@ def run_fdtd(
         if backend == "auto":
             backend = "xla"  # reflector not yet wired into the pallas kernels
 
+    if mesh is not None:
+        from ..parallel.halo import mesh_axis_sizes
+
+        mesh_nx, mesh_ny = mesh_axis_sizes(mesh)
+    else:
+        mesh_nx = mesh_ny = 1
+
     use_pallas = False
     pallas_sharded = (
         mesh is not None
         and backend == "pallas"
+        and mesh_ny == 1  # pallas ghost-plane kernels decompose x only
         and (
             grid.source_type == "velocity_plane"
             or (grid.source_type == "stress_point" and has_shear)
@@ -959,16 +1015,20 @@ def run_fdtd(
     else:
         from jax.sharding import PartitionSpec as P
 
-        n_shards = mesh.devices.size
-        if grid.shape[0] % n_shards:
+        if grid.shape[0] % mesh_nx or grid.shape[1] % mesh_ny:
             raise ValueError(
-                f"N1={grid.shape[0]} not divisible by mesh size {n_shards}"
+                f"grid {grid.shape[:2]} not divisible by mesh ({mesh_nx}, {mesh_ny})"
             )
-        if grid.shape[0] // n_shards < grid.npml + 2:
+        if (
+            grid.shape[0] // mesh_nx < grid.npml + 2
+            or grid.shape[1] // mesh_ny < grid.npml + 2
+        ):
             raise ValueError("shard too thin for the PML slab; reduce mesh size")
-        comm = DomainComm("x", n_shards)
-        spec3 = P("x", None, None)
-        spec2 = P("x", None)
+        ax_x = "x" if mesh_nx > 1 else None
+        ax_y = "y" if mesh_ny > 1 else None
+        comm = DomainComm(ax_x, mesh_nx, axis_name_y=ax_y, n_shards_y=mesh_ny)
+        spec3 = P(ax_x, ax_y, None)
+        spec2 = P(ax_x, ax_y)
         fn = jax.jit(
             jax.shard_map(
                 functools.partial(
@@ -1000,4 +1060,114 @@ def run_fdtd(
         "p_amp": amp.astype(np.float32),
         "p_phase": phase.astype(np.float32),
         "peak": np.asarray(peak),
+    }
+
+
+def make_case_mesh(n_devices: int | None = None):
+    """1-D mesh with axis name 'case' for embarrassingly-parallel fan-out."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.sharding.Mesh(devs, ("case",))
+
+
+def run_fdtd_batch(
+    mat_idx: np.ndarray,
+    materials: np.ndarray,
+    grid: FDTDGrid,
+    source_amps: np.ndarray,
+    source_phases: np.ndarray,
+    mesh=None,
+    reflector_mask=None,
+):
+    """Run B independent plane-source simulations, fanned out over devices.
+
+    Multipoint steering is embarrassingly parallel (the reference loops
+    steering points sequentially, `CalculateFieldProcess.py:78-111`;
+    SURVEY.md section 2.8 maps it to a trivial sharding axis): every case
+    shares the material map/grid and differs only in its CW source plane.
+
+    Parameters
+    ----------
+    source_amps, source_phases : (B, N1, N2) per-case source planes.
+    mesh : optional 1-D ``jax.sharding.Mesh`` with axis name 'case'
+        (see ``make_case_mesh``); cases are padded up to a multiple of the
+        mesh size and distributed one-per-device, each running the full
+        single-device scan locally (no halo traffic at all).
+
+    Returns a dict of stacked (B, N1, N2, N3) arrays with the same keys as
+    ``run_fdtd``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.halo import DomainComm
+
+    mats = np.asarray(materials, np.float64)
+    coefs = sls_coefficients(mats, grid.frequency, grid.dt)
+    has_shear = bool(np.any(mats[:, 2] > 0))
+    props_np = _material_fields(mat_idx, coefs, has_shear)
+    viscous = coefs["viscous"]
+    rho0, c0 = mats[0, 0], mats[0, 1]
+    cmax = max(mats[:, 1].max(), mats[:, 2].max())
+    profiles = _build_cpml_profiles(
+        grid.shape, grid.npml, grid.dx, grid.dt, cmax, grid.reflection_limit
+    )
+    if reflector_mask is not None:
+        props_np["keep"] = 1.0 - np.asarray(reflector_mask).astype(np.float32)
+
+    amps = np.asarray(source_amps, np.float32)
+    phases = np.asarray(source_phases, np.float32)
+    if amps.ndim != 3 or amps.shape != phases.shape:
+        raise ValueError("source_amps/source_phases must be (B, N1, N2)")
+    n_cases = amps.shape[0]
+
+    def make_batched(vary_axes=()):
+        local = functools.partial(
+            _simulate_local,
+            grid=grid,
+            profiles=profiles,
+            viscous=viscous,
+            has_shear=has_shear,
+            oz_scale=1.0 / (rho0 * c0),
+            comm=DomainComm(),
+            vary_axes=vary_axes,
+        )
+        return jax.vmap(
+            lambda a, p, props: local(props, a, p, jnp.float32(0.0)),
+            in_axes=(0, 0, None),
+        )
+
+    pad = 0
+    if mesh is None:
+        fn = jax.jit(make_batched())
+    else:
+        n_dev = mesh.devices.size
+        axis = mesh.axis_names[0]
+        batched = make_batched(vary_axes=(axis,))
+        pad = (-n_cases) % n_dev
+        if pad:
+            amps = np.concatenate([amps, np.zeros((pad,) + amps.shape[1:], np.float32)])
+            phases = np.concatenate(
+                [phases, np.zeros((pad,) + phases.shape[1:], np.float32)]
+            )
+        fn = jax.jit(
+            jax.shard_map(
+                batched,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), {k: P() for k in props_np}),
+                out_specs=(P(axis), P(axis), P(axis)),
+            )
+        )
+
+    props = {k: jnp.asarray(v) for k, v in props_np.items()}
+    acc_c, acc_s, peak = fn(jnp.asarray(amps), jnp.asarray(phases), props)
+    acc_c = np.asarray(acc_c)[:n_cases]
+    acc_s = np.asarray(acc_s)[:n_cases]
+    n_win = grid.n_steps - grid.sensor_start
+    amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
+    phase = np.arctan2(-acc_s, acc_c)
+    return {
+        "p_amp": amp.astype(np.float32),
+        "p_phase": phase.astype(np.float32),
+        "peak": np.asarray(peak)[:n_cases],
     }

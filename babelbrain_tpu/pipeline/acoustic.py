@@ -29,7 +29,7 @@ from ..ops import (
     rayleigh_field,
     steering_phases,
 )
-from ..ops.fdtd import FDTDGrid, run_fdtd
+from ..ops.fdtd import FDTDGrid, make_case_mesh, run_fdtd, run_fdtd_batch
 from .domain import Domain
 
 
@@ -90,6 +90,28 @@ def _make_grid(dom: Domain, source_type="velocity_plane", source_ijk=(0, 0, 0)):
     )
 
 
+def _source_for_steering(
+    dom: Domain,
+    tx,
+    source_amp_pa: float,
+    steering_target=None,
+    element_weights=None,
+):
+    """Element programming + forward Rayleigh + source plane (S2/S3)."""
+    k_water = 2 * np.pi * dom.frequency / dom.materials[0, 1]
+    programming = None
+    if steering_target is not None:
+        programming = steering_phases(k_water, tx.elem_centers, steering_target)
+        u0 = expand_element_weights(tx, programming) * source_amp_pa
+    elif element_weights is not None:
+        u0 = expand_element_weights(tx, element_weights) * source_amp_pa
+    else:
+        u0 = np.full(tx.num_subelements, source_amp_pa, np.complex64)
+    u2 = forward_rayleigh(dom, tx, u0)
+    src = source_plane_from_field(dom, u2)
+    return programming, u2, src
+
+
 def run_acoustic_sim(
     dom: Domain,
     tx,
@@ -108,19 +130,10 @@ def run_acoustic_sim(
     """
     k_water = 2 * np.pi * dom.frequency / dom.materials[0, 1]
 
-    # --- element programming (steering) ---
-    programming = None
-    if steering_target is not None:
-        programming = steering_phases(k_water, tx.elem_centers, steering_target)
-        u0 = expand_element_weights(tx, programming) * source_amp_pa
-    elif element_weights is not None:
-        u0 = expand_element_weights(tx, element_weights) * source_amp_pa
-    else:
-        u0 = np.full(tx.num_subelements, source_amp_pa, np.complex64)
-
-    # --- S2: forward Rayleigh ---
-    u2 = forward_rayleigh(dom, tx, u0)
-    src = source_plane_from_field(dom, u2)
+    # --- S2/S3: element programming + forward Rayleigh + source plane ---
+    programming, u2, src = _source_for_steering(
+        dom, tx, source_amp_pa, steering_target, element_weights
+    )
 
     # --- S4: FDTD through skull ---
     grid = _make_grid(dom)
@@ -179,6 +192,45 @@ def run_acoustic_sim(
         )
 
     # --- S10: assemble results in input orientation ---
+    water_p_amp = None
+    if not use_rayleigh_for_water:
+        # full water-only FDTD pass (the reference's bUseRayleighForWater=False
+        # branch, `CalculateFieldProcess.py:55-77`)
+        water_out = run_fdtd(
+            np.zeros_like(dom.material_map),
+            dom.materials[:1],
+            grid,
+            source_amp=np.abs(src),
+            source_phase=np.angle(src),
+            mesh=mesh,
+        )
+        water_p_amp = water_out["p_amp"]
+    return _assemble_result(
+        dom, u2, src, out,
+        refocus_out=refocus_out,
+        programming=programming,
+        refocus_programming=refocus_programming,
+        water_p_amp=water_p_amp,
+    )
+
+
+def _assemble_result(
+    dom: Domain,
+    u2,
+    src,
+    out,
+    *,
+    refocus_out=None,
+    programming=None,
+    refocus_programming=None,
+    water_p_amp=None,
+) -> AcousticResult:
+    """S10: crop/unflip into the input-mask frame and build DataForSim keys.
+
+    ``water_p_amp=None`` selects the Rayleigh-for-water shortcut (the
+    reference default, `BabelBrain/BabelBrain.py:441`).
+    """
+
     def mask_frame(vol):
         return dom.crop_and_unflip(vol)
 
@@ -208,20 +260,10 @@ def run_acoustic_sim(
             src[dom.npml : -dom.npml, dom.npml : -dom.npml]
         ),
     }
-    if use_rayleigh_for_water:
+    if water_p_amp is None:
         data["p_amp_water"] = np.abs(mask_frame(u2_masked))
     else:
-        # full water-only FDTD pass (the reference's bUseRayleighForWater=False
-        # branch, `CalculateFieldProcess.py:55-77`)
-        water_out = run_fdtd(
-            np.zeros_like(dom.material_map),
-            dom.materials[:1],
-            grid,
-            source_amp=np.abs(src),
-            source_phase=np.angle(src),
-            mesh=mesh,
-        )
-        pw = water_out["p_amp"].copy()
+        pw = water_p_amp.copy()
         pw[:, :, : dom.source_z + 1] = 0
         data["p_amp_water"] = mask_frame(pw)
     if refocus_out is not None:
@@ -268,29 +310,75 @@ def run_multipoint(
     *,
     mesh=None,
     do_refocus: bool = False,
+    fanout: bool | str = "auto",
 ) -> tuple[list[AcousticResult], dict]:
-    """Sequential multipoint steering (`CalculateFieldProcess.py:78-111`).
+    """Multipoint steering (`CalculateFieldProcess.py:78-111`).
 
     Runs one full acoustic case per steering target and combines the
     per-point fields by voxelwise maximum for display; per-point fields are
     kept for the time-multiplexed BHTE (`BHTEMultiplePressureFields`).
+
+    Steering points are embarrassingly parallel (the reference loops them
+    sequentially): with ``fanout`` enabled the per-point FDTD runs are
+    batched over a 'case' device mesh (one full single-device simulation per
+    device, zero halo traffic). ``fanout='auto'`` fans out when several
+    devices are available, no spatial mesh was requested, and no refocusing
+    pass is needed; ``True``/``False`` force it.
     """
-    results = []
-    for target in steering_targets:
-        results.append(
-            run_acoustic_sim(
-                dom,
-                tx,
-                source_amp_pa,
-                steering_target=np.asarray(target),
-                do_refocus=do_refocus,
-                mesh=mesh,
-            )
+    import jax
+
+    targets = [np.asarray(t) for t in steering_targets]
+    use_fanout = fanout is True or (
+        fanout == "auto"
+        and mesh is None
+        and not do_refocus
+        and len(targets) > 1
+        and jax.device_count() > 1
+    )
+    if use_fanout:
+        per_point = [
+            _source_for_steering(dom, tx, source_amp_pa, steering_target=t)
+            for t in targets
+        ]
+        srcs = np.stack([src for _, _, src in per_point])
+        grid = _make_grid(dom)
+        case_mesh = make_case_mesh(min(len(targets), jax.device_count()))
+        outs = run_fdtd_batch(
+            dom.material_map,
+            dom.materials,
+            grid,
+            source_amps=np.abs(srcs),
+            source_phases=np.angle(srcs),
+            mesh=case_mesh,
+            reflector_mask=dom.meta.get("reflector_mask"),
         )
+        results = [
+            _assemble_result(
+                dom,
+                per_point[i][1],
+                per_point[i][2],
+                {k: outs[k][i] for k in outs},
+                programming=per_point[i][0],
+            )
+            for i in range(len(targets))
+        ]
+    else:
+        results = []
+        for target in targets:
+            results.append(
+                run_acoustic_sim(
+                    dom,
+                    tx,
+                    source_amp_pa,
+                    steering_target=target,
+                    do_refocus=do_refocus,
+                    mesh=mesh,
+                )
+            )
     combined = {
         "p_amp_max": np.max([r.p_amp for r in results], axis=0),
         "p_amp_all": np.stack([r.p_amp for r in results]),
-        "steering_targets": np.asarray(steering_targets),
+        "steering_targets": np.asarray(targets),
     }
     return results, combined
 

@@ -106,6 +106,47 @@ class TestTransforms:
         np.testing.assert_allclose(back, m, atol=1e-6)
 
 
+class TestCaseFanout:
+    def test_run_fdtd_batch_matches_per_case(self):
+        """Device fan-out over the 'case' axis: each batched simulation must
+        reproduce its sequential single-run counterpart (vmap + shard_map of
+        the identical scan; B=3 pads to the 8-device mesh)."""
+        from babelbrain_tpu.ops.fdtd import (
+            FDTDGrid, make_case_mesh, run_fdtd, run_fdtd_batch, stable_dt,
+        )
+
+        shape = (48, 48, 64)
+        F0, C = 500e3, 1500.0
+        dx = C / F0 / 6
+        ppp = int(np.ceil(1 / F0 / stable_dt(dx, 2400.0, cfl=0.9)))
+        dt = 1 / F0 / ppp
+        nsteps = ppp * 4
+        grid = FDTDGrid(
+            shape=shape, dx=dx, dt=dt, n_steps=nsteps, frequency=F0,
+            npml=10, sensor_start=nsteps - 2 * ppp, source_plane_z=11,
+        )
+        mats = np.array([[1000.0, C, 0, 0, 0], [1850.0, 2400.0, 0, 150.0, 0]])
+        idx = np.zeros(shape, np.uint8)
+        idx[:, :, 36:42] = 1
+        rng = np.random.default_rng(3)
+        amps = np.zeros((3,) + shape[:2], np.float32)
+        amps[:, 14:-14, 14:-14] = 60e3 * rng.uniform(0.3, 1, (3, 20, 20))
+        phases = rng.uniform(-3, 3, (3,) + shape[:2]).astype(np.float32)
+
+        batch = run_fdtd_batch(
+            idx, mats, grid, amps, phases, mesh=make_case_mesh()
+        )
+        assert batch["p_amp"].shape == (3,) + shape
+        for b in range(3):
+            single = run_fdtd(
+                idx, mats, grid, source_amp=amps[b], source_phase=phases[b]
+            )
+            scale = single["p_amp"].max()
+            np.testing.assert_allclose(
+                batch["p_amp"][b] / scale, single["p_amp"] / scale, atol=1e-6
+            )
+
+
 class TestMultipoint:
     @pytest.mark.slow
     def test_two_point_steering_combines(self):
@@ -135,6 +176,15 @@ class TestMultipoint:
             dom, tx, [[0, 0, -6e-3], [0, 0, 6e-3]], 60e3
         )
         assert len(results) == 2
+        # the auto fan-out path (case-sharded batch) must agree with the
+        # reference-style sequential loop
+        seq, _ = run_multipoint(
+            dom, tx, [[0, 0, -6e-3], [0, 0, 6e-3]], 60e3, fanout=False
+        )
+        scale = seq[0].p_amp.max()
+        np.testing.assert_allclose(
+            results[0].p_amp / scale, seq[0].p_amp / scale, atol=1e-6
+        )
         assert combined["p_amp_all"].shape[0] == 2
         # each field peaks at a different z
         z1 = np.unravel_index(

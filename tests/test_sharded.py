@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from babelbrain_tpu.ops.fdtd import FDTDGrid, run_fdtd, stable_dt
-from babelbrain_tpu.parallel.halo import make_mesh
+from babelbrain_tpu.parallel.halo import make_mesh, make_mesh_2d
 
 F0, C = 500e3, 1500.0
 
@@ -60,6 +60,64 @@ class TestShardedParity:
             idx, mats, grid, source_amp=amp, source_phase=ph, mesh=make_mesh(2)
         )
         np.testing.assert_array_equal(o1["p_amp"], o2["p_amp"])
+
+    def test_2d_mesh_bit_parity(self, case):
+        """2-D (x, y) plane decomposition: viscoelastic shear slab through
+        a 4x2 mesh exercises every y-ghost/y-CPML-mask path."""
+        grid, mats, idx, amp, ph = case
+        o1 = run_fdtd(idx, mats, grid, source_amp=amp, source_phase=ph)
+        o8 = run_fdtd(
+            idx, mats, grid, source_amp=amp, source_phase=ph,
+            mesh=make_mesh_2d(4, 2),
+        )
+        np.testing.assert_array_equal(o1["p_amp"], o8["p_amp"])
+        np.testing.assert_array_equal(o1["peak"], o8["peak"])
+
+    def test_2d_mesh_fluid_parity(self):
+        """Fluid (CT-mode) path on a 2x4 mesh with dominant y-sharding."""
+        shape = (64, 64, 48)
+        grid = _grid(shape, 4)
+        mats = np.array([[1000.0, C, 0.0, 2.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        rng = np.random.default_rng(1)
+        amp = np.zeros(shape[:2])
+        amp[16:-16, 16:-16] = 60e3 * rng.uniform(0.5, 1, (32, 32))
+        ph = rng.uniform(-3, 3, shape[:2])
+        o1 = run_fdtd(idx, mats, grid, source_amp=amp, source_phase=ph)
+        o8 = run_fdtd(
+            idx, mats, grid, source_amp=amp, source_phase=ph,
+            mesh=make_mesh_2d(2, 4),
+        )
+        np.testing.assert_array_equal(o1["p_amp"], o8["p_amp"])
+
+    def test_2d_point_source_on_inner_shard(self):
+        """stress_point source owned by an interior (x, y) shard."""
+        shape = (64, 64, 48)
+        grid0 = _grid(shape, 6, npml=4)
+        grid = FDTDGrid(
+            shape=shape, dx=grid0.dx, dt=grid0.dt, n_steps=grid0.n_steps,
+            frequency=F0, npml=4, sensor_start=grid0.sensor_start,
+            source_plane_z=5, source_type="stress_point",
+            source_ijk=(33, 37, 24),
+        )
+        mats = np.array([[1000.0, C, 0, 0, 0]])
+        idx = np.zeros(shape, np.uint8)
+        o1 = run_fdtd(idx, mats, grid, point_amp=60e3)
+        o8 = run_fdtd(idx, mats, grid, point_amp=60e3, mesh=make_mesh_2d(2, 4))
+        assert o1["p_amp"].max() > 0
+        np.testing.assert_allclose(
+            o1["p_amp"], o8["p_amp"], rtol=1e-4, atol=o1["p_amp"].max() * 1e-5
+        )
+
+    def test_2d_mesh_constraints_raise(self, case):
+        grid, mats, idx, amp, ph = case
+        # N2=48 not divisible by 5... use a y size that doesn't divide: 4x2
+        # is fine, but y-local 48/2=24 >= 14; force thin shards via 1x8
+        with pytest.raises(ValueError):
+            run_fdtd(
+                idx, mats, grid, source_amp=amp, source_phase=ph,
+                mesh=make_mesh_2d(1, 8),
+            )
 
     def test_sharded_pallas_fluid_matches_xla(self):
         """Sharded pallas fluid kernels (interpret mode on the CPU mesh):
