@@ -3,6 +3,8 @@
     python -m babelbrain_tpu run --labels charm.nii.gz --trajectory t.txt \
         --tx CTX_500 --frequency 500e3 --ppw 6 --out outdir [--ct ct.nii.gz]
         [--thermal-profile profile.yaml]
+    python -m babelbrain_tpu plan --labels charm.nii.gz --target 12,-8,55 \
+        --max-distance 80 --min-distance 30 --out placements.csv
     python -m babelbrain_tpu bench
     python -m babelbrain_tpu list-tx
 """
@@ -96,6 +98,49 @@ def _cmd_run(args):
     print(json.dumps(summary, indent=2, default=str))
 
 
+def _cmd_plan(args):
+    """Placement planning (the PlanTUS-integration capability, headless)."""
+    from .pipeline.io import load_nifti
+    from .pipeline.plantus import (
+        PlanTUSConfig,
+        export_placements_csv,
+        suggest_placements,
+    )
+    from .pipeline.transforms import write_trajectory_brainsight
+
+    nii = load_nifti(args.labels)
+    cfg = PlanTUSConfig(
+        max_distance=args.max_distance,
+        min_distance=args.min_distance,
+        optimal_distance=args.optimal_distance,
+        transducer_diameter=args.diameter,
+        max_angle=args.max_angle,
+        plane_offset=args.plane_offset,
+        additional_offset=args.additional_offset,
+    )
+    target = np.array([float(v) for v in args.target.split(",")])
+    res = suggest_placements(
+        nii.get_fdata().astype(np.int32), nii.affine, target, cfg,
+        top_k=args.top_k,
+    )
+    export_placements_csv(args.out, res)
+    if args.trajectory_out:
+        write_trajectory_brainsight(
+            args.trajectory_out, "PlannedTarget", res.trajectory(0)
+        )
+    best = res.positions_ras[0]
+    print(
+        json.dumps(
+            {
+                "candidates": int(len(res.candidates_ras)),
+                "best_entry_ras": [round(float(v), 2) for v in best],
+                "best_score": round(float(res.scores[0]), 4),
+                "csv": args.out,
+            }
+        )
+    )
+
+
 def _cmd_list_tx(args):
     from .pipeline.profiles import TRANSDUCER_REGISTRY
 
@@ -144,6 +189,21 @@ def main(argv=None):
         "full head at the chosen PPW)",
     )
     r.set_defaults(fn=_cmd_run)
+
+    pl = sub.add_parser("plan", help="rank transducer placements for a target")
+    pl.add_argument("--labels", required=True, help="Step-1 label NIfTI")
+    pl.add_argument("--target", required=True, help="target RAS mm (x,y,z)")
+    pl.add_argument("--max-distance", type=float, default=80.0)
+    pl.add_argument("--min-distance", type=float, default=10.0)
+    pl.add_argument("--optimal-distance", type=float, default=0.0)
+    pl.add_argument("--diameter", type=float, default=64.0)
+    pl.add_argument("--max-angle", type=float, default=15.0)
+    pl.add_argument("--plane-offset", type=float, default=0.0)
+    pl.add_argument("--additional-offset", type=float, default=0.0)
+    pl.add_argument("--top-k", type=int, default=10)
+    pl.add_argument("--out", default="placements.csv")
+    pl.add_argument("--trajectory-out", help="write best entry as Brainsight txt")
+    pl.set_defaults(fn=_cmd_plan)
 
     lt = sub.add_parser("list-tx", help="list supported transducers")
     lt.set_defaults(fn=_cmd_list_tx)
