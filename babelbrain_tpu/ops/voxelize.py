@@ -77,6 +77,7 @@ def voxelize_solid(
     dx: float,
     shape,
     batch: int = 200_000,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Solid-voxelize a watertight mesh.
 
@@ -90,10 +91,23 @@ def voxelize_solid(
     origin : world position of voxel (0,0,0) center.
     dx : isotropic voxel size.
     shape : (N1, N2, N3) output grid.
+    backend : 'auto' | 'native' | 'numpy'. 'native' is the OpenMP C++
+        XOR-bit-table kernel (babelbrain_tpu/native/voxelize.cpp, the
+        counterpart of the reference's GPU voxelizer
+        `GPUFunctions/GPUVoxelize/voxelize.cpp`); bit-identical to the
+        NumPy path. 'auto' uses it when the toolchain is available.
 
     Returns boolean (N1, N2, N3).
     """
     tri = (np.asarray(triangles, np.float64) - np.asarray(origin)) / dx
+    if backend in ("auto", "native"):
+        try:
+            from ..native import voxelize_solid_native
+
+            return voxelize_solid_native(tri, shape)
+        except Exception:
+            if backend == "native":
+                raise
     N1, N2, N3 = shape
     # tiny sample-point shift avoids rays hitting edges/vertices exactly
     EPS_J, EPS_K = 2.4375e-4, 7.8125e-5

@@ -90,3 +90,26 @@ class TestSTL:
             np.testing.assert_allclose(tris[0, 1], [1, 0, 0])
         finally:
             os.remove(f)
+
+
+class TestNativeBackend:
+    def test_native_matches_numpy_bit_exact(self):
+        """The OpenMP C++ XOR-bit-table voxelizer (native/voxelize.cpp, the
+        counterpart of the reference's GPU kernel
+        `GPUFunctions/GPUVoxelize/voxelize.cpp`) mirrors the NumPy parity
+        ray-cast arithmetic exactly."""
+        from babelbrain_tpu.native import native_available
+
+        if not native_available("voxelize"):
+            import pytest
+
+            pytest.skip("no C++ toolchain for the native voxelizer")
+        tris = sphere_mesh([20.0, 21.5, 23.0], 15.0, n_sub=4)
+        shape = (44, 46, 48)
+        a = voxelize_solid(tris, [0, 0, 0], 1.0, shape, backend="numpy")
+        b = voxelize_solid(tris, [0, 0, 0], 1.0, shape, backend="native")
+        np.testing.assert_array_equal(a, b)
+        # off-grid origin + anisotropic-ish placement
+        a = voxelize_solid(tris, [-2.3, 0.7, 1.1], 0.8, shape, backend="numpy")
+        b = voxelize_solid(tris, [-2.3, 0.7, 1.1], 0.8, shape, backend="native")
+        np.testing.assert_array_equal(a, b)
