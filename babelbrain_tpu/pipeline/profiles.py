@@ -88,8 +88,44 @@ TRANSDUCER_REGISTRY = {
         out_diameters=(28.7e-3, 40.2e-3),
     ),
     "DPX_500": TransducerSpec(
+        # 4-ring long-focus annular (`Babel_DPX500/default.yaml`)
         "DPX_500", "annular", diameter=64e-3, focal_length=150.0e-3,
         frequencies=(500e3,),
+        in_diameters=(0.0, 0.03243857, 0.04582899, 0.05597536),
+        out_diameters=(0.0312153, 0.04464872, 0.05483928, 0.06328742),
+        steering_range={"tpo_min": 50.0e-3, "tpo_max": 120.0e-3},
+        meta={"natural_outplane": 144.9e-3},
+    ),
+    "DPXPC_300": TransducerSpec(
+        # 4-ring long-focus annular (`Babel_DPXPC300/default.yaml`)
+        "DPXPC_300", "annular", diameter=64e-3, focal_length=150.0e-3,
+        frequencies=(300e3,),
+        in_diameters=(7.7e-3, 30.8e-3, 43.5e-3, 53.2e-3),
+        out_diameters=(30.8e-3, 43.5e-3, 53.2e-3, 61.3e-3),
+        steering_range={"tpo_min": 50.0e-3, "tpo_max": 120.0e-3},
+        meta={"natural_outplane": 144.9e-3},
+    ),
+    "R15287": TransducerSpec(
+        # 10-ring annular, F=75 mm (`Babel_R15287/default.yaml`)
+        "R15287", "annular", diameter=65e-3, focal_length=75.0e-3,
+        frequencies=(300e3,),
+        in_diameters=(10.0e-3, 22.3e-3, 30.0e-3, 36.3e-3, 41.7e-3,
+                      46.5e-3, 51.0e-3, 55.1e-3, 58.9e-3, 62.5e-3),
+        out_diameters=(21.3e-3, 29.1e-3, 35.3e-3, 40.7e-3, 45.6e-3,
+                       50.0e-3, 54.1e-3, 58.0e-3, 61.6e-3, 65.0e-3),
+        steering_range={"tpo_min": 8.0e-3, "tpo_max": 110.0e-3},
+        meta={"natural_outplane": 65.3e-3},
+    ),
+    "R15473": TransducerSpec(
+        # 10-ring annular, F=100 mm (`Babel_R15473/default.yaml`)
+        "R15473", "annular", diameter=65e-3, focal_length=100.0e-3,
+        frequencies=(300e3,),
+        in_diameters=(10.0e-3, 22.1e-3, 29.8e-3, 36.0e-3, 41.4e-3,
+                      46.3e-3, 50.7e-3, 54.9e-3, 58.7e-3, 62.4e-3),
+        out_diameters=(21.1e-3, 28.8e-3, 35.0e-3, 40.4e-3, 45.3e-3,
+                       49.7e-3, 53.9e-3, 57.8e-3, 61.5e-3, 65.0e-3),
+        steering_range={"tpo_min": 15.0e-3, "tpo_max": 110.0e-3},
+        meta={"natural_outplane": 92.7e-3},
     ),
     "H317": TransducerSpec(
         "H317", "concave", diameter=157e-3, focal_length=135e-3,

@@ -197,11 +197,32 @@ class TestProfiles:
     def test_registry_covers_all_families(self):
         kinds = {spec.kind for spec in TRANSDUCER_REGISTRY.values()}
         assert kinds == {"single", "annular", "concave", "flat", "dome"}
-        assert len(TRANSDUCER_REGISTRY) >= 15
+        # every device the reference's start dialog offers
+        # (`SelFiles/ui_form.py:253-271`)
+        reference_txs = {
+            "Single", "CTX_500", "CTX_250", "CTX_250_2ch", "DPX_500",
+            "DPXPC_300", "H317", "H246", "BSonix", "REMOPD", "I12378",
+            "ATAC", "R15148", "R15287", "R15473", "R15646", "IGT64_500",
+            "H301", "DomeTx",
+        }
+        assert reference_txs <= set(TRANSDUCER_REGISTRY)
 
     def test_build_ctx500(self):
         tx = build_transducer(TRANSDUCER_REGISTRY["CTX_500"], 500e3)
         assert tx.num_elements == 4
+
+    def test_build_ring_arrays(self):
+        # 10-ring devices (`Babel_R15287/default.yaml`, `Babel_R15473/...`)
+        for name, n in (("R15287", 10), ("R15473", 10), ("DPXPC_300", 4)):
+            spec = TRANSDUCER_REGISTRY[name]
+            tx = build_transducer(spec, 300e3)
+            assert tx.num_elements == n, name
+            # quadrature telescopes to the exact spherical band areas
+            F = spec.focal_length
+            b_in = np.arcsin(np.asarray(spec.in_diameters) / 2 / F)
+            b_out = np.arcsin(np.asarray(spec.out_diameters) / 2 / F)
+            total = 2 * np.pi * F**2 * np.sum(np.cos(b_in) - np.cos(b_out))
+            np.testing.assert_allclose(tx.areas.sum(), total, rtol=1e-4)
 
     def test_build_flat(self):
         tx = build_transducer(TRANSDUCER_REGISTRY["REMOPD"], 490e3)
