@@ -153,12 +153,16 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         return jnp.concatenate([prev2, cur_slab, nxt2], axis=0)
 
     # ------------------------------------------------------------------
-    # velocity kernel
+    # velocity kernel (CW plane source fused in: the source plane overwrite
+    # of vz costs zero extra HBM traffic here, vs a full-array jnp pass)
     # ------------------------------------------------------------------
+    zsrc = grid.source_plane_z
+
     def vel_kernel(
         p_ref, vx_ref, vy_ref, vz_ref, rho_ref,
         psi_py_lo_ref, psi_py_hi_ref, psi_pz_lo_ref, psi_pz_hi_ref,
         ghost_lo_ref, ghost_hi_ref,
+        amp_ref, cph_ref, sph_ref, tsrc_ref,
         cy_blo, cy_alo, cy_bhi, cy_ahi, cz_blo, cz_alo, cz_bhi, cz_ahi,
         ovx, ovy, ovz,
         opsi_py_lo, opsi_py_hi, opsi_pz_lo, opsi_pz_hi,
@@ -192,13 +196,23 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             rho_inv = rho_ref[...]
             ovx[...] = vx_ref[...] - dt_dx * rho_inv * dpx
             ovy[...] = vy_ref[...] - dt_dx * rho_inv * dpy
-            ovz[...] = vz_ref[...] - dt_dx * rho_inv * dpz
+            vz_new = vz_ref[...] - dt_dx * rho_inv * dpz
+            # CW source: sin(wt + ph) = sin(wt)cos(ph) + cos(wt)sin(ph);
+            # src planes arrive as (nb, N2, 1) blocks
+            amp = amp_ref[...]
+            sval = tsrc_ref[0, 0] * cph_ref[...] + tsrc_ref[0, 1] * sph_ref[...]
+            z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            on_src = (z_iota == zsrc) & (amp > 0)
+            ovz[...] = jnp.where(on_src, sval * amp, vz_new)
             opsi_py_lo[...] = npy_lo
             opsi_py_hi[...] = npy_hi
             opsi_pz_lo[...] = npz_lo
             opsi_pz_hi[...] = npz_hi
             tail[...] = w[nb : nb + 2]
 
+    # (N1, N2, 1) source planes: the trailing singleton keeps the block's
+    # last two dims equal to the array's (Mosaic tiling requirement)
+    plane = lambda: pl.BlockSpec((nb, N2, 1), lag, memory_space=pltpu.VMEM)
     vel_call = pl.pallas_call(
         vel_kernel,
         grid=(n_slabs + 1,),
@@ -208,6 +222,8 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             slab(lag),  # rho_inv
             slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag),  # psi in
             ghost_spec, ghost_spec,
+            plane(), plane(), plane(),  # src amp, cos(ph), sin(ph)
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             coef_y, coef_y, coef_y, coef_y, coef_z, coef_z, coef_z, coef_z,
         ],
         out_specs=[
@@ -422,12 +438,21 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
         is_first, is_last = comm.edge_masks()
 
-        # ---- velocity kernel ----
+        # ---- velocity kernel (CW plane source fused in) ----
+        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+        ramp = jnp.where(
+            n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
+        ).astype(jnp.float32)
+        scale = ramp * oz_scale
+        tsrc = jnp.stack(
+            [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
+        ).reshape(1, 2)
         gp_lo, gp_hi = comm.ghosts(f["p"])
         vx, vy, vz, psi_py_lo, psi_py_hi, psi_pz_lo, psi_pz_hi = vel_call(
             f["p"], f["vx"], f["vy"], f["vz"], pr["rho_inv"],
             s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
             gp_lo, gp_hi,
+            s["src_amp"], s["src_cph"], s["src_sph"], tsrc,
             *kcoefs["y_half"], *kcoefs["z_half"],
         )
 
@@ -441,17 +466,6 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         rho_hi = pr["rho_inv"][-ns:]
         vx = vx.at[:ns].add(-dt_dx * rho_lo * new_px_lo)
         vx = vx.at[-ns:].add(-dt_dx * rho_hi * new_px_hi)
-
-        # ---- source injection ----
-        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
-        ramp = jnp.where(
-            n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
-        ).astype(jnp.float32)
-        if grid.source_type == "velocity_plane":
-            amp2d = s["src_amp"]
-            sval = amp2d * jnp.sin(omega * t + s["src_phase"]) * ramp * oz_scale
-            plane = vz[:, :, zsrc]
-            vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
 
         # ---- pressure kernel ----
         in_window = (n >= grid.sensor_start).astype(jnp.float32)
@@ -542,7 +556,9 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
         "psi_px_lo": zx(), "psi_px_hi": zx(),
         "psi_vx_lo": zx(), "psi_vx_hi": zx(),
         "acc_cos": z3(), "acc_sin": z3(), "peak": z3(),
-        "src_amp": src_amp, "src_phase": src_phase,
+        "src_amp": src_amp[:, :, None],
+        "src_cph": jnp.cos(src_phase)[:, :, None],
+        "src_sph": jnp.sin(src_phase)[:, :, None],
     }
     carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
     return carry["acc_cos"], carry["acc_sin"], carry["peak"]

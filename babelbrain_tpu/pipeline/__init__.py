@@ -13,6 +13,13 @@ from .acoustic import (  # noqa: F401
     forward_rayleigh,
     position_transducer,
     run_acoustic_sim,
+    run_multipoint,
+)
+from .plantus import (  # noqa: F401
+    PlacementResult,
+    PlanTUSConfig,
+    recommended_focal_setting,
+    suggest_placements,
 )
 from .thermal import (  # noqa: F401
     SonicationParams,

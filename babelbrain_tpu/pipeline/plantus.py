@@ -119,6 +119,43 @@ def find_tpo_equivalent(frequency, aperture, focal_length):
     return h, z[pk] - h, flhm
 
 
+def recommended_focal_setting(
+    config: PlanTUSConfig, skin_target_distance_mm: float
+) -> dict:
+    """Focal setting + expected FLHM for a given skin-target distance.
+
+    Uses the device calibration lists the reference feeds PlanTUS
+    (`RunPlanTUS.py:155-159` focal_distance_list/flhm_list): the focal
+    depth to program is the skin-target distance plus the exit-plane
+    offsets, clamped to the device envelope; the expected FLHM is
+    interpolated from the calibration table. Falls back to the O'Neil
+    analytic FLHM for a generic spherical shell when no calibration is
+    given (the reference's bUseGenericTransducerModel branch).
+    """
+    depth = (
+        skin_target_distance_mm + config.plane_offset + config.additional_offset
+    )
+    clamped = float(np.clip(depth, config.min_distance, config.max_distance))
+    if config.focal_distance_list and config.flhm_list:
+        flhm = float(
+            np.interp(clamped, config.focal_distance_list, config.flhm_list)
+        )
+    else:
+        # generic model: spherical shell of the config aperture focused at
+        # the requested depth (mm -> m at 500 kHz reference frequency)
+        _, _, flhm_m = find_tpo_equivalent(
+            500e3, config.transducer_diameter * 1e-3, clamped * 1e-3
+        )
+        flhm = float(flhm_m * 1e3)
+    return {
+        "focal_depth_mm": clamped,
+        "in_envelope": bool(
+            config.min_distance <= depth <= config.max_distance
+        ),
+        "expected_flhm_mm": flhm,
+    }
+
+
 def _box_smooth(vol: np.ndarray, r: int = 2) -> np.ndarray:
     """Separable uniform filter (radius r) via cumulative sums."""
     out = np.asarray(vol, np.float32)

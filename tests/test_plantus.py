@@ -121,6 +121,30 @@ class TestPlacement:
         assert len(rows) == 1 + len(res.positions_ras)
         assert rows[0].startswith("rank,x,y,z")
 
+    def test_recommended_focal_setting(self):
+        from babelbrain_tpu.pipeline.plantus import recommended_focal_setting
+
+        cfg = PlanTUSConfig(
+            max_distance=80.0, min_distance=30.0, optimal_distance=55.0,
+            transducer_diameter=65.0, max_angle=15.0, plane_offset=9.5,
+            focal_distance_list=[40.0, 60.0, 80.0], flhm_list=[18.0, 25.0, 33.0],
+        )
+        rec = recommended_focal_setting(cfg, 50.0)
+        assert rec["focal_depth_mm"] == 59.5
+        assert rec["in_envelope"]
+        assert 24.0 < rec["expected_flhm_mm"] < 26.0
+        # out-of-envelope clamps + flags
+        rec = recommended_focal_setting(cfg, 100.0)
+        assert rec["focal_depth_mm"] == 80.0
+        assert not rec["in_envelope"]
+        # generic-model fallback (no calibration lists)
+        cfg2 = PlanTUSConfig(
+            max_distance=80.0, min_distance=30.0, optimal_distance=55.0,
+            transducer_diameter=65.0, max_angle=15.0,
+        )
+        rec = recommended_focal_setting(cfg2, 55.0)
+        assert 5.0 < rec["expected_flhm_mm"] < 40.0
+
     def test_yaml_config_contract(self, tmp_path):
         import yaml
 
