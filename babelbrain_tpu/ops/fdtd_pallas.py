@@ -107,6 +107,29 @@ def _make_profiles_const(profiles, axis, stag, ns):
     )
 
 
+def _pack_x_coefs(profiles, stag, ns, nb, kx):
+    """(b_lo, a_lo, b_hi, a_hi) packed into (kx+1)*nb-plane coefficient
+    arrays for the in-kernel x-CPML (see build_fluid_pallas_step).
+
+    Lo: the first ns planes carry the profile, the rest (incl. the dummy
+    block) are zero, making the correction a no-op outside the slab. Hi:
+    the hi region's planes map to global [N1 - kx*nb, N1), so the profile
+    occupies its last ns planes before the dummy.
+    """
+    p = profiles[0][stag]
+    P = (kx + 1) * nb
+    out = []
+    for prof, lo in ((p["b_lo"], True), (p["a_lo"], True),
+                     (p["b_hi"], False), (p["a_hi"], False)):
+        arr = np.zeros((P, 1, 1), np.float32)
+        if lo:
+            arr[:ns, 0, 0] = np.asarray(prof)
+        else:
+            arr[kx * nb - ns : kx * nb, 0, 0] = np.asarray(prof)
+        out.append(arr)
+    return tuple(out)
+
+
 def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
                             interpret=False):
     """Return (vel_fn, press_fn) jitted pallas pipelines for one time step.
@@ -140,6 +163,32 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
 
+    # x-CPML state rides in (kx+1)-block arrays: blocks 0..kx-1 hold the
+    # lo (or hi) PML planes, block kx is a dummy every interior slab parks
+    # on — Pallas elides repeated same-index loads/stores, so the psi
+    # traffic stays O(npml/N1). Branch-free: interior slabs see all-zero
+    # coefficients, making the correction a no-op. Lo and hi are applied
+    # in parallel (not sequentially as in fdtd._CPML.apply); exact whenever
+    # the two slabs don't both act on a plane, which run_fdtd's size
+    # constraints plus the edge masks guarantee.
+    kx = -(-ns // nb)
+    if n_slabs < kx:
+        raise ValueError(
+            f"N1={N1} too small for the in-kernel x-CPML ({kx} slab blocks)"
+        )
+    px_planes = (kx + 1) * nb
+    lo_map = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), kx), 0, 0)
+
+    def hi_map(i):
+        s = jnp.maximum(i - 1, 0)
+        return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+
+    psix_lo_spec = pl.BlockSpec((nb, N2, N3), lo_map, memory_space=pltpu.VMEM)
+    psix_hi_spec = pl.BlockSpec((nb, N2, N3), hi_map, memory_space=pltpu.VMEM)
+    coefx_lo = pl.BlockSpec((nb, 1, 1), lo_map, memory_space=pltpu.VMEM)
+    coefx_hi = pl.BlockSpec((nb, 1, 1), hi_map, memory_space=pltpu.VMEM)
+    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+
     def window(ring, tail, incoming, i, ghost_lo, ghost_hi):
         """(nb+4, N2, N3) x-window around output slab s = i-1.
 
@@ -152,9 +201,15 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         nxt2 = jnp.where(s < n_slabs - 1, incoming[0:2], ghost_hi)
         return jnp.concatenate([prev2, cur_slab, nxt2], axis=0)
 
+    def x_cpml(d, psi_lo_ref, psi_hi_ref, bxl, axl, bxh, axh):
+        """In-kernel x-CPML: correct slab derivative d, return new psi."""
+        new_lo = bxl[...] * psi_lo_ref[...] + axl[...] * d
+        new_hi = bxh[...] * psi_hi_ref[...] + axh[...] * d
+        return d + new_lo + new_hi, new_lo, new_hi
+
     # ------------------------------------------------------------------
-    # velocity kernel (CW plane source fused in: the source plane overwrite
-    # of vz costs zero extra HBM traffic here, vs a full-array jnp pass)
+    # velocity kernel (CW plane source + x-CPML fused in: no jnp post-pass
+    # traffic at all)
     # ------------------------------------------------------------------
     zsrc = grid.source_plane_z
 
@@ -164,8 +219,10 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         ghost_lo_ref, ghost_hi_ref,
         amp_ref, cph_ref, sph_ref, tsrc_ref,
         cy_blo, cy_alo, cy_bhi, cy_ahi, cz_blo, cz_alo, cz_bhi, cz_ahi,
+        psix_lo_ref, psix_hi_ref, bxl, axl, bxh, axh,
         ovx, ovy, ovz,
         opsi_py_lo, opsi_py_hi, opsi_pz_lo, opsi_pz_hi,
+        opsix_lo, opsix_hi,
         ring, tail,
     ):
         i = pl.program_id(0)
@@ -181,6 +238,9 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             # d_plus x at local plane j: c1*(w[j+3]-w[j+2]) + c2*(w[j+4]-w[j+1])
             dpx = _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
                 w[4 : 4 + nb] - w[1 : 1 + nb]
+            )
+            dpx, npx_lo, npx_hi = x_cpml(
+                dpx, psix_lo_ref, psix_hi_ref, bxl, axl, bxh, axh
             )
             ps = w[2 : 2 + nb]
             dpy = _d_plus_y(ps)
@@ -208,6 +268,8 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             opsi_py_hi[...] = npy_hi
             opsi_pz_lo[...] = npz_lo
             opsi_pz_hi[...] = npz_hi
+            opsix_lo[...] = npx_lo
+            opsix_hi[...] = npx_hi
             tail[...] = w[nb : nb + 2]
 
     # (N1, N2, 1) source planes: the trailing singleton keeps the block's
@@ -225,10 +287,13 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             plane(), plane(), plane(),  # src amp, cos(ph), sin(ph)
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             coef_y, coef_y, coef_y, coef_y, coef_z, coef_z, coef_z, coef_z,
+            psix_lo_spec, psix_hi_spec,
+            coefx_lo, coefx_lo, coefx_hi, coefx_hi,
         ],
         out_specs=[
             slab(lag), slab(lag), slab(lag),
             slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag),
+            psix_lo_spec, psix_hi_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32),
@@ -238,12 +303,15 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
             jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
             jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
+            psix_shape, psix_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, nb, N2, N3), jnp.float32),
             pltpu.VMEM((2, N2, N3), jnp.float32),
         ],
-        input_output_aliases={1: 0, 2: 1, 3: 2, 5: 3, 6: 4, 7: 5, 8: 6},
+        input_output_aliases={
+            1: 0, 2: 1, 3: 2, 5: 3, 6: 4, 7: 5, 8: 6, 23: 7, 24: 8,
+        },
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -261,8 +329,10 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         ghost_lo_ref, ghost_hi_ref,
         scal_ref,
         cy_blo, cy_alo, cy_bhi, cy_ahi, cz_blo, cz_alo, cz_bhi, cz_ahi,
+        psix_lo_ref, psix_hi_ref, bxl, axl, bxh, axh,
         op, orr, oacc_c, oacc_s, opeak,
         opsi_vy_lo, opsi_vy_hi, opsi_vz_lo, opsi_vz_hi,
+        opsix_lo, opsix_hi,
         ring, tail,
     ):
         i = pl.program_id(0)
@@ -279,6 +349,11 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             dvx = _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
                 w[3 : 3 + nb] - w[0:nb]
             )
+            dvx, nvx_lo2, nvx_hi2 = x_cpml(
+                dvx, psix_lo_ref, psix_hi_ref, bxl, axl, bxh, axh
+            )
+            opsix_lo[...] = nvx_lo2
+            opsix_hi[...] = nvx_hi2
             dvy = _d_minus_y(vy_ref[...])
             dvz = _d_minus_z(vz_ref[...])
             dvy, nvy_lo, nvy_hi = _apply_cpml_inplane(
@@ -328,10 +403,13 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             ghost_spec, ghost_spec,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             coef_y, coef_y, coef_y, coef_y, coef_z, coef_z, coef_z, coef_z,
+            psix_lo_spec, psix_hi_spec,
+            coefx_lo, coefx_lo, coefx_hi, coefx_hi,
         ],
         out_specs=[
             slab(lag), slab(lag), slab(lag), slab(lag), slab(lag),
             slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag),
+            psix_lo_spec, psix_hi_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32),  # p
@@ -343,12 +421,16 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
             jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
             jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
+            psix_shape, psix_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, nb, N2, N3), jnp.float32),
             pltpu.VMEM((2, N2, N3), jnp.float32),
         ],
-        input_output_aliases={3: 0, 4: 1, 8: 2, 9: 3, 10: 4, 11: 5, 12: 6, 13: 7, 14: 8},
+        input_output_aliases={
+            3: 0, 4: 1, 8: 2, 9: 3, 10: 4, 11: 5, 12: 6, 13: 7, 14: 8,
+            26: 9, 27: 10,
+        },
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -360,6 +442,9 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         "z_half": tuple(jnp.asarray(c) for c in bz),
         "y_int": tuple(jnp.asarray(c) for c in by_i),
         "z_int": tuple(jnp.asarray(c) for c in bz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, kx),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, kx),
+        "px_planes": px_planes,
     }
     return vel_call, press_call, coefs
 
@@ -419,16 +504,12 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
         comm = DomainComm()
 
-    px = profiles_np[0]["half"]
-    bx_lo = jnp.asarray(np.asarray(px["b_lo"]).reshape(ns, 1, 1))
-    ax_lo = jnp.asarray(np.asarray(px["a_lo"]).reshape(ns, 1, 1))
-    bx_hi = jnp.asarray(np.asarray(px["b_hi"]).reshape(ns, 1, 1))
-    ax_hi = jnp.asarray(np.asarray(px["a_hi"]).reshape(ns, 1, 1))
-    pxi = profiles_np[0]["int"]
-    bxi_lo = jnp.asarray(np.asarray(pxi["b_lo"]).reshape(ns, 1, 1))
-    axi_lo = jnp.asarray(np.asarray(pxi["a_lo"]).reshape(ns, 1, 1))
-    bxi_hi = jnp.asarray(np.asarray(pxi["b_hi"]).reshape(ns, 1, 1))
-    axi_hi = jnp.asarray(np.asarray(pxi["a_hi"]).reshape(ns, 1, 1))
+    bxh_lo, axh_lo, bxh_hi, axh_hi = (
+        jnp.asarray(c) for c in kcoefs["x_half_pack"]
+    )
+    bxi_lo, axi_lo, bxi_hi, axi_hi = (
+        jnp.asarray(c) for c in kcoefs["x_int_pack"]
+    )
 
     def step(carry, n):
         s = carry
@@ -436,9 +517,11 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         pr = s["props"]
         t = n.astype(jnp.float32) * grid.dt
 
+        # under domain decomposition only the global-edge shards apply the
+        # x-PML; the masks fold into the feed (a) coefficients
         is_first, is_last = comm.edge_masks()
 
-        # ---- velocity kernel (CW plane source fused in) ----
+        # ---- velocity kernel (CW plane source + x-CPML fused in) ----
         ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
         ramp = jnp.where(
             n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
@@ -448,26 +531,20 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
         ).reshape(1, 2)
         gp_lo, gp_hi = comm.ghosts(f["p"])
-        vx, vy, vz, psi_py_lo, psi_py_hi, psi_pz_lo, psi_pz_hi = vel_call(
+        (
+            vx, vy, vz, psi_py_lo, psi_py_hi, psi_pz_lo, psi_pz_hi,
+            psix_p_lo, psix_p_hi,
+        ) = vel_call(
             f["p"], f["vx"], f["vy"], f["vz"], pr["rho_inv"],
             s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
             gp_lo, gp_hi,
             s["src_amp"], s["src_cph"], s["src_sph"], tsrc,
             *kcoefs["y_half"], *kcoefs["z_half"],
+            s["psix_p_lo"], s["psix_p_hi"],
+            bxh_lo, axh_lo * is_first, bxh_hi, axh_hi * is_last,
         )
 
-        # ---- x-CPML post-pass for vx (dp/dx slabs); edge shards only ----
-        p = f["p"]
-        d_lo = _slab_dplus_x(p, 0, ns)
-        new_px_lo = (bx_lo * s["psi_px_lo"] + ax_lo * d_lo) * is_first
-        d_hi = _slab_dplus_x(p, N1 - ns, ns)
-        new_px_hi = (bx_hi * s["psi_px_hi"] + ax_hi * d_hi) * is_last
-        rho_lo = pr["rho_inv"][:ns]
-        rho_hi = pr["rho_inv"][-ns:]
-        vx = vx.at[:ns].add(-dt_dx * rho_lo * new_px_lo)
-        vx = vx.at[-ns:].add(-dt_dx * rho_hi * new_px_hi)
-
-        # ---- pressure kernel ----
+        # ---- pressure kernel (x-CPML fused in) ----
         in_window = (n >= grid.sensor_start).astype(jnp.float32)
         cosw = jnp.cos(omega * t) * in_window
         sinw = jnp.sin(omega * t) * in_window
@@ -476,6 +553,7 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         (
             p_new, r_new, acc_c, acc_s, peak,
             psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi,
+            psix_v_lo, psix_v_hi,
         ) = press_call(
             vx, vy, vz, f["p"], f["r"],
             pr["pi_u"], pr["c_rp"], pr["b_r"],
@@ -484,36 +562,9 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             gv_lo, gv_hi,
             scal,
             *kcoefs["y_int"], *kcoefs["z_int"],
+            s["psix_v_lo"], s["psix_v_hi"],
+            bxi_lo, axi_lo * is_first, bxi_hi, axi_hi * is_last,
         )
-
-        # ---- x-CPML post-pass for p/r (dvx/dx slabs); linear in dtheta ----
-        dv_lo = _slab_dminus_x(vx, 0, ns)
-        new_vx_lo = (bxi_lo * s["psi_vx_lo"] + axi_lo * dv_lo) * is_first
-        dv_hi = _slab_dminus_x(vx, N1 - ns, ns)
-        new_vx_hi = (bxi_hi * s["psi_vx_hi"] + axi_hi * dv_hi) * is_last
-
-        def correct(lo_slice, dtheta):
-            piu = pr["pi_u"][lo_slice]
-            if viscous:
-                crp = pr["c_rp"][lo_slice]
-                dr = -crp * dtheta / grid.dx
-                dp = -dt_dx * piu * dtheta - grid.dt * 0.5 * dr
-            else:
-                dr = jnp.zeros_like(dtheta)
-                dp = -dt_dx * piu * dtheta
-            return dp, dr
-
-        dp_lo, dr_lo = correct(slice(0, ns), new_vx_lo)
-        dp_hi, dr_hi = correct(slice(N1 - ns, N1), new_vx_hi)
-        p_new = p_new.at[:ns].add(dp_lo)
-        p_new = p_new.at[-ns:].add(dp_hi)
-        if viscous:
-            r_new = r_new.at[:ns].add(dr_lo)
-            r_new = r_new.at[-ns:].add(dr_hi)
-        acc_c = acc_c.at[:ns].add(dp_lo * cosw)
-        acc_c = acc_c.at[-ns:].add(dp_hi * cosw)
-        acc_s = acc_s.at[:ns].add(dp_lo * sinw)
-        acc_s = acc_s.at[-ns:].add(dp_hi * sinw)
 
         new_carry = dict(
             s,
@@ -522,8 +573,8 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             psi_pz_lo=psi_pz_lo, psi_pz_hi=psi_pz_hi,
             psi_vy_lo=psi_vy_lo, psi_vy_hi=psi_vy_hi,
             psi_vz_lo=psi_vz_lo, psi_vz_hi=psi_vz_hi,
-            psi_px_lo=new_px_lo, psi_px_hi=new_px_hi,
-            psi_vx_lo=new_vx_lo, psi_vx_hi=new_vx_hi,
+            psix_p_lo=psix_p_lo, psix_p_hi=psix_p_hi,
+            psix_v_lo=psix_v_lo, psix_v_hi=psix_v_hi,
             acc_cos=acc_c, acc_sin=acc_s, peak=peak,
         )
         return new_carry, None
@@ -542,10 +593,11 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
     ns = grid.npml + 2
     step = make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
                                   comm=comm, interpret=interpret)
+    px_planes = (-(-ns // nb) + 1) * nb  # in-kernel x-CPML block count
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
     zz = lambda: jnp.zeros((N1, N2, ns), jnp.float32)
-    zx = lambda: jnp.zeros((ns, N2, N3), jnp.float32)
+    zx = lambda: jnp.zeros((px_planes, N2, N3), jnp.float32)
     carry = {
         "fields": dict(p=z3(), vx=z3(), vy=z3(), vz=z3(), r=z3()),
         "props": props,
@@ -553,8 +605,8 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
         "psi_pz_lo": zz(), "psi_pz_hi": zz(),
         "psi_vy_lo": zy(), "psi_vy_hi": zy(),
         "psi_vz_lo": zz(), "psi_vz_hi": zz(),
-        "psi_px_lo": zx(), "psi_px_hi": zx(),
-        "psi_vx_lo": zx(), "psi_vx_hi": zx(),
+        "psix_p_lo": zx(), "psix_p_hi": zx(),
+        "psix_v_lo": zx(), "psix_v_hi": zx(),
         "acc_cos": z3(), "acc_sin": z3(), "peak": z3(),
         "src_amp": src_amp[:, :, None],
         "src_cph": jnp.cos(src_phase)[:, :, None],
