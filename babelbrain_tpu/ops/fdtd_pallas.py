@@ -130,6 +130,47 @@ def _pack_x_coefs(profiles, stag, ns, nb, kx):
     return tuple(out)
 
 
+def _x_cpml_blocks(ns, nb, n_slabs, N2, N3):
+    """Block specs/maps for in-kernel x-CPML psi state.
+
+    The psi state rides in (kx+1)-block arrays: blocks 0..kx-1 hold the lo
+    (or hi) PML planes, block kx is a dummy every interior slab parks on —
+    Pallas elides repeated same-index loads/stores, so psi traffic stays
+    O(npml/N1). Interior slabs see all-zero coefficients, making the
+    correction branch-free. Lo and hi apply in parallel (not sequentially
+    as fdtd._CPML.apply); exact whenever both slabs never act on the same
+    plane, which run_fdtd's size constraints plus edge masks guarantee.
+    """
+    kx = -(-ns // nb)
+    if n_slabs < kx:
+        raise ValueError(
+            f"N1={n_slabs * nb} too small for in-kernel x-CPML ({kx} blocks)"
+        )
+    px_planes = (kx + 1) * nb
+    lo_map = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), kx), 0, 0)
+
+    def hi_map(i):
+        s = jnp.maximum(i - 1, 0)
+        return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+
+    return {
+        "kx": kx,
+        "px_planes": px_planes,
+        "psix_lo": pl.BlockSpec((nb, N2, N3), lo_map, memory_space=pltpu.VMEM),
+        "psix_hi": pl.BlockSpec((nb, N2, N3), hi_map, memory_space=pltpu.VMEM),
+        "coef_lo": pl.BlockSpec((nb, 1, 1), lo_map, memory_space=pltpu.VMEM),
+        "coef_hi": pl.BlockSpec((nb, 1, 1), hi_map, memory_space=pltpu.VMEM),
+        "shape": jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32),
+    }
+
+
+def _x_cpml_apply(d, psi_lo_ref, psi_hi_ref, bxl, axl, bxh, axh):
+    """In-kernel x-CPML: correct slab derivative d, return new psi pair."""
+    new_lo = bxl[...] * psi_lo_ref[...] + axl[...] * d
+    new_hi = bxh[...] * psi_hi_ref[...] + axh[...] * d
+    return d + new_lo + new_hi, new_lo, new_hi
+
+
 def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
                             interpret=False):
     """Return (vel_fn, press_fn) jitted pallas pipelines for one time step.
@@ -163,31 +204,12 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
 
-    # x-CPML state rides in (kx+1)-block arrays: blocks 0..kx-1 hold the
-    # lo (or hi) PML planes, block kx is a dummy every interior slab parks
-    # on — Pallas elides repeated same-index loads/stores, so the psi
-    # traffic stays O(npml/N1). Branch-free: interior slabs see all-zero
-    # coefficients, making the correction a no-op. Lo and hi are applied
-    # in parallel (not sequentially as in fdtd._CPML.apply); exact whenever
-    # the two slabs don't both act on a plane, which run_fdtd's size
-    # constraints plus the edge masks guarantee.
-    kx = -(-ns // nb)
-    if n_slabs < kx:
-        raise ValueError(
-            f"N1={N1} too small for the in-kernel x-CPML ({kx} slab blocks)"
-        )
-    px_planes = (kx + 1) * nb
-    lo_map = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), kx), 0, 0)
-
-    def hi_map(i):
-        s = jnp.maximum(i - 1, 0)
-        return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
-
-    psix_lo_spec = pl.BlockSpec((nb, N2, N3), lo_map, memory_space=pltpu.VMEM)
-    psix_hi_spec = pl.BlockSpec((nb, N2, N3), hi_map, memory_space=pltpu.VMEM)
-    coefx_lo = pl.BlockSpec((nb, 1, 1), lo_map, memory_space=pltpu.VMEM)
-    coefx_hi = pl.BlockSpec((nb, 1, 1), hi_map, memory_space=pltpu.VMEM)
-    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+    xb = _x_cpml_blocks(ns, nb, n_slabs, N2, N3)
+    kx = xb["kx"]
+    px_planes = xb["px_planes"]
+    psix_lo_spec, psix_hi_spec = xb["psix_lo"], xb["psix_hi"]
+    coefx_lo, coefx_hi = xb["coef_lo"], xb["coef_hi"]
+    psix_shape = xb["shape"]
 
     def window(ring, tail, incoming, i, ghost_lo, ghost_hi):
         """(nb+4, N2, N3) x-window around output slab s = i-1.
@@ -201,11 +223,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         nxt2 = jnp.where(s < n_slabs - 1, incoming[0:2], ghost_hi)
         return jnp.concatenate([prev2, cur_slab, nxt2], axis=0)
 
-    def x_cpml(d, psi_lo_ref, psi_hi_ref, bxl, axl, bxh, axh):
-        """In-kernel x-CPML: correct slab derivative d, return new psi."""
-        new_lo = bxl[...] * psi_lo_ref[...] + axl[...] * d
-        new_hi = bxh[...] * psi_hi_ref[...] + axh[...] * d
-        return d + new_lo + new_hi, new_lo, new_hi
+    x_cpml = _x_cpml_apply
 
     # ------------------------------------------------------------------
     # velocity kernel (CW plane source + x-CPML fused in: no jnp post-pass
@@ -654,6 +672,10 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     ghost_spec = pl.BlockSpec(
         (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
+    xb = _x_cpml_blocks(ns, nb, n_slabs, N2, N3)
+    psix_lo_spec, psix_hi_spec = xb["psix_lo"], xb["psix_hi"]
+    coefx_lo, coefx_hi = xb["coef_lo"], xb["coef_hi"]
+    psix_shape = xb["shape"]
 
     def stash(ring, incoming, i):
         @pl.when(i < n_slabs)
@@ -696,9 +718,13 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         czh_blo, czh_alo, czh_bhi, czh_ahi,
         cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
         czi_blo, czi_alo, czi_bhi, czi_ahi,
+        px_sxx_lo, px_sxx_hi, px_sxy_lo, px_sxy_hi, px_sxz_lo, px_sxz_hi,
+        cxh_blo, cxh_alo, cxh_bhi, cxh_ahi,
+        cxi_blo, cxi_alo, cxi_bhi, cxi_ahi,
         ovx, ovy, ovz,
         o_sxyy_lo, o_sxyy_hi, o_syyy_lo, o_syyy_hi, o_syzy_lo, o_syzy_hi,
         o_sxzz_lo, o_sxzz_hi, o_syzz_lo, o_syzz_hi, o_szzz_lo, o_szzz_hi,
+        ox_sxx_lo, ox_sxx_hi, ox_sxy_lo, ox_sxy_hi, ox_sxz_lo, ox_sxz_hi,
         ring_xx, ring_xy, ring_xz, tail_xx, tail_xy, tail_xz,
     ):
         i = pl.program_id(0)
@@ -721,9 +747,24 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
             sxy = w_xy[2 : 2 + nb]
             sxz = w_xz[2 : 2 + nb]
-            dsxx_x = dpx_w(w_xx)
-            dsxy_x = dmx_w(w_xy)
-            dsxz_x = dmx_w(w_xz)
+            dsxx_x, nx_sxx_lo, nx_sxx_hi = _x_cpml_apply(
+                dpx_w(w_xx), px_sxx_lo, px_sxx_hi,
+                cxh_blo, cxh_alo, cxh_bhi, cxh_ahi,
+            )
+            dsxy_x, nx_sxy_lo, nx_sxy_hi = _x_cpml_apply(
+                dmx_w(w_xy), px_sxy_lo, px_sxy_hi,
+                cxi_blo, cxi_alo, cxi_bhi, cxi_ahi,
+            )
+            dsxz_x, nx_sxz_lo, nx_sxz_hi = _x_cpml_apply(
+                dmx_w(w_xz), px_sxz_lo, px_sxz_hi,
+                cxi_blo, cxi_alo, cxi_bhi, cxi_ahi,
+            )
+            ox_sxx_lo[...] = nx_sxx_lo
+            ox_sxx_hi[...] = nx_sxx_hi
+            ox_sxy_lo[...] = nx_sxy_lo
+            ox_sxy_hi[...] = nx_sxy_hi
+            ox_sxz_lo[...] = nx_sxz_lo
+            ox_sxz_hi[...] = nx_sxz_hi
             dsxy_y, n_sxyy_lo, n_sxyy_hi = cpml(
                 _d_minus_y(sxy), p_sxyy_lo, p_sxyy_hi, cyi, 1
             )
@@ -762,7 +803,6 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             tail_xy[...] = w_xy[nb : nb + 2]
             tail_xz[...] = w_xz[nb : nb + 2]
 
-    n_psi_v = 12
     vel_call = pl.pallas_call(
         vel_kernel,
         grid=(n_slabs + 1,),
@@ -773,14 +813,18 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             + [slab_z(lag)] * 6
             + [ghost_spec] * 6
             + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
+            + [psix_lo_spec, psix_hi_spec] * 3
+            + [coefx_lo, coefx_lo, coefx_hi, coefx_hi] * 2
         ),
         out_specs=(
             [slab(lag)] * 3 + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
+            + [psix_lo_spec, psix_hi_spec] * 3
         ),
         out_shape=(
             [jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)] * 3
             + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
             + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+            + [psix_shape] * 6
         ),
         scratch_shapes=[pltpu.VMEM((2, nb, N2, N3), jnp.float32)] * 3
         + [pltpu.VMEM((2, N2, N3), jnp.float32)] * 3,
@@ -788,6 +832,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             6: 0, 7: 1, 8: 2,  # vx, vy, vz
             10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,  # psi y
             16: 9, 17: 10, 18: 11, 19: 12, 20: 13, 21: 14,  # psi z
+            44: 15, 45: 16, 46: 17, 47: 18, 48: 19, 49: 20,  # psi x
         },
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
@@ -810,11 +855,15 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         czh_blo, czh_alo, czh_bhi, czh_ahi,
         cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
         czi_blo, czi_alo, czi_bhi, czi_ahi,
+        px_vx_lo, px_vx_hi, px_vy_lo, px_vy_hi, px_vz_lo, px_vz_hi,
+        xh_blo, xh_alo, xh_bhi, xh_ahi,
+        xi_blo, xi_alo, xi_bhi, xi_ahi,
         osxx, osyy, oszz, osxy, osxz, osyz,
         orxx, oryy, orzz, orxy, orxz, oryz,
         oacc_c, oacc_s, opeak,
         o_vyy_lo, o_vyy_hi, o_vxy_lo, o_vxy_hi, o_vzy_lo, o_vzy_hi,
         o_vzz_lo, o_vzz_hi, o_vxz_lo, o_vxz_hi, o_vyz_lo, o_vyz_hi,
+        ox_vx_lo, ox_vx_hi, ox_vy_lo, ox_vy_hi, ox_vz_lo, ox_vz_hi,
         ring_x, ring_y, ring_z, tail_x, tail_y, tail_z,
     ):
         i = pl.program_id(0)
@@ -838,9 +887,24 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             vx = w_x[2 : 2 + nb]
             vy = w_y[2 : 2 + nb]
             vz = w_z[2 : 2 + nb]
-            dvx_x = dmx_w(w_x)
-            dvy_x = dpx_w(w_y)
-            dvz_x = dpx_w(w_z)
+            dvx_x, nx_vx_lo, nx_vx_hi = _x_cpml_apply(
+                dmx_w(w_x), px_vx_lo, px_vx_hi,
+                xi_blo, xi_alo, xi_bhi, xi_ahi,
+            )
+            dvy_x, nx_vy_lo, nx_vy_hi = _x_cpml_apply(
+                dpx_w(w_y), px_vy_lo, px_vy_hi,
+                xh_blo, xh_alo, xh_bhi, xh_ahi,
+            )
+            dvz_x, nx_vz_lo, nx_vz_hi = _x_cpml_apply(
+                dpx_w(w_z), px_vz_lo, px_vz_hi,
+                xh_blo, xh_alo, xh_bhi, xh_ahi,
+            )
+            ox_vx_lo[...] = nx_vx_lo
+            ox_vx_hi[...] = nx_vx_hi
+            ox_vy_lo[...] = nx_vy_lo
+            ox_vy_hi[...] = nx_vy_hi
+            ox_vz_lo[...] = nx_vz_lo
+            ox_vz_hi[...] = nx_vz_hi
             dvy_y, n_vyy_lo, n_vyy_hi = cpml(
                 _d_minus_y(vy), p_vyy_lo, p_vyy_hi, cyi, 1
             )
@@ -949,14 +1013,18 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             + [ghost_spec] * 6
             + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
             + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
+            + [psix_lo_spec, psix_hi_spec] * 3
+            + [coefx_lo, coefx_lo, coefx_hi, coefx_hi] * 2
         ),
         out_specs=(
             [slab(lag)] * 15 + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
+            + [psix_lo_spec, psix_hi_spec] * 3
         ),
         out_shape=(
             [jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)] * 15
             + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
             + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+            + [psix_shape] * 6
         ),
         scratch_shapes=[pltpu.VMEM((2, nb, N2, N3), jnp.float32)] * 3
         + [pltpu.VMEM((2, N2, N3), jnp.float32)] * 3,
@@ -966,6 +1034,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             20: 12, 21: 13, 22: 14,                      # accs, peak
             23: 15, 24: 16, 25: 17, 26: 18, 27: 19, 28: 20,  # psi y
             29: 21, 30: 22, 31: 23, 32: 24, 33: 25, 34: 26,  # psi z
+            58: 27, 59: 28, 60: 29, 61: 30, 62: 31, 63: 32,  # psi x
         },
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
@@ -976,6 +1045,9 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         "z_half": tuple(jnp.asarray(c) for c in cz_h),
         "y_int": tuple(jnp.asarray(c) for c in cy_i),
         "z_int": tuple(jnp.asarray(c) for c in cz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, xb["kx"]),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, xb["kx"]),
+        "px_planes": xb["px_planes"],
     }
     return vel_call, stress_call, kc
 
@@ -1002,15 +1074,8 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
         comm = DomainComm()
 
-    def prof_x(stag):
-        p = profiles_np[0][stag]
-        return tuple(
-            jnp.asarray(np.asarray(p[k]).reshape(ns, 1, 1))
-            for k in ("b_lo", "a_lo", "b_hi", "a_hi")
-        )
-
-    xh = prof_x("half")  # for d_plus derivatives (sxx_x, vy_x, vz_x)
-    xi = prof_x("int")  # for d_minus derivatives (sxy_x, sxz_x, vx_x)
+    bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
+    bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
 
     def step(carry, n):
         s = carry
@@ -1018,9 +1083,12 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         pr = s["props"]
         t = n.astype(jnp.float32) * grid.dt
 
+        # edge masks fold into the x-CPML feed (a) coefficients
         is_first, is_last = comm.edge_masks()
+        xh_coefs = (bxh[0], bxh[1] * is_first, bxh[2], bxh[3] * is_last)
+        xi_coefs = (bxi[0], bxi[1] * is_first, bxi[2], bxi[3] * is_last)
 
-        # ---- velocity kernel ----
+        # ---- velocity kernel (x-CPML fused) ----
         psi_v_in = [s[k] for k in _V_PSI_KEYS]
         gxx = comm.ghosts(f["sxx"])
         gxy = comm.ghosts(f["sxy"])
@@ -1032,31 +1100,15 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             *psi_v_in,
             *gxx, *gxy, *gxz,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
+            s["psi_sxxx_lo"], s["psi_sxxx_hi"],
+            s["psi_sxyx_lo"], s["psi_sxyx_hi"],
+            s["psi_sxzx_lo"], s["psi_sxzx_hi"],
+            *xh_coefs, *xi_coefs,
         )
         vx, vy, vz = outs[0], outs[1], outs[2]
-        psi_v_out = outs[3:]
-
-        # ---- x-CPML post for velocities ----
-        dsxx = _slab_dplus_x(f["sxx"], 0, ns)
-        n_sxxx_lo = (xh[0] * s["psi_sxxx_lo"] + xh[1] * dsxx) * is_first
-        dsxx = _slab_dplus_x(f["sxx"], N1 - ns, ns)
-        n_sxxx_hi = (xh[2] * s["psi_sxxx_hi"] + xh[3] * dsxx) * is_last
-        dsxy = _slab_dminus_x(f["sxy"], 0, ns)
-        n_sxyx_lo = (xi[0] * s["psi_sxyx_lo"] + xi[1] * dsxy) * is_first
-        dsxy = _slab_dminus_x(f["sxy"], N1 - ns, ns)
-        n_sxyx_hi = (xi[2] * s["psi_sxyx_hi"] + xi[3] * dsxy) * is_last
-        dsxz = _slab_dminus_x(f["sxz"], 0, ns)
-        n_sxzx_lo = (xi[0] * s["psi_sxzx_lo"] + xi[1] * dsxz) * is_first
-        dsxz = _slab_dminus_x(f["sxz"], N1 - ns, ns)
-        n_sxzx_hi = (xi[2] * s["psi_sxzx_hi"] + xi[3] * dsxz) * is_last
-        rho_lo = pr["rho_inv"][:ns]
-        rho_hi = pr["rho_inv"][-ns:]
-        vx = vx.at[:ns].add(dt_dx * rho_lo * n_sxxx_lo)
-        vx = vx.at[-ns:].add(dt_dx * rho_hi * n_sxxx_hi)
-        vy = vy.at[:ns].add(dt_dx * rho_lo * n_sxyx_lo)
-        vy = vy.at[-ns:].add(dt_dx * rho_hi * n_sxyx_hi)
-        vz = vz.at[:ns].add(dt_dx * rho_lo * n_sxzx_lo)
-        vz = vz.at[-ns:].add(dt_dx * rho_hi * n_sxzx_hi)
+        psi_v_out = outs[3:15]
+        (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
+         n_sxzx_lo, n_sxzx_hi) = outs[15:21]
 
         # ---- source injection ----
         ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
@@ -1069,7 +1121,7 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             plane = vz[:, :, zsrc]
             vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
 
-        # ---- stress kernel ----
+        # ---- stress kernel (x-CPML fused) ----
         in_window = (n >= grid.sensor_start).astype(jnp.float32)
         cosw = jnp.cos(omega * t) * in_window
         sinw = jnp.sin(omega * t) * in_window
@@ -1088,77 +1140,17 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             *gvx, *gvy, *gvz,
             scal,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
+            s["psi_vxx_lo"], s["psi_vxx_hi"],
+            s["psi_vyx_lo"], s["psi_vyx_hi"],
+            s["psi_vzx_lo"], s["psi_vzx_hi"],
+            *xh_coefs, *xi_coefs,
         )
         (sxx, syy, szz, sxy, sxz, syz,
          rxx, ryy, rzz, rxy, rxz, ryz,
          acc_c, acc_s, peak) = souts[:15]
-        psi_s_out = souts[15:]
-
-        # ---- x-CPML post for stresses (linear corrections) ----
-        dvx = _slab_dminus_x(vx, 0, ns)
-        n_vxx_lo = (xi[0] * s["psi_vxx_lo"] + xi[1] * dvx) * is_first
-        dvx = _slab_dminus_x(vx, N1 - ns, ns)
-        n_vxx_hi = (xi[2] * s["psi_vxx_hi"] + xi[3] * dvx) * is_last
-        dvy = _slab_dplus_x(vy, 0, ns)
-        n_vyx_lo = (xh[0] * s["psi_vyx_lo"] + xh[1] * dvy) * is_first
-        dvy = _slab_dplus_x(vy, N1 - ns, ns)
-        n_vyx_hi = (xh[2] * s["psi_vyx_hi"] + xh[3] * dvy) * is_last
-        dvz = _slab_dplus_x(vz, 0, ns)
-        n_vzx_lo = (xh[0] * s["psi_vzx_lo"] + xh[1] * dvz) * is_first
-        dvz = _slab_dplus_x(vz, N1 - ns, ns)
-        n_vzx_hi = (xh[2] * s["psi_vzx_hi"] + xh[3] * dvz) * is_last
-
-        def corr_diag(sl, dth):
-            """corrections from a theta increment dth (= psi_vx_x slab)."""
-            piu = pr["pi_u"][sl]
-            muu = pr["mu_u"][sl]
-            if viscous:
-                crp = pr["c_rp"][sl]
-                crs = pr["c_rs"][sl]
-                # own-derivative term for sxx cancels (theta - dvx_x unchanged)
-                dr_xx = -crp * dth / grid.dx
-                d_sxx = dt_dx * piu * dth + grid.dt * 0.5 * dr_xx
-                dr_oo = -(crp - 2 * crs) * dth / grid.dx
-                d_soo = dt_dx * (piu - 2 * muu) * dth + grid.dt * 0.5 * dr_oo
-            else:
-                dr_xx = dr_oo = jnp.zeros_like(dth)
-                d_sxx = dt_dx * piu * dth
-                d_soo = dt_dx * (piu - 2 * muu) * dth
-            return d_sxx, dr_xx, d_soo, dr_oo
-
-        def corr_shear(sl, de):
-            muu = pr["mu_u"][sl]
-            if viscous:
-                crs = pr["c_rs"][sl]
-                dr = -crs * de / grid.dx
-                ds = dt_dx * muu * de + grid.dt * 0.5 * dr
-            else:
-                dr = jnp.zeros_like(de)
-                ds = dt_dx * muu * de
-            return ds, dr
-
-        for sl, dth, dvyx, dvzx in (
-            (slice(0, ns), n_vxx_lo, n_vyx_lo, n_vzx_lo),
-            (slice(N1 - ns, N1), n_vxx_hi, n_vyx_hi, n_vzx_hi),
-        ):
-            d_sxx, dr_xx, d_soo, dr_oo = corr_diag(sl, dth)
-            sxx = sxx.at[sl].add(d_sxx)
-            syy = syy.at[sl].add(d_soo)
-            szz = szz.at[sl].add(d_soo)
-            dp = -(d_sxx + 2 * d_soo) / 3.0
-            acc_c = acc_c.at[sl].add(dp * cosw)
-            acc_s = acc_s.at[sl].add(dp * sinw)
-            if viscous:
-                rxx = rxx.at[sl].add(dr_xx)
-                ryy = ryy.at[sl].add(dr_oo)
-                rzz = rzz.at[sl].add(dr_oo)
-            ds_xy, dr_xy = corr_shear(sl, dvyx)
-            sxy = sxy.at[sl].add(ds_xy)
-            ds_xz, dr_xz = corr_shear(sl, dvzx)
-            sxz = sxz.at[sl].add(ds_xz)
-            if viscous:
-                rxy = rxy.at[sl].add(dr_xy)
-                rxz = rxz.at[sl].add(dr_xz)
+        psi_s_out = souts[15:27]
+        (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+         n_vzx_lo, n_vzx_hi) = souts[27:33]
 
         if grid.source_type == "stress_point":
             # The stress kernel accumulated the DFT/peak BEFORE this
@@ -1234,7 +1226,8 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
     zz = lambda: jnp.zeros((N1, N2, ns), jnp.float32)
-    zx = lambda: jnp.zeros((ns, N2, N3), jnp.float32)
+    px_planes = (-(-ns // nb) + 1) * nb  # in-kernel x-CPML block count
+    zx = lambda: jnp.zeros((px_planes, N2, N3), jnp.float32)
     carry = {
         "fields": {
             k: z3()
