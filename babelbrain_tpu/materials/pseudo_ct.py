@@ -98,8 +98,10 @@ def compute_sdr(hu_volume, skull_mask, spacing_mm=1.0, ray_spacing_mm=1.8,
             mid = len(sk) // 2
             half = len(sk) * center_region / 2
             b = max(0, int(round(mid - half)))
-            e = min(len(sk) - 1, 1 + int(round(mid + half)))
-            center_min = ray[sk[b] : sk[e]].min() if sk[e] > sk[b] else ray[sk[mid]]
+            e = min(len(sk), 1 + int(round(mid + half)))
+            # min over the *skull voxels* of the central region (gaps between
+            # skull voxels are water/marrow-labeled and carry no HU here)
+            center_min = ray[sk[b:e]].min() if e > b else ray[sk[mid]]
             m = ray[sk].max()
             if m > 0:
                 vals.append(center_min / m)

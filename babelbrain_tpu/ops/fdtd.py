@@ -323,12 +323,19 @@ def _material_fields(mat_idx, coefs, has_shear=True):
     return out
 
 
-def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
+def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm,
+                  extras=(), monitor_idx=None):
     """Build the per-step update closure (traced once under scan).
 
     ``comm`` (parallel.halo.DomainComm) supplies ghost planes for the
     x-derivatives, so the same closure serves single-device runs (zero ghost)
     and shard_map domain decomposition (ppermute halos).
+
+    ``extras``: optional RMS/peak field maps beyond the carrier DFT, named
+    like the reference's ``SelMapsRMSPeakList`` entries ("Pressure_rms",
+    "Vx_peak", "Sigmaxx_rms", ...; `BabelIntegrationBASE.py:2338-2429`).
+    ``monitor_idx``: flat voxel indices whose pressure time series is
+    emitted as a scan output (the reference's ``SensorOutput`` capability).
     """
     dt_dx = grid.dt / grid.dx
     omega = 2.0 * np.pi * grid.frequency
@@ -566,13 +573,39 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm):
             acc_sin=acc_s,
             peak=peak,
         )
-        return new_carry, None
+        if extras:
+            new_carry["extra"] = _update_extras(
+                s["extra"], extras, in_window,
+                Pressure=pressure, Vx=vx, Vy=vy, Vz=vz,
+                Sigmaxx=sxx, Sigmayy=syy, Sigmazz=szz,
+            )
+        y = None
+        if monitor_idx is not None:
+            y = pressure.reshape(-1)[monitor_idx]
+        return new_carry, y
 
     return step, init_cpml_state
 
 
 
-def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
+def _update_extras(ex, extras, in_window, **fields):
+    """Accumulate the optional RMS/peak maps (``SelMapsRMSPeakList`` parity,
+    `BabelIntegrationBASE.py:2338-2429`): ``<Field>_rms`` sums squares over
+    the sensor window (normalized to RMS after the scan), ``<Field>_peak``
+    tracks the running max of |field|."""
+    ex = dict(ex)
+    for name, v in fields.items():
+        if name + "_rms" in extras:
+            ex[name + "_rms"] = ex[name + "_rms"] + v * v * in_window
+        if name + "_peak" in extras:
+            ex[name + "_peak"] = jnp.maximum(
+                ex[name + "_peak"], jnp.abs(v) * in_window
+            )
+    return ex
+
+
+def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm,
+                        extras=(), monitor_idx=None):
     """Specialized acoustic (fluid) stepper: state (p, vx, vy, vz[, r]).
 
     When no material carries shear (the CT-mapping mode disables shear
@@ -707,26 +740,42 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm):
             acc_sin=acc_s,
             peak=peak,
         )
-        return new_carry, None
+        if extras:
+            # fluid media: sigma_xx = sigma_yy = sigma_zz = -p
+            new_carry["extra"] = _update_extras(
+                s["extra"], extras, in_window,
+                Pressure=p, Vx=vx, Vy=vy, Vz=vz,
+                Sigmaxx=-p, Sigmayy=-p, Sigmazz=-p,
+            )
+        y = None
+        if monitor_idx is not None:
+            y = p.reshape(-1)[monitor_idx]
+        return new_carry, y
 
     return step, init_cpml_state
 
 
 def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
-                    viscous, has_shear, oz_scale, comm, vary_axes=()):
+                    viscous, has_shear, oz_scale, comm, vary_axes=(),
+                    extras=(), monitor_idx=None):
     """Run the scan on (possibly shard-local) blocks; returns accumulators.
 
     ``vary_axes``: extra mesh axes the inputs vary over (e.g. the 'case'
     fan-out axis) so the zero-initialized scan carry gets matching
     device-varying types.
+
+    With ``extras``/``monitor_idx`` (single-device XLA path only) the return
+    grows to (acc_c, acc_s, peak, extra_maps, monitor_series).
     """
     if has_shear:
         step, init_cpml_state = _make_step_fn(
-            grid, profiles, viscous, has_shear, oz_scale, comm
+            grid, profiles, viscous, has_shear, oz_scale, comm,
+            extras=extras, monitor_idx=monitor_idx,
         )
     else:
         step, init_cpml_state = _make_fluid_step_fn(
-            grid, profiles, viscous, oz_scale, comm
+            grid, profiles, viscous, oz_scale, comm,
+            extras=extras, monitor_idx=monitor_idx,
         )
     shape = props["pi_u"].shape
 
@@ -764,8 +813,15 @@ def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
     if grid.source_type == "velocity_volume":
         for k in ("src_amp3d", "src_phase3d", "src_ox", "src_oy", "src_oz"):
             carry[k] = props.pop(k)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
-    return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+    if extras:
+        carry["extra"] = {name: zeros() for name in extras}
+    carry, ys = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
+    if not extras and monitor_idx is None:
+        return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+    return (
+        carry["acc_cos"], carry["acc_sin"], carry["peak"],
+        carry.get("extra", {}), ys,
+    )
 
 
 def run_fdtd(
@@ -779,6 +835,9 @@ def run_fdtd(
     backend: str = "auto",
     reflector_mask=None,
     volume_source: dict | None = None,
+    sel_maps: tuple = (),
+    monitor_ijk: np.ndarray | None = None,
+    sensor_subsampling: int = 1,
 ):
     """Run the CW simulation and return carrier amplitude/phase/peak maps.
 
@@ -803,12 +862,49 @@ def run_fdtd(
         sources only); 'auto' picks pallas when those conditions hold on a
         TPU backend.
 
+    sel_maps : optional extra output maps, named ``<Field>_rms`` /
+        ``<Field>_peak`` with Field in {Pressure, Vx, Vy, Vz, Sigmaxx,
+        Sigmayy, Sigmazz} — the reference's ``SelMapsRMSPeakList`` +
+        ``SelRMSorPeak`` capability (`BabelIntegrationBASE.py:2338-2429`).
+    monitor_ijk : optional (K,3) voxel indices whose pressure time series is
+        returned (the reference's ``SensorOutput``/``SensorMap`` record;
+        full-volume time series are deliberately not materialized — the
+        carrier DFT is accumulated in-kernel instead).
+    sensor_subsampling : cadence for the monitor series (the reference's
+        ``SensorSubSampling``); samples start at ``grid.sensor_start``.
+
+    ``sel_maps``/``monitor_ijk`` run on the single-device XLA path.
+
     Returns
     -------
     dict with 'p_amp' (Pa), 'p_phase' (rad, FFT-bin convention of the
-    reference), 'peak' (Pa), each (N1,N2,N3) float32 numpy arrays.
+    reference), 'peak' (Pa), each (N1,N2,N3) float32 numpy arrays; plus one
+    entry per requested ``sel_maps`` name, and 'sensor_series' (K, nT) +
+    'sensor_times' (nT,) when ``monitor_ijk`` is given.
     """
     from ..parallel.halo import DomainComm
+
+    sel_maps = tuple(sel_maps)
+    allowed = {
+        f"{f}_{k}"
+        for f in ("Pressure", "Vx", "Vy", "Vz", "Sigmaxx", "Sigmayy", "Sigmazz")
+        for k in ("rms", "peak")
+    }
+    bad = set(sel_maps) - allowed
+    if bad:
+        raise ValueError(f"unknown sel_maps entries: {sorted(bad)}")
+    want_extras = bool(sel_maps) or monitor_ijk is not None
+    if want_extras:
+        if mesh is not None:
+            raise NotImplementedError(
+                "sel_maps/monitor_ijk require a single-device run"
+            )
+        if backend == "pallas":
+            raise ValueError(
+                "sel_maps/monitor_ijk are served by the XLA path; the pallas "
+                "kernels accumulate only the carrier DFT + peak"
+            )
+        backend = "xla"
 
     mats = np.asarray(materials, np.float64)
     coefs = sls_coefficients(mats, grid.frequency, grid.dt)
@@ -999,6 +1095,12 @@ def run_fdtd(
             "peak": np.asarray(peak),
         }
 
+    monitor_idx = None
+    if monitor_ijk is not None:
+        mi = np.asarray(monitor_ijk, np.int64).reshape(-1, 3)
+        monitor_idx = jnp.asarray(
+            np.ravel_multi_index((mi[:, 0], mi[:, 1], mi[:, 2]), grid.shape)
+        )
     if mesh is None:
         comm = DomainComm()
         fn = jax.jit(
@@ -1010,6 +1112,8 @@ def run_fdtd(
                 has_shear=has_shear,
                 oz_scale=oz_scale,
                 comm=comm,
+                extras=sel_maps,
+                monitor_idx=monitor_idx,
             )
         )
     else:
@@ -1047,20 +1151,34 @@ def run_fdtd(
         )
 
     props = {k: jnp.asarray(v) for k, v in props_np.items()}
-    acc_c, acc_s, peak = fn(
+    out = fn(
         props, jnp.asarray(src_amp), jnp.asarray(src_phase), jnp.float32(point_amp)
     )
+    acc_c, acc_s, peak = out[:3]
     acc_c = np.asarray(acc_c)
     acc_s = np.asarray(acc_s)
     n_win = grid.n_steps - grid.sensor_start
     # FFT-bin convention: X = sum p e^{-i w t} = C - iS; amp=2|X|/N
     amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
     phase = np.arctan2(-acc_s, acc_c)
-    return {
+    result = {
         "p_amp": amp.astype(np.float32),
         "p_phase": phase.astype(np.float32),
         "peak": np.asarray(peak),
     }
+    if want_extras:
+        extra_maps, ys = out[3], out[4]
+        for name in sel_maps:
+            v = np.asarray(extra_maps[name])
+            result[name] = (
+                np.sqrt(v / n_win).astype(np.float32)
+                if name.endswith("_rms") else v
+            )
+        if monitor_idx is not None:
+            sel = np.arange(grid.sensor_start, grid.n_steps, sensor_subsampling)
+            result["sensor_series"] = np.asarray(ys)[sel].T.astype(np.float32)
+            result["sensor_times"] = (sel * grid.dt).astype(np.float32)
+    return result
 
 
 def make_case_mesh(n_devices: int | None = None):

@@ -472,29 +472,6 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 # ---------------------------------------------------------------------------
 
 
-def _slab_dplus_x(f, lo, size):
-    """d_plus along x on planes [lo, lo+size) (needs f[lo-1 : lo+size+2])."""
-    n = f.shape[0]
-    idx = np.arange(lo - 1, lo + size + 2)
-    ok = (idx >= 0) & (idx < n)
-    g = jnp.where(ok[:, None, None], f[np.clip(idx, 0, n - 1)], 0.0)
-    # g[1:1+size] are the target planes
-    return _C1 * (g[2 : 2 + size] - g[1 : 1 + size]) + _C2 * (
-        g[3 : 3 + size] - g[0:size]
-    )
-
-
-def _slab_dminus_x(f, lo, size):
-    """d_minus along x on planes [lo, lo+size) (needs f[lo-2 : lo+size+1])."""
-    n = f.shape[0]
-    idx = np.arange(lo - 2, lo + size + 1)
-    ok = (idx >= 0) & (idx < n)
-    g = jnp.where(ok[:, None, None], f[np.clip(idx, 0, n - 1)], 0.0)
-    return _C1 * (g[2 : 2 + size] - g[1 : 1 + size]) + _C2 * (
-        g[3 : 3 + size] - g[0:size]
-    )
-
-
 def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
                            comm=None, interpret=False):
     """Build the complete per-timestep function for lax.scan.

@@ -45,6 +45,7 @@ class AcousticResult:
     phased_array_programming: np.ndarray | None = None
     phased_array_refocus: np.ndarray | None = None
     meta: dict = field(default_factory=dict)
+    extra_maps: dict = field(default_factory=dict)  # sel_maps / sensor series
 
 
 def _volume_points(dom: Domain):
@@ -122,11 +123,24 @@ def run_acoustic_sim(
     do_refocus: bool = False,
     use_rayleigh_for_water: bool = True,
     mesh=None,
+    input_source_plane: np.ndarray | None = None,
+    sel_maps: tuple = (),
+    monitor_ijk: np.ndarray | None = None,
 ) -> AcousticResult:
     """Full Step-2 run for one transducer position/steering.
 
     ``tx`` must already be positioned in domain coordinates (focus-centered
     axes, transducer below the source plane; see ``position_transducer``).
+
+    ``input_source_plane``: externally supplied complex source plane
+    (N1,N2) replacing the Rayleigh-derived one — the reference's
+    ``InputFocusStart`` hook (`BabelIntegrationSingle.py:306-311`), used to
+    drive the FDTD from a measured/precomputed focal plane. The Rayleigh
+    field is still computed for the water-path shortcut and display.
+
+    ``sel_maps``/``monitor_ijk`` pass through to ``run_fdtd`` (RMS/peak map
+    selection and sensor time-series capture); the extra maps land in
+    ``AcousticResult.extra_maps`` cropped to the mask frame.
     """
     k_water = 2 * np.pi * dom.frequency / dom.materials[0, 1]
 
@@ -134,6 +148,13 @@ def run_acoustic_sim(
     programming, u2, src = _source_for_steering(
         dom, tx, source_amp_pa, steering_target, element_weights
     )
+    if input_source_plane is not None:
+        src = np.asarray(input_source_plane, np.complex64)
+        if src.shape != dom.material_map.shape[:2]:
+            raise ValueError(
+                f"input_source_plane shape {src.shape} != domain plane "
+                f"{dom.material_map.shape[:2]}"
+            )
 
     # --- S4: FDTD through skull ---
     grid = _make_grid(dom)
@@ -146,6 +167,8 @@ def run_acoustic_sim(
         source_phase=np.angle(src),
         mesh=mesh,
         reflector_mask=reflector,
+        sel_maps=sel_maps,
+        monitor_ijk=monitor_ijk,
     )
 
     refocus_out = None
@@ -271,6 +294,12 @@ def _assemble_result(
         pr[:, :, : dom.source_z + 1] = 0
         data["p_amp_refocus"] = mask_frame(pr)
 
+    extra = {}
+    for k, v in out.items():
+        if k in ("p_amp", "p_phase", "peak"):
+            continue
+        extra[k] = mask_frame(v) if np.ndim(v) == 3 else v
+
     return AcousticResult(
         p_amp=data["p_amp"],
         p_phase=mask_frame(p_phase_full),
@@ -281,10 +310,12 @@ def _assemble_result(
         phased_array_programming=programming,
         phased_array_refocus=refocus_programming,
         meta={"peak": float(out["peak"].max())},
+        extra_maps=extra,
     )
 
 
-def position_transducer(tx, dom: Domain, focal_length: float, extra_z: float = 0.0):
+def position_transducer(tx, dom: Domain, focal_length: float, extra_z: float = 0.0,
+                        return_adjustment: bool = False):
     """Place a transducer built with its focus at the origin so the bowl sits
     fully below the source plane, mirroring the reference's repositioning
     loop (`BabelIntegrationSingle.py:256-278`).
@@ -293,12 +324,22 @@ def position_transducer(tx, dom: Domain, focal_length: float, extra_z: float = 0
     z_vec[source_z]. The transducer's natural position puts its focus at
     z=0 via a +focal_length shift from the apex frame; it is then pushed
     down until max(center_z) <= source-plane z.
+
+    With ``return_adjustment`` the mechanical z correction applied beyond
+    ``extra_z`` is also returned (meters, negative = pushed away from the
+    head) — the reference reports this back to the user as
+    ``AdjustmentInRAS`` (`_BabelBaseTx.py:407`, DataForSim key §3.2/S10)
+    so the physical positioning can be corrected.
     """
     z_plane = dom.z_vec[dom.source_z]
     shifted = tx.translated([0.0, 0.0, extra_z])
     over = shifted.centers[:, 2].max() - z_plane
+    adjustment = 0.0
     if over > 0:
-        shifted = shifted.translated([0.0, 0.0, -(over + 1e-6)])
+        adjustment = -(over + 1e-6)
+        shifted = shifted.translated([0.0, 0.0, adjustment])
+    if return_adjustment:
+        return shifted, adjustment
     return shifted
 
 

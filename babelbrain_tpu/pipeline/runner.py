@@ -28,6 +28,7 @@ from .profiles import TRANSDUCER_REGISTRY, build_transducer
 from .step1 import Step1Result, generate_mask
 from .thermal import SonicationParams, run_sonication
 from ..materials.ct_mapping import map_hu_to_properties
+from ..materials.pseudo_ct import compute_sdr
 
 
 def case_hash(**kwargs) -> str:
@@ -230,7 +231,9 @@ def run_case(
         tx = build_transducer(
             spec, cfg.frequency, elem_centers=cfg.elem_centers
         )
-        tx = position_transducer(tx, dom, spec.focal_length or 0.0)
+        tx, mech_adjust = position_transducer(
+            tx, dom, spec.focal_length or 0.0, return_adjustment=True
+        )
         steering = np.asarray(cfg.steering)
         result = run_acoustic_sim(
             dom,
@@ -245,6 +248,18 @@ def run_case(
         data["Frequency"] = cfg.frequency
         for k, v in zip(("XSteering", "YSteering", "ZSteering"), cfg.steering):
             data[k] = v
+        # mechanical z correction applied to fit the bowl below the source
+        # plane, reported along the trajectory direction in RAS (the
+        # reference's AdjustmentInRAS, `_BabelBaseTx.py:407` + §3.2/S10)
+        data["AdjustmentInRAS"] = mech_adjust * 1e3 * np.asarray(direction_ras)
+        if ct_mode:
+            # skull-density ratio of the quantized-HU volume within the
+            # skull labels (`BabelIntegrationBASE.py:816,1392`); restrict to
+            # bone-range HU so partial-volume edge voxels don't skew the ray
+            # minima (the reference rays only traverse thresholded bone)
+            hu_vol = s1.unique_hu[s1.ct_index]
+            skull = np.isin(s1.mask, (2, 3)) & (hu_vol > 300.0)
+            data["SDR"] = compute_sdr(hu_vol, skull, spacing_mm=s1.dx_mm)
         pio.save_dict_h5(data, h5_path)
 
     if os.environ.get("BBT_FORCE_ERROR_STEP2") == "1":

@@ -304,3 +304,92 @@ class TestDomeSource:
         assert dist < 2e-3
         # strong focal gain vs the drive
         assert inner.max() > 3 * 60e3
+
+
+class TestSelMapsAndSensors:
+    """RMS/peak map selection + sensor time series (the reference's
+    SelMapsRMSPeakList / SelRMSorPeak / SensorOutput / SensorSubSampling
+    contract, `BabelIntegrationBASE.py:2338-2429`)."""
+
+    @pytest.fixture(scope="class")
+    def extras_result(self):
+        shape = (24, 24, 96)
+        grid, ppp = _water_grid(shape, cycles=18)
+        mats = np.array([[RHO, C, 0.0, 0.0, 0.0]])
+        amp = np.full(shape[:2], 60e3)
+        mon = np.array([[12, 12, 40], [12, 12, 55]])
+        out = run_fdtd(
+            np.zeros(shape, np.uint8), mats, grid, source_amp=amp,
+            sel_maps=("Pressure_rms", "Vz_peak", "Sigmazz_peak"),
+            monitor_ijk=mon, sensor_subsampling=2,
+        )
+        return out, grid, ppp
+
+    def test_pressure_rms_is_amp_over_sqrt2(self, extras_result):
+        out, _, _ = extras_result
+        sel = out["p_amp"][12, 12, 30:70]
+        rms = out["Pressure_rms"][12, 12, 30:70]
+        assert rms / sel == pytest.approx(np.full(sel.shape, 1 / np.sqrt(2)), rel=0.03)
+
+    def test_vz_peak_matches_plane_wave_impedance(self, extras_result):
+        out, _, _ = extras_result
+        # plane wave: |v_z| = p / (rho c)
+        v = out["Vz_peak"][12, 12, 30:70]
+        expect = out["p_amp"][12, 12, 30:70] / (RHO * C)
+        assert v == pytest.approx(expect, rel=0.05)
+
+    def test_sigmazz_peak_equals_pressure_peak_in_fluid(self, extras_result):
+        out, _, _ = extras_result
+        np.testing.assert_allclose(
+            out["Sigmazz_peak"], out["peak"], rtol=1e-6, atol=1e-3
+        )
+
+    def test_sensor_series_amplitude_and_cadence(self, extras_result):
+        out, grid, ppp = extras_result
+        series = out["sensor_series"]
+        times = out["sensor_times"]
+        assert series.shape[0] == 2
+        n_expect = len(range(grid.sensor_start, grid.n_steps, 2))
+        assert series.shape[1] == n_expect == times.shape[0]
+        assert np.diff(times) == pytest.approx(
+            np.full(n_expect - 1, 2 * grid.dt), rel=1e-4  # float32 times
+        )
+        # steady-state CW: series amplitude matches the carrier-DFT amplitude
+        for i, (ii, jj, kk) in enumerate([(12, 12, 40), (12, 12, 55)]):
+            assert np.abs(series[i]).max() == pytest.approx(
+                out["p_amp"][ii, jj, kk], rel=0.03
+            )
+
+    def test_shear_path_extras(self):
+        # viscoelastic solver branch of the same accumulators
+        shape = (20, 20, 72)
+        grid, _ = _water_grid(shape, cycles=12, cfl=0.5)
+        mats = np.array(
+            [[RHO, C, 0.0, 0.0, 0.0], [1800.0, 2400.0, 1200.0, 0.0, 0.0]]
+        )
+        idx = np.zeros(shape, np.uint8)
+        idx[:, :, 40:44] = 1
+        amp = np.full(shape[:2], 60e3)
+        out = run_fdtd(
+            idx, mats, grid, source_amp=amp,
+            sel_maps=("Pressure_rms", "Vx_peak"),
+            monitor_ijk=np.array([[10, 10, 30]]),
+        )
+        pre = slice(22, 36)
+        rms = out["Pressure_rms"][10, 10, pre]
+        amp_line = out["p_amp"][10, 10, pre]
+        assert np.all(np.isfinite(out["Vx_peak"]))
+        assert rms.mean() / amp_line.mean() == pytest.approx(
+            1 / np.sqrt(2), rel=0.08
+        )
+        assert out["sensor_series"].shape[0] == 1
+
+    def test_validation_errors(self):
+        shape = (16, 16, 48)
+        grid, _ = _water_grid(shape, cycles=2)
+        mats = np.array([[RHO, C, 0.0, 0.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        with pytest.raises(ValueError, match="unknown sel_maps"):
+            run_fdtd(idx, mats, grid, sel_maps=("Bogus_rms",))
+        with pytest.raises(ValueError, match="XLA path"):
+            run_fdtd(idx, mats, grid, backend="pallas", sel_maps=("Pressure_rms",))

@@ -172,3 +172,107 @@ class TestRefocusing:
 
         gain = ball(refoc.p_amp_refocus) / ball(plain.p_amp)
         assert gain > 1.05  # refocusing recovers focal pressure
+
+
+@pytest.mark.slow
+class TestCTModeCase:
+    """CT-mode end-to-end: quantized-HU materials, SDR + AdjustmentInRAS in
+    the DataForSim contract (`BabelIntegrationBASE.py:1392` + section 3.2/S10)."""
+
+    @pytest.fixture(scope="class")
+    def ct_case(self, phantom, mini_tx, tmp_path_factory):
+        labels, aff = phantom
+        ct = np.where(
+            np.isin(labels, [2, 7]), 1500.0, 40.0
+        ) + np.random.default_rng(0).normal(0, 30, labels.shape)
+        out = tmp_path_factory.mktemp("ct_case")
+        cfg = CaseConfig(
+            tx_system="MiniTest",
+            frequency=500e3,
+            ppw=6.0,
+            output_dir=str(out),
+            prefix="ct_phantom",
+        )
+        return run_case(
+            cfg,
+            labels,
+            aff,
+            target_ras=[0, 0, 25],
+            direction_ras=[0, 0, -1],
+            ct_data=ct,
+            ct_affine=aff,
+            mask_shape=(64, 64, 104),
+        )
+
+    def test_sdr_and_adjustment_keys(self, ct_case):
+        d = load_dict_h5(ct_case["files"]["acoustic"])
+        assert "SDR" in d
+        sdr = float(np.asarray(d["SDR"]))
+        assert 0.0 <= sdr <= 1.0
+        adj = np.asarray(d["AdjustmentInRAS"]).ravel()
+        assert adj.shape == (3,)
+        # adjustment points along the (negated) trajectory direction
+        assert adj[0] == 0 and adj[1] == 0
+
+    def test_field_finite_and_focused(self, ct_case):
+        d = load_dict_h5(ct_case["files"]["acoustic"])
+        pa = np.asarray(d["p_amp"])
+        assert np.isfinite(pa).all()
+        assert pa.max() > 0
+
+
+class TestPositioning:
+    def test_position_transducer_reports_adjustment(self):
+        from babelbrain_tpu.pipeline import build_domain
+        from babelbrain_tpu.pipeline.acoustic import position_transducer
+        from babelbrain_tpu.tx import make_focused_bowl
+
+        mats = np.array([[1000.0, 1500.0, 0, 0, 0]])
+        mask = np.zeros((48, 48, 64), np.uint8)
+        mask[24, 24, 36] = 5
+        dom = build_domain(mask, 500e3, 6.0, materials=mats, water_only=True)
+        # deep bowl: rim rises above the source plane -> must be pushed down
+        tx = make_focused_bowl(500e3, 30e-3, 28e-3, 1500.0, ppw_surface=2)
+        tx = tx.translated([0, 0, 30e-3])
+        shifted, adj = position_transducer(tx, dom, 30e-3, return_adjustment=True)
+        assert adj <= 0.0
+        z_plane = dom.z_vec[dom.source_z]
+        assert shifted.centers[:, 2].max() <= z_plane + 1e-9
+        # consistency with the single-return form
+        same = position_transducer(tx, dom, 30e-3)
+        np.testing.assert_allclose(same.centers, shifted.centers)
+
+
+@pytest.mark.slow
+class TestInputSourcePlane:
+    def test_external_plane_drives_fdtd(self):
+        """InputFocusStart parity (`BabelIntegrationSingle.py:306-311`): an
+        externally supplied complex source plane replaces the Rayleigh one."""
+        from babelbrain_tpu.pipeline import build_domain
+        from babelbrain_tpu.pipeline.acoustic import (
+            position_transducer,
+            run_acoustic_sim,
+        )
+        from babelbrain_tpu.tx import make_focused_bowl
+
+        mats = np.array([[1000.0, 1500.0, 0, 0, 0]])
+        mask = np.zeros((48, 48, 64), np.uint8)
+        mask[24, 24, 36] = 5
+        dom = build_domain(mask, 500e3, 6.0, materials=mats, water_only=True)
+        tx = make_focused_bowl(500e3, 25e-3, 20e-3, 1500.0, ppw_surface=2.5)
+        tx = position_transducer(tx.translated([0, 0, 25e-3]), dom, 25e-3)
+
+        ref = run_acoustic_sim(dom, tx, 60e3)
+        src = np.asarray(ref.data_for_sim["SourcePlane_re"]) + 1j * np.asarray(
+            ref.data_for_sim["SourcePlane_im"]
+        )
+        full = np.zeros(dom.material_map.shape[:2], np.complex64)
+        full[dom.npml : -dom.npml, dom.npml : -dom.npml] = src
+        ext = run_acoustic_sim(dom, tx, 60e3, input_source_plane=full)
+        # same plane in -> same field out
+        np.testing.assert_allclose(ext.p_amp, ref.p_amp, rtol=1e-5, atol=1.0)
+
+        with pytest.raises(ValueError, match="input_source_plane shape"):
+            run_acoustic_sim(
+                dom, tx, 60e3, input_source_plane=np.zeros((4, 4), np.complex64)
+            )
