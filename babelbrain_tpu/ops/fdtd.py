@@ -1117,7 +1117,7 @@ def run_fdtd(
             )
         )
     else:
-        from jax.sharding import PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         if grid.shape[0] % mesh_nx or grid.shape[1] % mesh_ny:
             raise ValueError(
@@ -1150,13 +1150,40 @@ def run_fdtd(
             )
         )
 
-    props = {k: jnp.asarray(v) for k, v in props_np.items()}
-    out = fn(
-        props, jnp.asarray(src_amp), jnp.asarray(src_phase), jnp.float32(point_amp)
-    )
+    multi_host = jax.process_count() > 1
+    if mesh is not None:
+        # explicit global shardings: each process supplies the full array and
+        # device_put keeps only its addressable shards — this is what makes
+        # the same call work across hosts over DCN (jax.distributed)
+        ns3 = NamedSharding(mesh, spec3)
+        ns2 = NamedSharding(mesh, spec2)
+        ns0 = NamedSharding(mesh, P())
+        props = {k: jax.device_put(np.asarray(v), ns3) for k, v in props_np.items()}
+        args = (
+            props,
+            jax.device_put(src_amp, ns2),
+            jax.device_put(src_phase, ns2),
+            jax.device_put(np.float32(point_amp), ns0),
+        )
+    else:
+        props = {k: jnp.asarray(v) for k, v in props_np.items()}
+        args = (
+            props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+            jnp.float32(point_amp),
+        )
+    out = fn(*args)
+
+    def to_np(x):
+        if multi_host:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     acc_c, acc_s, peak = out[:3]
-    acc_c = np.asarray(acc_c)
-    acc_s = np.asarray(acc_s)
+    acc_c = to_np(acc_c)
+    acc_s = to_np(acc_s)
+    peak = to_np(peak)
     n_win = grid.n_steps - grid.sensor_start
     # FFT-bin convention: X = sum p e^{-i w t} = C - iS; amp=2|X|/N
     amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
