@@ -73,6 +73,7 @@ def _cmd_run(args):
         elem_centers=elem_centers,
         output_dir=args.out,
         prefix=args.prefix,
+        export_meshes=args.export_meshes,
     )
     mask_shape = None
     if args.mask_shape:
@@ -175,6 +176,11 @@ def main(argv=None):
     r.add_argument("--ct", help="CT / pseudo-CT NIfTI (enables CT mode)")
     r.add_argument("--steering", default="0,0,0", help="steering offsets (m)")
     r.add_argument("--refocus", action="store_true")
+    r.add_argument(
+        "--export-meshes",
+        action="store_true",
+        help="write skin/bone/csf surface STLs from the Step-1 labels",
+    )
     r.add_argument("--segment-brain", action="store_true")
     r.add_argument("--thermal", help="DC,PRF,DurOn,DurOff")
     r.add_argument("--thermal-profile", help="Thermal_Profile yaml")

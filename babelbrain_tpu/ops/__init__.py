@@ -5,4 +5,12 @@ from .rayleigh import (  # noqa: F401
     steering_phases,
 )
 from .fdtd import FDTDGrid, run_fdtd, sls_coefficients, stable_dt  # noqa: F401
+from .mesh import (  # noqa: F401
+    boolean_meshes,
+    cone_mesh,
+    marching_tetrahedra,
+    mask_to_mesh,
+    mesh_volume,
+    taubin_smooth,
+)
 from .bhte import BHTEResult, absorption_heating, bhte_run, cem43  # noqa: F401

@@ -60,6 +60,7 @@ class CaseConfig:
     elem_centers: np.ndarray | None = None
     output_dir: str = "."
     prefix: str = "case"
+    export_meshes: bool = False
     meta: dict = field(default_factory=dict)
 
 
@@ -199,6 +200,11 @@ def run_case(
             if s1.air_mask is not None:
                 blob["air_mask"] = s1.air_mask.astype(np.uint8)
             pio.save_dict_h5(blob, s1_cache)
+    if cfg.export_meshes:
+        from .step1 import export_surface_meshes
+
+        with stage_timer("Step1 surface meshes", level=2, step=1):
+            export_surface_meshes(s1, out_base)
 
     # ---------------- Step 2 ----------------
     h5_path = out_base + "_DataForSim.h5"

@@ -269,6 +269,39 @@ def generate_mask(
     return result
 
 
+def export_surface_meshes(
+    result: Step1Result,
+    out_prefix: str,
+    smooth_iterations: int = 10,
+) -> dict:
+    """Write skin / skull / brain-or-CSF surface STLs from a Step-1 result.
+
+    Capability of the reference's `MaskToStl` stage
+    (`BabelBrain/BabelDatasetPreps.py:87,476-494` — charm labels to
+    skin.stl / bone.stl / csf.stl via vtk marching cubes + smoothing), here
+    extracted from the aligned simulation labels with `ops.mesh`
+    (marching tetrahedra + Taubin smoothing). Returns {name: path}.
+    """
+    from ..ops.mesh import mask_to_mesh
+    from ..ops.voxelize import write_stl
+
+    lab = result.mask
+    surfaces = {
+        "skin": lab >= 1,
+        "bone": (lab == 2) | (lab == 3),
+        "csf": np.isin(lab, (4, 5, 6, 7, 8)),
+    }
+    out = {}
+    for name, m in surfaces.items():
+        if not m.any():
+            continue
+        tris = mask_to_mesh(m, result.affine, smooth_iterations)
+        path = f"{out_prefix}_{name}.stl"
+        write_stl(path, tris)
+        out[name] = path
+    return out
+
+
 def create_target_mask(in_path, ras_xyz, out_path=None, radii_vox=(1.0, 1.0, 1.0)):
     """Write a small ellipsoidal target-mask NIfTI at an RAS coordinate.
 

@@ -193,6 +193,28 @@ class TestStep1Phantom:
         assert np.median(vals) > 800
 
 
+    def test_export_surface_meshes(self, phantom, tmp_path):
+        from babelbrain_tpu.ops.mesh import mesh_volume
+        from babelbrain_tpu.ops.voxelize import read_stl
+        from babelbrain_tpu.pipeline.step1 import export_surface_meshes
+
+        labels, aff = phantom
+        res = generate_mask(
+            labels, aff, target_ras=[0, 0, 32], direction_ras=[0, 0, -1],
+            frequency=500e3, ppw=6.0, shape=(96, 96, 160),
+        )
+        out = export_surface_meshes(res, str(tmp_path / "case"), 4)
+        assert set(out) == {"skin", "bone", "csf"}
+        vols = {}
+        for name, path in out.items():
+            tris = read_stl(path)
+            assert len(tris) > 100
+            vols[name] = abs(mesh_volume(tris))
+        # nested anatomy: head > brain region, head > skull shell
+        assert vols["skin"] > vols["csf"]
+        assert vols["skin"] > vols["bone"]
+
+
 class TestProfiles:
     def test_registry_covers_all_families(self):
         kinds = {spec.kind for spec in TRANSDUCER_REGISTRY.values()}
