@@ -49,7 +49,7 @@ def _cmd_run(args):
         from .pipeline.profiles import load_thermal_profile
 
         _, combos = load_thermal_profile(args.thermal_profile)
-        thermal = combos[0] if combos else None
+        thermal = combos or None
     elif args.thermal:
         dc, prf, dur, off = (float(v) for v in args.thermal.split(","))
         thermal = SonicationParams(

@@ -275,7 +275,28 @@ def run_case(
 
     # ---------------- Step 3 ----------------
     thermal = None
-    if thermal_params is not None:
+    if isinstance(thermal_params, (list, tuple)):
+        # full thermal profile: one BHTE run per combination + consolidation
+        # (`CalculateThermalProcess.py:54-123`)
+        from .thermal import run_all_combinations
+
+        with stage_timer("Step3 thermal simulation", level=2, step=3):
+            p_water = data.get("p_amp_water", result.p_amp)
+            t_all, _ = run_all_combinations(
+                result.p_amp,
+                np.asarray(p_water),
+                data["MaterialMap"],
+                materials,
+                dom.dx,
+                data["TargetLocation"],
+                list(thermal_params),
+                out_base=out_base,
+                ct_mode=ct_mode,
+                segmented=cfg.segment_brain,
+                frequency=cfg.frequency,
+            )
+            thermal = t_all[-1]
+    elif thermal_params is not None:
         with stage_timer("Step3 thermal simulation", level=2, step=3):
             p_water = data.get("p_amp_water", result.p_amp)
             thermal = run_sonication(

@@ -263,6 +263,124 @@ def run_sonication(
     )
 
 
+def run_all_combinations(
+    p_amp,
+    p_amp_water,
+    material_map,
+    acoustic_materials,
+    dx: float,
+    target_ijk,
+    combinations: list,
+    *,
+    out_base: str | None = None,
+    concatenate: bool = False,
+    ct_mode: bool = False,
+    segmented: bool = False,
+    baseline_temperature: float = 37.0,
+    dt: float = 0.01,
+    frequency: float = 7e5,
+    tx_is_dome: bool = False,
+    extra_data: dict | None = None,
+):
+    """Run every DC/PRF/Duration combination of a thermal profile and
+    consolidate the per-combination results.
+
+    The reference's `CalculateThermalProcess`
+    (`Babel_Thermal/CalculateThermalProcess.py:54-123`): one BHTE run per
+    profile entry (optionally *concatenated* — each sonication seeds the next
+    run's initial temperature/dose, `prevSimulationResultsFile`), the
+    per-combination safety fields collected into ``AllData`` with an
+    ``Index`` array ``[DC, PRF, Duration, DurationOff, Isppa]`` per row, and
+    written to ``<base>_AllCombinations.h5`` (+ ``.mat``). Per-combination
+    ThermalField h5 files follow the `GetThermalOutName` contract.
+
+    Returns (results: list[ThermalResult], consolidated: dict).
+    """
+    from . import io as pio
+
+    all_cases = []
+    index = []
+    results = []
+    init_t = init_d = None
+    for params in combinations:
+        res = run_sonication(
+            p_amp,
+            p_amp_water,
+            material_map,
+            acoustic_materials,
+            dx,
+            target_ijk,
+            params,
+            ct_mode=ct_mode,
+            segmented=segmented,
+            baseline_temperature=baseline_temperature,
+            dt=dt,
+            initial_temperature=init_t,
+            initial_dose=init_d,
+            frequency=frequency,
+            tx_is_dome=tx_is_dome,
+        )
+        results.append(res)
+        if concatenate:
+            init_t, init_d = res.temperature_end, res.dose
+        n_mon = res.monitor.shape[-1]
+        sub = {
+            "TempProfileTarget": res.monitor[-1],
+            "TimeProfileTarget": np.arange(n_mon) * dt,
+            "p_map": np.asarray(p_amp)[p_amp.shape[0] // 2] * res.pressure_ratio,
+            "DurationUS": params.duration_on,
+            "DurationOff": params.duration_off,
+            "DutyCycle": params.duty_cycle,
+            "PRF": params.prf,
+            "BaselineTemperature": baseline_temperature,
+            "Repetitions": params.repetitions,
+            "NumberGroupedSonications": params.grouped_sonications,
+            "PauseBetweenGroupedSonications": params.pause_between_groups,
+        }
+        for k in ("MaxBrainPressure", "MaxIsppa", "MaxIspta", "TI", "TIC",
+                  "TIS", "Isppa", "Ispta", "MI"):
+            sub[k] = res.metrics[k]
+        all_cases.append(sub)
+        index.append([
+            params.duty_cycle, params.prf, params.duration_on,
+            params.duration_off, round(params.isppa, 1),
+        ])
+        if out_base is not None:
+            name = thermal_out_name(
+                out_base, params.duration_on, params.duration_off,
+                params.duty_cycle, params.isppa, params.prf,
+                params.repetitions,
+            )
+            per = dict(sub)
+            per.update(
+                FinalTemp=res.temperature_end,
+                FinalDose=res.dose,
+                TemperaturePoints=res.monitor,
+                RatioLosses=res.ratio_losses,
+                PressureRatio=res.pressure_ratio,
+                dt=dt,
+            )
+            pio.save_dict_h5(per, name + ".h5")
+
+    consolidated = {
+        "AllData": {str(i): c for i, c in enumerate(all_cases)},
+        "Index": np.asarray(index),
+        "MaterialMap": np.asarray(material_map),
+        "TargetLocation": np.asarray(target_ijk),
+        "dt": dt,
+    }
+    if extra_data:
+        consolidated.update(extra_data)
+    if out_base is not None:
+        pio.save_dict_h5(consolidated, out_base + "_AllCombinations.h5")
+        # .mat twin: AllData as a cell array of structs (digit field names
+        # are invalid in MATLAB)
+        mat_dict = dict(consolidated)
+        mat_dict["AllData"] = np.asarray(all_cases, dtype=object)
+        save_thermal_mat(out_base + "_AllCombinations.mat", mat_dict)
+    return results, consolidated
+
+
 def thermal_out_name(
     base: str,
     duration_on: float,

@@ -180,6 +180,60 @@ class TestThermalExports:
         text = open(f).read()
         assert "TIC" in text and "0.25" in text and "30" in text
 
+    def test_run_all_combinations(self, tmp_path):
+        """Profile loop + consolidation (`CalculateThermalProcess.py:54-123`):
+        per-combination ThermalField h5s, _AllCombinations.h5/.mat, and
+        thermal concatenation chaining initial temperature/dose."""
+        import os
+
+        from babelbrain_tpu.materials import material_array
+        from babelbrain_tpu.pipeline.io import load_dict_h5
+        from babelbrain_tpu.pipeline.thermal import (
+            SonicationParams,
+            run_all_combinations,
+        )
+
+        shape = (24, 24, 32)
+        mm = np.zeros(shape, np.uint8)
+        mm[:, :, 8:10] = 1   # skin
+        mm[:, :, 10:12] = 2  # cortical
+        mm[:, :, 12:14] = 3  # trabecular
+        mm[:, :, 14:] = 4    # brain
+        mats = material_array(
+            5e5, ("Water", "Skin", "Cortical", "Trabecular", "Brain")
+        )
+        ii, jj, kk = np.mgrid[:24, :24, :32].astype(float)
+        blob = np.exp(-(((ii - 12) ** 2 + (jj - 12) ** 2) / 8.0
+                        + ((kk - 22) ** 2) / 18.0))
+        p = (1e5 * blob).astype(np.float32)
+        pw = (1.2e5 * blob).astype(np.float32)
+        combos = [
+            SonicationParams(duration_on=1.0, duration_off=0.5,
+                             duty_cycle=0.5, prf=100.0, isppa=8.0),
+            SonicationParams(duration_on=2.0, duration_off=0.5,
+                             duty_cycle=0.3, prf=10.0, isppa=8.0),
+        ]
+        base = str(tmp_path / "tcase")
+        res, cons = run_all_combinations(
+            p, pw, mm, mats, 1e-3, (12, 12, 22), combos,
+            out_base=base, concatenate=True,
+        )
+        assert len(res) == 2
+        assert cons["Index"].shape == (2, 5)
+        np.testing.assert_allclose(cons["Index"][1], [0.3, 10.0, 2.0, 0.5, 8.0])
+        assert set(cons["AllData"]) == {"0", "1"}
+        assert cons["AllData"]["1"]["TI"] >= 0
+        # concatenation: the second run starts from the first's end state,
+        # so its monitored target temperature starts above baseline
+        assert res[1].monitor[-1][0] > 37.0 + 0.5 * (res[0].monitor[-1][-1] - 37.0) - 0.3
+        assert os.path.isfile(base + "_AllCombinations.h5")
+        assert os.path.isfile(base + "_AllCombinations.mat")
+        blob5 = load_dict_h5(base + "_AllCombinations.h5")
+        assert "AllData" in blob5 and "Index" in blob5
+        # per-combination files follow the GetThermalOutName contract
+        per = [f for f in os.listdir(tmp_path) if "ThermalField-Duration" in f]
+        assert len(per) == 2
+
     def test_rescale_isppa(self):
         from babelbrain_tpu.pipeline.thermal import ThermalResult, rescale_isppa
 
