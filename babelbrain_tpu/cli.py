@@ -31,7 +31,27 @@ def _cmd_run(args):
         trajectory_target_direction,
     )
 
-    labels = load_nifti(args.labels)
+    if args.labels.endswith(".msh"):
+        # SimNIBS head model: rasterize tetrahedra to 1 mm charm labels
+        # (the reference's MeshConv subprocess, `BabelDatasetPreps.py:307`)
+        from .pipeline.simnibs import msh_to_labels, read_msh
+
+        nodes, _ = read_msh(args.labels)
+        lo = np.floor(nodes.min(0)) - 1
+        shape = tuple((np.ceil(nodes.max(0)) - lo + 2).astype(int))
+        aff = np.eye(4)
+        aff[:3, 3] = lo
+
+        class _Img:
+            affine = aff
+
+            @staticmethod
+            def get_fdata():
+                return msh_to_labels(args.labels, aff, shape)
+
+        labels = _Img()
+    else:
+        labels = load_nifti(args.labels)
     if args.trajectory:
         _, m = read_trajectory_brainsight(args.trajectory)
         target, direction = trajectory_target_direction(m)
