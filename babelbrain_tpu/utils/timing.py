@@ -27,6 +27,12 @@ def stage_timer(label: str, level: int = 2, step: int | None = None, quiet=False
         _SPANS.append((tag, dt))
         if not quiet:
             print(f"{tag} took {dt:.3f} s")
+        try:
+            from .telemetry import get_telemetry
+
+            get_telemetry().event(tag, duration_s=dt)
+        except Exception:
+            pass  # telemetry must never break the pipeline
 
 
 def recorded_spans():
