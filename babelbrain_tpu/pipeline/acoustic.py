@@ -98,9 +98,19 @@ def _source_for_steering(
     steering_target=None,
     element_weights=None,
 ):
-    """Element programming + forward Rayleigh + source plane (S2/S3)."""
+    """Element programming + forward Rayleigh + source plane (S2/S3).
+
+    Env hook ``BBT_AVOID_PHASE_PROGRAMMING=1`` disables element phase
+    programming (all elements driven in phase) — the reference's
+    ``BABEL_AVOID_PHASE_PROGRAMING`` test hook
+    (`BabelIntegrationANNULAR_ARRAY.py:389`).
+    """
+    import os
+
     k_water = 2 * np.pi * dom.frequency / dom.materials[0, 1]
     programming = None
+    if os.environ.get("BBT_AVOID_PHASE_PROGRAMMING") == "1":
+        steering_target = None
     if steering_target is not None:
         programming = steering_phases(k_water, tx.elem_centers, steering_target)
         u0 = expand_element_weights(tx, programming) * source_amp_pa

@@ -122,6 +122,25 @@ LABEL_WATER, LABEL_SKIN, LABEL_CORTICAL, LABEL_TRABECULAR = 0, 1, 2, 3
 LABEL_BRAIN, LABEL_TARGET, LABEL_WM, LABEL_GM, LABEL_CSF = 4, 5, 6, 7, 8
 
 
+def _q_correction(mats: np.ndarray) -> np.ndarray:
+    """Env hook ``BBT_QCORRECTION=<float>``: scale the attenuation columns.
+
+    Counterpart of the reference's ``BABEL_PYTEST_QFACTOR`` override
+    (`BabelIntegrationBASE.py:1109-1111`), which rescales the Q-factor
+    correction applied to its relaxation model. Our SLS is tuned exactly at
+    the carrier so the correction is identically 1 by design; the hook lets
+    attenuation-sensitivity tests scale it without editing material tables.
+    """
+    import os
+
+    q = os.environ.get("BBT_QCORRECTION")
+    if q:
+        mats = mats.copy()
+        mats[:, 3] *= float(q)
+        mats[:, 4] *= float(q)
+    return mats
+
+
 def build_label_materials(frequency: float, segmented: bool, no_shear=False):
     """Label-mode material table: water, skin, cortical, trabecular, brain
     (+WM, GM, CSF) — `BabelIntegrationBASE.py:1357-1377`.
@@ -145,7 +164,7 @@ def build_label_materials(frequency: float, segmented: bool, no_shear=False):
     if no_shear:
         mats[:, 2] = 0.0
         mats[:, 4] = 0.0
-    return mats
+    return _q_correction(mats)
 
 
 AIR_MATERIAL = np.array([1.2, 343.0, 0.0, 30.0, 0.0])
@@ -180,7 +199,7 @@ def build_ct_materials(
             "material (extreme impedance contrast is unstable on the grid); "
             "pass reflector_mask to run_fdtd / air_mask to build_domain"
         )
-    return np.concatenate([soft, skull])
+    return _q_correction(np.concatenate([soft, skull]))
 
 
 def remap_labels(
@@ -300,6 +319,22 @@ def build_domain(
     extent = (np.array(shape) - 2 * npml) * dx
     n_steps = simulation_steps(extent, materials[0, 1], dt, ppp)
     n_steps += int(np.round(extra_steps_cycles * ppp))
+
+    # env hook ``BBT_SEL_MASK=<path>``: dump the assembled simulation-region
+    # debug volume (the reference's ``BABELBRAIN_SEL_MASK``,
+    # `BabelIntegrationBASE.py:2127-2151`)
+    import os
+
+    sel_path = os.environ.get("BBT_SEL_MASK")
+    if sel_path:
+        np.savez_compressed(
+            sel_path if sel_path.endswith(".npz") else sel_path + ".npz",
+            material_map=mat_map,
+            focal_idx=np.asarray(focal_idx),
+            offsets=np.array((xl, xr, yl, yr, zl, zr)),
+            source_z=src_z,
+            dx=dx,
+        )
     return Domain(
         material_map=mat_map,
         materials=np.asarray(materials, np.float64),

@@ -134,6 +134,7 @@ def generate_mask(
     hu_threshold: float = 300.0,
     hu_cap: float = 2100.0,
     ct_quantification_bits: int = 10,
+    bone_rim_correction: bool = False,
     focus_frac: float | None = None,
 ) -> Step1Result:
     """Build the simulation-label volume on the trajectory-aligned grid.
@@ -261,12 +262,65 @@ def generate_mask(
             bone_ct = im.largest_component(bone_ct)
         # constrain to the label-derived bone region
         bone_region = (mask == LABELS["cortical"]) | (mask == LABELS["trabecular"])
+        if bone_rim_correction:
+            # partial-volume rim fix before quantization (`:935-1017`)
+            ct = maximize_bone_rim(ct, bone_region, voxels_per_mm=1.0 / dx_mm)
         uhu, ct_idx = quantize_hu(ct, bone_region, bits=ct_quantification_bits)
         air = (ct > -1200) & (ct < -400)
         result.ct_index = ct_idx
         result.unique_hu = uhu
         result.air_mask = air
     return result
+
+
+def maximize_bone_rim(
+    ct: np.ndarray,
+    bone_mask: np.ndarray,
+    voxels_per_mm: float,
+    interior_threshold: float = 800.0,
+    max_boost: float = 1000.0,
+) -> np.ndarray:
+    """Partial-volume edge correction: boost rim HU toward interior bone.
+
+    Capability of the reference's ``bMaximizeBoneRim`` option
+    (`BabelBrain/BabelDatasetPreps.py:935-1017`): CT voxels at the bone
+    boundary read artificially low because of partial-volume averaging with
+    soft tissue, which under-estimates skull attenuation/SoS. The fix blends
+    each edge voxel (bone mask minus its erosion by a ~1 mm structure)
+    toward a locally Gaussian-averaged interior-bone mean, weighted by
+    exp(-d/scale) where d is the Euclidean distance to the eroded interior;
+    the boost is clamped to ``max_boost`` HU and never lowers a value more
+    than the blend itself. Returns a corrected copy of ``ct``.
+
+    Host-side (scipy) like the rest of Step-1 preprocessing; runs once per
+    case on a ~10^7-voxel grid.
+    """
+    from scipy import ndimage
+
+    r = int(round(voxels_per_mm))
+    if r % 2 == 0:
+        r += 1
+    r = max(r, 3)
+    bone_mask = bone_mask.astype(bool)
+    interior = ndimage.binary_erosion(bone_mask, structure=np.ones((r, r, r)))
+    interior_val = bone_mask & (ct >= interior_threshold)
+    if not interior_val.any():
+        return ct
+    global_mean = float(ct[interior_val].mean())
+    dist = ndimage.distance_transform_edt(~interior)
+    edge = bone_mask & ~interior
+    if not edge.any():
+        return ct
+    weights = np.exp(-dist[edge] / (r / 2.0))
+    blur_i = ndimage.gaussian_filter(ct * interior_val, sigma=r)
+    blur_m = ndimage.gaussian_filter(interior_val.astype(np.float32), sigma=r)
+    local_mean = np.where(blur_m > 1e-6, blur_i / np.maximum(blur_m, 1e-6),
+                          global_mean)
+    orig = ct[edge]
+    delta = np.clip(weights * (local_mean[edge] - orig), None, max_boost)
+    out = ct.copy()
+    out[edge] = orig + delta
+    return out
 
 
 def export_surface_meshes(

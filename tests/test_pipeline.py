@@ -193,6 +193,33 @@ class TestStep1Phantom:
         assert np.median(vals) > 800
 
 
+    def test_maximize_bone_rim(self):
+        """Partial-volume rim fix (`BabelDatasetPreps.py:935-1017`): low-HU
+        bone-edge voxels are boosted toward the interior mean, interior and
+        non-bone voxels are untouched, and the boost is capped."""
+        from babelbrain_tpu.pipeline.step1 import maximize_bone_rim
+
+        n = 40
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n]
+        r = np.sqrt((ii - 20.0) ** 2 + (jj - 20.0) ** 2 + (kk - 20.0) ** 2)
+        bone = (r > 8) & (r < 14)
+        ct = np.full((n, n, n), 40.0, np.float32)
+        ct[bone] = 1500.0
+        edge = bone & ((r < 9.5) | (r > 12.5))
+        ct[edge] = 500.0  # partial-volume-depressed rim
+        out = maximize_bone_rim(ct, bone, voxels_per_mm=3.0)
+        assert (out[edge] > 700.0).mean() > 0.9  # rim pulled up
+        assert out[edge].max() <= 1500.0 + 1e-3
+        interior = bone & ~edge
+        np.testing.assert_allclose(out[interior], ct[interior])
+        np.testing.assert_allclose(out[~bone], ct[~bone])
+        # boost clamp: a deep outlier cannot jump more than max_boost
+        ct2 = ct.copy()
+        sel = np.argwhere(edge)[0]
+        ct2[tuple(sel)] = 100.0
+        out2 = maximize_bone_rim(ct2, bone, voxels_per_mm=3.0, max_boost=200.0)
+        assert out2[tuple(sel)] <= 300.0 + 1e-3
+
     def test_export_surface_meshes(self, phantom, tmp_path):
         from babelbrain_tpu.ops.mesh import mesh_volume
         from babelbrain_tpu.ops.voxelize import read_stl
