@@ -90,6 +90,7 @@ def _cmd_run(args):
         steering=tuple(float(v) for v in args.steering.split(",")),
         do_refocus=args.refocus,
         segment_brain=args.segment_brain,
+        bone_rim_correction=args.bone_rim_correction,
         elem_centers=elem_centers,
         output_dir=args.out,
         prefix=args.prefix,
@@ -202,6 +203,11 @@ def main(argv=None):
         help="write skin/bone/csf surface STLs from the Step-1 labels",
     )
     r.add_argument("--segment-brain", action="store_true")
+    r.add_argument(
+        "--bone-rim-correction",
+        action="store_true",
+        help="boost partial-volume-depressed CT rim voxels (CT mode)",
+    )
     r.add_argument("--thermal", help="DC,PRF,DurOn,DurOff")
     r.add_argument("--thermal-profile", help="Thermal_Profile yaml")
     r.add_argument("--isppa", type=float, default=5.0)

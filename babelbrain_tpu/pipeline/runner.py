@@ -57,6 +57,7 @@ class CaseConfig:
     mapping_method: str = "Webb-Marsac"
     do_refocus: bool = False
     segment_brain: bool = False
+    bone_rim_correction: bool = False
     elem_centers: np.ndarray | None = None
     output_dir: str = "."
     prefix: str = "case"
@@ -107,6 +108,7 @@ def run_case(
         refocus=cfg.do_refocus,
         mapping=cfg.mapping_method,
         segment=cfg.segment_brain,
+        rim=cfg.bone_rim_correction,
         amp=cfg.source_amp_pa,
         mask_shape=tuple(mask_shape) if mask_shape else "auto",
     )
@@ -145,6 +147,7 @@ def run_case(
         freq=cfg.frequency,
         ppw=cfg.ppw,
         segment=cfg.segment_brain,
+        rim=cfg.bone_rim_correction,
         mask_shape=tuple(mask_shape) if mask_shape else "auto",
     )
     s1_cache = out_base + "_Step1.h5"
@@ -180,6 +183,7 @@ def run_case(
                 segment_brain_tissue=cfg.segment_brain,
                 ct_data=ct_data,
                 ct_affine=ct_affine,
+                bone_rim_correction=cfg.bone_rim_correction,
             )
             pio.save_nifti(
                 out_base + "_BabelViscoInput.nii.gz", s1.mask, s1.affine
