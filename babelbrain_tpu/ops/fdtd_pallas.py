@@ -172,11 +172,18 @@ def _x_cpml_apply(d, psi_lo_ref, psi_hi_ref, bxl, axl, bxh, axh):
 
 
 def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
-                            interpret=False):
+                            interpret=False, with_dft=True):
     """Return (vel_fn, press_fn) jitted pallas pipelines for one time step.
 
     ``profiles_np`` is the output of ``fdtd._build_cpml_profiles`` computed
     with numpy leaves. x-axis CPML is NOT handled here (jnp post-pass).
+
+    ``with_dft=False`` builds the **quiet-phase** pressure kernel: before
+    the sensor window opens (``grid.sensor_start``, = all but the last 2
+    cycles in production, `BabelIntegrationBASE.py:2108-2109`) the carrier
+    DFT and peak accumulators are masked to zero anyway, so the quiet
+    kernel simply doesn't stream them — 6 fewer full-volume HBM accesses
+    per step on ~95% of production timesteps.
     """
     N1, N2, N3 = grid.shape
     if N1 % nb:
@@ -339,20 +346,32 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     # ------------------------------------------------------------------
     # pressure kernel
     # ------------------------------------------------------------------
-    def press_kernel(
-        vx_ref, vy_ref, vz_ref, p_ref, r_ref,
-        piu_ref, crp_ref, br_ref,
-        acc_c_ref, acc_s_ref, peak_ref,
-        psi_vy_lo_ref, psi_vy_hi_ref, psi_vz_lo_ref, psi_vz_hi_ref,
-        ghost_lo_ref, ghost_hi_ref,
-        scal_ref,
-        cy_blo, cy_alo, cy_bhi, cy_ahi, cz_blo, cz_alo, cz_bhi, cz_ahi,
-        psix_lo_ref, psix_hi_ref, bxl, axl, bxh, axh,
-        op, orr, oacc_c, oacc_s, opeak,
-        opsi_vy_lo, opsi_vy_hi, opsi_vz_lo, opsi_vz_hi,
-        opsix_lo, opsix_hi,
-        ring, tail,
-    ):
+    def press_kernel(*refs):
+        it = iter(refs)
+        vx_ref, vy_ref, vz_ref, p_ref, r_ref = (next(it) for _ in range(5))
+        piu_ref, crp_ref, br_ref = (next(it) for _ in range(3))
+        if with_dft:
+            acc_c_ref, acc_s_ref, peak_ref = (next(it) for _ in range(3))
+        psi_vy_lo_ref, psi_vy_hi_ref, psi_vz_lo_ref, psi_vz_hi_ref = (
+            next(it) for _ in range(4)
+        )
+        ghost_lo_ref, ghost_hi_ref = next(it), next(it)
+        if with_dft:
+            scal_ref = next(it)
+        (cy_blo, cy_alo, cy_bhi, cy_ahi, cz_blo, cz_alo, cz_bhi, cz_ahi) = (
+            next(it) for _ in range(8)
+        )
+        psix_lo_ref, psix_hi_ref, bxl, axl, bxh, axh = (
+            next(it) for _ in range(6)
+        )
+        op, orr = next(it), next(it)
+        if with_dft:
+            oacc_c, oacc_s, opeak = (next(it) for _ in range(3))
+        opsi_vy_lo, opsi_vy_hi, opsi_vz_lo, opsi_vz_hi = (
+            next(it) for _ in range(4)
+        )
+        opsix_lo, opsix_hi, ring, tail = (next(it) for _ in range(4))
+
         i = pl.program_id(0)
         incoming = vx_ref[...]
 
@@ -396,59 +415,78 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             else:
                 p_new = p_old - dt_dx * piu_ref[...] * theta
                 orr[...] = r_ref[...]
-            cosw = scal_ref[0, 0]
-            sinw = scal_ref[0, 1]
             op[...] = p_new
-            oacc_c[...] = acc_c_ref[...] + p_new * cosw
-            oacc_s[...] = acc_s_ref[...] + p_new * sinw
-            opeak[...] = jnp.maximum(peak_ref[...], jnp.abs(p_new) * (cosw * cosw + sinw * sinw > 0))
+            if with_dft:
+                cosw = scal_ref[0, 0]
+                sinw = scal_ref[0, 1]
+                oacc_c[...] = acc_c_ref[...] + p_new * cosw
+                oacc_s[...] = acc_s_ref[...] + p_new * sinw
+                opeak[...] = jnp.maximum(
+                    peak_ref[...],
+                    jnp.abs(p_new) * (cosw * cosw + sinw * sinw > 0),
+                )
             opsi_vy_lo[...] = nvy_lo
             opsi_vy_hi[...] = nvy_hi
             opsi_vz_lo[...] = nvz_lo
             opsi_vz_hi[...] = nvz_hi
             tail[...] = w[nb : nb + 2]
 
-    press_call = pl.pallas_call(
-        press_kernel,
-        grid=(n_slabs + 1,),
-        in_specs=[
+    vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
+    n_acc = 3 if with_dft else 0
+    press_in_specs = (
+        [
             slab(cur),  # vx streamed
             slab(lag), slab(lag),  # vy, vz
             slab(lag), slab(lag),  # p, r
             slab(lag), slab(lag), slab(lag),  # piu, crp, br
-            slab(lag), slab(lag), slab(lag),  # acc_c, acc_s, peak
-            slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag),  # psi in
-            ghost_spec, ghost_spec,
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            coef_y, coef_y, coef_y, coef_y, coef_z, coef_z, coef_z, coef_z,
-            psix_lo_spec, psix_hi_spec,
-            coefx_lo, coefx_lo, coefx_hi, coefx_hi,
-        ],
-        out_specs=[
-            slab(lag), slab(lag), slab(lag), slab(lag), slab(lag),
-            slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag),
-            psix_lo_spec, psix_hi_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32),  # p
-            jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32),  # r
-            jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32),  # acc_c
-            jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32),  # acc_s
-            jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32),  # peak
+        ]
+        + [slab(lag)] * n_acc  # acc_c, acc_s, peak
+        + [slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag)]  # psi in
+        + [ghost_spec, ghost_spec]
+        + (
+            [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+            if with_dft else []
+        )
+        + [coef_y, coef_y, coef_y, coef_y, coef_z, coef_z, coef_z, coef_z]
+        + [psix_lo_spec, psix_hi_spec]
+        + [coefx_lo, coefx_lo, coefx_hi, coefx_hi]
+    )
+    press_out_specs = (
+        [slab(lag)] * (2 + n_acc)
+        + [slab_y(lag), slab_y(lag), slab_z(lag), slab_z(lag)]
+        + [psix_lo_spec, psix_hi_spec]
+    )
+    press_out_shape = (
+        [vol()] * (2 + n_acc)
+        + [
             jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
             jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
             jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
             jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
-            psix_shape, psix_shape,
-        ],
+        ]
+        + [psix_shape, psix_shape]
+    )
+    # aliases: p->p, r->r, [accs], psi y/z, psi x
+    psi_in0 = 8 + n_acc
+    psix_in0 = psi_in0 + 4 + 2 + (1 if with_dft else 0) + 8
+    press_aliases = {3: 0, 4: 1}
+    for a in range(n_acc):
+        press_aliases[8 + a] = 2 + a
+    for a in range(4):
+        press_aliases[psi_in0 + a] = 2 + n_acc + a
+    press_aliases[psix_in0] = 6 + n_acc
+    press_aliases[psix_in0 + 1] = 7 + n_acc
+    press_call = pl.pallas_call(
+        press_kernel,
+        grid=(n_slabs + 1,),
+        in_specs=press_in_specs,
+        out_specs=press_out_specs,
+        out_shape=press_out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, nb, N2, N3), jnp.float32),
             pltpu.VMEM((2, N2, N3), jnp.float32),
         ],
-        input_output_aliases={
-            3: 0, 4: 1, 8: 2, 9: 3, 10: 4, 11: 5, 12: 6, 13: 7, 14: 8,
-            26: 9, 27: 10,
-        },
+        input_output_aliases=press_aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -473,7 +511,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
 
 def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
-                           comm=None, interpret=False):
+                           comm=None, interpret=False, with_dft=True):
     """Build the complete per-timestep function for lax.scan.
 
     Carry layout: dict with fields (p, vx, vy, vz, r), psi blocks (y/z in
@@ -483,7 +521,9 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     x axis is domain-decomposed: 2-plane ghost exchanges feed the kernels'
     x-stencil windows and the x-CPML post-passes are masked to the global
     edge shards. ``interpret=True`` runs the kernels in pallas interpret
-    mode (CPU-mesh testing).
+    mode (CPU-mesh testing). ``with_dft=False`` builds the quiet-phase step
+    (pre-sensor-window): the DFT/peak accumulators pass through the carry
+    untouched instead of streaming through the kernel.
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
@@ -492,7 +532,8 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     zsrc = grid.source_plane_z
 
     vel_call, press_call, kcoefs = build_fluid_pallas_step(
-        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
     )
     if comm is None:
         from ..parallel.halo import DomainComm
@@ -540,26 +581,40 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         )
 
         # ---- pressure kernel (x-CPML fused in) ----
-        in_window = (n >= grid.sensor_start).astype(jnp.float32)
-        cosw = jnp.cos(omega * t) * in_window
-        sinw = jnp.sin(omega * t) * in_window
-        scal = jnp.stack([cosw, sinw]).reshape(1, 2)
         gv_lo, gv_hi = comm.ghosts(vx)
-        (
-            p_new, r_new, acc_c, acc_s, peak,
-            psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi,
-            psix_v_lo, psix_v_hi,
-        ) = press_call(
+        if with_dft:
+            in_window = (n >= grid.sensor_start).astype(jnp.float32)
+            cosw = jnp.cos(omega * t) * in_window
+            sinw = jnp.sin(omega * t) * in_window
+            scal = jnp.stack([cosw, sinw]).reshape(1, 2)
+            acc_args = (s["acc_cos"], s["acc_sin"], s["peak"])
+            scal_args = (scal,)
+        else:
+            acc_args = scal_args = ()
+        outs = press_call(
             vx, vy, vz, f["p"], f["r"],
             pr["pi_u"], pr["c_rp"], pr["b_r"],
-            s["acc_cos"], s["acc_sin"], s["peak"],
+            *acc_args,
             s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
             gv_lo, gv_hi,
-            scal,
+            *scal_args,
             *kcoefs["y_int"], *kcoefs["z_int"],
             s["psix_v_lo"], s["psix_v_hi"],
             bxi_lo, axi_lo * is_first, bxi_hi, axi_hi * is_last,
         )
+        if with_dft:
+            (
+                p_new, r_new, acc_c, acc_s, peak,
+                psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi,
+                psix_v_lo, psix_v_hi,
+            ) = outs
+        else:
+            (
+                p_new, r_new,
+                psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi,
+                psix_v_lo, psix_v_hi,
+            ) = outs
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
 
         new_carry = dict(
             s,
@@ -583,11 +638,21 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
 
     With ``comm`` the first axis of every (N1, ...) array is the LOCAL shard
     extent (call under shard_map with grid.shape set to the local shape).
+
+    Two scan phases: steps before ``grid.sensor_start`` use the quiet
+    kernels (no DFT/peak streaming — bit-identical because the window mask
+    zeroes those updates anyway), the rest use the accumulating kernels.
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
     step = make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
                                   comm=comm, interpret=interpret)
+    n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
+    step_quiet = (
+        make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
+                               comm=comm, interpret=interpret, with_dft=False)
+        if n_quiet > 0 else None
+    )
     px_planes = (-(-ns // nb) + 1) * nb  # in-kernel x-CPML block count
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
@@ -607,7 +672,11 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
         "src_cph": jnp.cos(src_phase)[:, :, None],
         "src_sph": jnp.sin(src_phase)[:, :, None],
     }
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
+    if n_quiet > 0:
+        carry, _ = jax.lax.scan(step_quiet, carry, jnp.arange(n_quiet))
+    carry, _ = jax.lax.scan(
+        step, carry, jnp.arange(n_quiet, grid.n_steps)
+    )
     return carry["acc_cos"], carry["acc_sin"], carry["peak"]
 
 
@@ -617,15 +686,19 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
 
 
 def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
-                            interpret=False):
+                            interpret=False, with_dft=True):
     """Streaming-slab kernels for the full velocity-stress system.
 
     Same architecture as the fluid pair: x-slabs stream with VMEM rings for
     every array whose x-derivative is needed (3 per kernel), y/z CPML
-    in-kernel, x-CPML via the linear jnp post-pass in
-    ``make_visco_pallas_step``.
+    in-kernel, x-CPML fused in via clamped psi blocks. A velocity_plane
+    CW source is fused into the velocity kernel (no jnp vz post-pass).
+    ``with_dft=False`` builds the quiet-phase stress kernel that skips the
+    DFT/peak accumulator streams (see build_fluid_pallas_step).
     """
     N1, N2, N3 = grid.shape
+    fuse_src = grid.source_type == "velocity_plane"
+    zsrc = grid.source_plane_z
     if N1 % nb or nb < 2:
         raise ValueError(f"N1={N1} must be divisible by slab size {nb} >= 2")
     ns = grid.npml + 2
@@ -685,25 +758,43 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     # ------------------------------------------------------------------
     # velocity kernel: streams sxx, sxy, sxz
     # ------------------------------------------------------------------
-    def vel_kernel(
-        sxx_ref, sxy_ref, sxz_ref,
-        syy_ref, szz_ref, syz_ref, vx_ref, vy_ref, vz_ref, rho_ref,
-        p_sxyy_lo, p_sxyy_hi, p_syyy_lo, p_syyy_hi, p_syzy_lo, p_syzy_hi,
-        p_sxzz_lo, p_sxzz_hi, p_syzz_lo, p_syzz_hi, p_szzz_lo, p_szzz_hi,
-        g_xx_lo, g_xx_hi, g_xy_lo, g_xy_hi, g_xz_lo, g_xz_hi,
-        cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
-        czh_blo, czh_alo, czh_bhi, czh_ahi,
-        cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
-        czi_blo, czi_alo, czi_bhi, czi_ahi,
-        px_sxx_lo, px_sxx_hi, px_sxy_lo, px_sxy_hi, px_sxz_lo, px_sxz_hi,
-        cxh_blo, cxh_alo, cxh_bhi, cxh_ahi,
-        cxi_blo, cxi_alo, cxi_bhi, cxi_ahi,
-        ovx, ovy, ovz,
-        o_sxyy_lo, o_sxyy_hi, o_syyy_lo, o_syyy_hi, o_syzy_lo, o_syzy_hi,
-        o_sxzz_lo, o_sxzz_hi, o_syzz_lo, o_syzz_hi, o_szzz_lo, o_szzz_hi,
-        ox_sxx_lo, ox_sxx_hi, ox_sxy_lo, ox_sxy_hi, ox_sxz_lo, ox_sxz_hi,
-        ring_xx, ring_xy, ring_xz, tail_xx, tail_xy, tail_xz,
-    ):
+    def vel_kernel(*refs):
+        it = iter(refs)
+        sxx_ref, sxy_ref, sxz_ref = (next(it) for _ in range(3))
+        syy_ref, szz_ref, syz_ref, vx_ref, vy_ref, vz_ref, rho_ref = (
+            next(it) for _ in range(7)
+        )
+        (p_sxyy_lo, p_sxyy_hi, p_syyy_lo, p_syyy_hi, p_syzy_lo, p_syzy_hi,
+         p_sxzz_lo, p_sxzz_hi, p_syzz_lo, p_syzz_hi, p_szzz_lo,
+         p_szzz_hi) = (next(it) for _ in range(12))
+        g_xx_lo, g_xx_hi, g_xy_lo, g_xy_hi, g_xz_lo, g_xz_hi = (
+            next(it) for _ in range(6)
+        )
+        if fuse_src:
+            amp_ref, cph_ref, sph_ref, tsrc_ref = (
+                next(it) for _ in range(4)
+            )
+        (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
+         czh_blo, czh_alo, czh_bhi, czh_ahi,
+         cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
+         czi_blo, czi_alo, czi_bhi, czi_ahi) = (
+            next(it) for _ in range(16)
+        )
+        (px_sxx_lo, px_sxx_hi, px_sxy_lo, px_sxy_hi, px_sxz_lo,
+         px_sxz_hi) = (next(it) for _ in range(6))
+        (cxh_blo, cxh_alo, cxh_bhi, cxh_ahi,
+         cxi_blo, cxi_alo, cxi_bhi, cxi_ahi) = (
+            next(it) for _ in range(8)
+        )
+        ovx, ovy, ovz = (next(it) for _ in range(3))
+        (o_sxyy_lo, o_sxyy_hi, o_syyy_lo, o_syyy_hi, o_syzy_lo, o_syzy_hi,
+         o_sxzz_lo, o_sxzz_hi, o_syzz_lo, o_syzz_hi, o_szzz_lo,
+         o_szzz_hi) = (next(it) for _ in range(12))
+        (ox_sxx_lo, ox_sxx_hi, ox_sxy_lo, ox_sxy_hi, ox_sxz_lo,
+         ox_sxz_hi) = (next(it) for _ in range(6))
+        ring_xx, ring_xy, ring_xz, tail_xx, tail_xy, tail_xz = (
+            next(it) for _ in range(6)
+        )
         i = pl.program_id(0)
         in_xx = sxx_ref[...]
         in_xy = sxy_ref[...]
@@ -763,7 +854,20 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             rho_inv = rho_ref[...]
             ovx[...] = vx_ref[...] + dt_dx * rho_inv * (dsxx_x + dsxy_y + dsxz_z)
             ovy[...] = vy_ref[...] + dt_dx * rho_inv * (dsxy_x + dsyy_y + dsyz_z)
-            ovz[...] = vz_ref[...] + dt_dx * rho_inv * (dsxz_x + dsyz_y + dszz_z)
+            vz_new = vz_ref[...] + dt_dx * rho_inv * (dsxz_x + dsyz_y + dszz_z)
+            if fuse_src:
+                # CW plane source fused in (no jnp vz post-pass):
+                # sin(wt + ph) = sin(wt)cos(ph) + cos(wt)sin(ph)
+                amp = amp_ref[...]
+                sval = (
+                    tsrc_ref[0, 0] * cph_ref[...]
+                    + tsrc_ref[0, 1] * sph_ref[...]
+                )
+                z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+                on_src = (z_iota == zsrc) & (amp > 0)
+                ovz[...] = jnp.where(on_src, sval * amp, vz_new)
+            else:
+                ovz[...] = vz_new
             o_sxyy_lo[...] = n_sxyy_lo
             o_sxyy_hi[...] = n_sxyy_hi
             o_syyy_lo[...] = n_syyy_lo
@@ -780,6 +884,17 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             tail_xy[...] = w_xy[nb : nb + 2]
             tail_xz[...] = w_xz[nb : nb + 2]
 
+    plane = lambda: pl.BlockSpec((nb, N2, 1), lag, memory_space=pltpu.VMEM)
+    smem2 = lambda: pl.BlockSpec(
+        (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    src_specs = [plane(), plane(), plane(), smem2()] if fuse_src else []
+    vel_psix_in0 = 3 + 7 + 12 + 6 + len(src_specs) + 16
+    vel_aliases = {6: 0, 7: 1, 8: 2}  # vx, vy, vz
+    for a in range(12):  # psi y + z
+        vel_aliases[10 + a] = 3 + a
+    for a in range(6):  # psi x
+        vel_aliases[vel_psix_in0 + a] = 15 + a
     vel_call = pl.pallas_call(
         vel_kernel,
         grid=(n_slabs + 1,),
@@ -789,6 +904,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             + [slab_y(lag)] * 6
             + [slab_z(lag)] * 6
             + [ghost_spec] * 6
+            + src_specs
             + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
             + [psix_lo_spec, psix_hi_spec] * 3
             + [coefx_lo, coefx_lo, coefx_hi, coefx_hi] * 2
@@ -805,12 +921,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         ),
         scratch_shapes=[pltpu.VMEM((2, nb, N2, N3), jnp.float32)] * 3
         + [pltpu.VMEM((2, N2, N3), jnp.float32)] * 3,
-        input_output_aliases={
-            6: 0, 7: 1, 8: 2,  # vx, vy, vz
-            10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,  # psi y
-            16: 9, 17: 10, 18: 11, 19: 12, 20: 13, 21: 14,  # psi z
-            44: 15, 45: 16, 46: 17, 47: 18, 48: 19, 49: 20,  # psi x
-        },
+        input_output_aliases=vel_aliases,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
@@ -818,31 +929,54 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     # ------------------------------------------------------------------
     # stress kernel: streams vx, vy, vz
     # ------------------------------------------------------------------
-    def stress_kernel(
-        vx_ref, vy_ref, vz_ref,
-        sxx_ref, syy_ref, szz_ref, sxy_ref, sxz_ref, syz_ref,
-        rxx_ref, ryy_ref, rzz_ref, rxy_ref, rxz_ref, ryz_ref,
-        piu_ref, muu_ref, crp_ref, crs_ref, br_ref,
-        acc_c_ref, acc_s_ref, peak_ref,
-        p_vyy_lo, p_vyy_hi, p_vxy_lo, p_vxy_hi, p_vzy_lo, p_vzy_hi,
-        p_vzz_lo, p_vzz_hi, p_vxz_lo, p_vxz_hi, p_vyz_lo, p_vyz_hi,
-        g_x_lo, g_x_hi, g_y_lo, g_y_hi, g_z_lo, g_z_hi,
-        scal_ref,
-        cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
-        czh_blo, czh_alo, czh_bhi, czh_ahi,
-        cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
-        czi_blo, czi_alo, czi_bhi, czi_ahi,
-        px_vx_lo, px_vx_hi, px_vy_lo, px_vy_hi, px_vz_lo, px_vz_hi,
-        xh_blo, xh_alo, xh_bhi, xh_ahi,
-        xi_blo, xi_alo, xi_bhi, xi_ahi,
-        osxx, osyy, oszz, osxy, osxz, osyz,
-        orxx, oryy, orzz, orxy, orxz, oryz,
-        oacc_c, oacc_s, opeak,
-        o_vyy_lo, o_vyy_hi, o_vxy_lo, o_vxy_hi, o_vzy_lo, o_vzy_hi,
-        o_vzz_lo, o_vzz_hi, o_vxz_lo, o_vxz_hi, o_vyz_lo, o_vyz_hi,
-        ox_vx_lo, ox_vx_hi, ox_vy_lo, ox_vy_hi, ox_vz_lo, ox_vz_hi,
-        ring_x, ring_y, ring_z, tail_x, tail_y, tail_z,
-    ):
+    def stress_kernel(*refs):
+        it = iter(refs)
+        vx_ref, vy_ref, vz_ref = (next(it) for _ in range(3))
+        sxx_ref, syy_ref, szz_ref, sxy_ref, sxz_ref, syz_ref = (
+            next(it) for _ in range(6)
+        )
+        rxx_ref, ryy_ref, rzz_ref, rxy_ref, rxz_ref, ryz_ref = (
+            next(it) for _ in range(6)
+        )
+        piu_ref, muu_ref, crp_ref, crs_ref, br_ref = (
+            next(it) for _ in range(5)
+        )
+        if with_dft:
+            acc_c_ref, acc_s_ref, peak_ref = (next(it) for _ in range(3))
+        (p_vyy_lo, p_vyy_hi, p_vxy_lo, p_vxy_hi, p_vzy_lo, p_vzy_hi,
+         p_vzz_lo, p_vzz_hi, p_vxz_lo, p_vxz_hi, p_vyz_lo, p_vyz_hi) = (
+            next(it) for _ in range(12)
+        )
+        g_x_lo, g_x_hi, g_y_lo, g_y_hi, g_z_lo, g_z_hi = (
+            next(it) for _ in range(6)
+        )
+        if with_dft:
+            scal_ref = next(it)
+        (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
+         czh_blo, czh_alo, czh_bhi, czh_ahi,
+         cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
+         czi_blo, czi_alo, czi_bhi, czi_ahi) = (
+            next(it) for _ in range(16)
+        )
+        px_vx_lo, px_vx_hi, px_vy_lo, px_vy_hi, px_vz_lo, px_vz_hi = (
+            next(it) for _ in range(6)
+        )
+        (xh_blo, xh_alo, xh_bhi, xh_ahi,
+         xi_blo, xi_alo, xi_bhi, xi_ahi) = (next(it) for _ in range(8))
+        osxx, osyy, oszz, osxy, osxz, osyz = (next(it) for _ in range(6))
+        orxx, oryy, orzz, orxy, orxz, oryz = (next(it) for _ in range(6))
+        if with_dft:
+            oacc_c, oacc_s, opeak = (next(it) for _ in range(3))
+        (o_vyy_lo, o_vyy_hi, o_vxy_lo, o_vxy_hi, o_vzy_lo, o_vzy_hi,
+         o_vzz_lo, o_vzz_hi, o_vxz_lo, o_vxz_hi, o_vyz_lo, o_vyz_hi) = (
+            next(it) for _ in range(12)
+        )
+        ox_vx_lo, ox_vx_hi, ox_vy_lo, ox_vy_hi, ox_vz_lo, ox_vz_hi = (
+            next(it) for _ in range(6)
+        )
+        ring_x, ring_y, ring_z, tail_x, tail_y, tail_z = (
+            next(it) for _ in range(6)
+        )
         i = pl.program_id(0)
         in_x = vx_ref[...]
         in_y = vy_ref[...]
@@ -940,9 +1074,6 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             sxz_n, rxz_n = shear(sxz_ref[...], rxz_ref[...], dvx_z + dvz_x)
             syz_n, ryz_n = shear(syz_ref[...], ryz_ref[...], dvy_z + dvz_y)
 
-            pressure = -(sxx_n + syy_n + szz_n) * (1.0 / 3.0)
-            cosw = scal_ref[0, 0]
-            sinw = scal_ref[0, 1]
             osxx[...] = sxx_n
             osyy[...] = syy_n
             oszz[...] = szz_n
@@ -955,12 +1086,16 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             orxy[...] = rxy_n
             orxz[...] = rxz_n
             oryz[...] = ryz_n
-            oacc_c[...] = acc_c_ref[...] + pressure * cosw
-            oacc_s[...] = acc_s_ref[...] + pressure * sinw
-            opeak[...] = jnp.maximum(
-                peak_ref[...],
-                jnp.abs(pressure) * (cosw * cosw + sinw * sinw > 0),
-            )
+            if with_dft:
+                pressure = -(sxx_n + syy_n + szz_n) * (1.0 / 3.0)
+                cosw = scal_ref[0, 0]
+                sinw = scal_ref[0, 1]
+                oacc_c[...] = acc_c_ref[...] + pressure * cosw
+                oacc_s[...] = acc_s_ref[...] + pressure * sinw
+                opeak[...] = jnp.maximum(
+                    peak_ref[...],
+                    jnp.abs(pressure) * (cosw * cosw + sinw * sinw > 0),
+                )
             o_vyy_lo[...] = n_vyy_lo
             o_vyy_hi[...] = n_vyy_hi
             o_vxy_lo[...] = n_vxy_lo
@@ -977,6 +1112,20 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             tail_y[...] = w_y[nb : nb + 2]
             tail_z[...] = w_z[nb : nb + 2]
 
+    n_acc = 3 if with_dft else 0
+    s_psi_in0 = 20 + n_acc
+    s_psix_in0 = s_psi_in0 + 12 + 6 + (1 if with_dft else 0) + 16
+    stress_aliases = {}
+    for a in range(6):  # stresses
+        stress_aliases[3 + a] = a
+    for a in range(6):  # memory vars
+        stress_aliases[9 + a] = 6 + a
+    for a in range(n_acc):  # accs, peak
+        stress_aliases[20 + a] = 12 + a
+    for a in range(12):  # psi y + z
+        stress_aliases[s_psi_in0 + a] = 12 + n_acc + a
+    for a in range(6):  # psi x
+        stress_aliases[s_psix_in0 + a] = 24 + n_acc + a
     stress_call = pl.pallas_call(
         stress_kernel,
         grid=(n_slabs + 1,),
@@ -985,34 +1134,27 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             + [slab(lag)] * 6        # stresses
             + [slab(lag)] * 6        # memory vars
             + [slab(lag)] * 5        # props
-            + [slab(lag)] * 3        # acc_c, acc_s, peak
+            + [slab(lag)] * n_acc    # acc_c, acc_s, peak
             + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
             + [ghost_spec] * 6
-            + [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+            + ([smem2()] if with_dft else [])
             + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
             + [psix_lo_spec, psix_hi_spec] * 3
             + [coefx_lo, coefx_lo, coefx_hi, coefx_hi] * 2
         ),
         out_specs=(
-            [slab(lag)] * 15 + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
+            [slab(lag)] * (12 + n_acc) + [slab_y(lag)] * 6 + [slab_z(lag)] * 6
             + [psix_lo_spec, psix_hi_spec] * 3
         ),
         out_shape=(
-            [jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)] * 15
+            [jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)] * (12 + n_acc)
             + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
             + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
             + [psix_shape] * 6
         ),
         scratch_shapes=[pltpu.VMEM((2, nb, N2, N3), jnp.float32)] * 3
         + [pltpu.VMEM((2, N2, N3), jnp.float32)] * 3,
-        input_output_aliases={
-            3: 0, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5,       # stresses
-            9: 6, 10: 7, 11: 8, 12: 9, 13: 10, 14: 11,  # memory vars
-            20: 12, 21: 13, 22: 14,                      # accs, peak
-            23: 15, 24: 16, 25: 17, 26: 18, 27: 19, 28: 20,  # psi y
-            29: 21, 30: 22, 31: 23, 32: 24, 33: 25, 34: 26,  # psi z
-            58: 27, 59: 28, 60: 29, 61: 30, 62: 31, 63: 32,  # psi x
-        },
+        input_output_aliases=stress_aliases,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
@@ -1030,21 +1172,25 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
 
 def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
-                           comm=None, interpret=False):
+                           comm=None, interpret=False, with_dft=True):
     """Complete viscoelastic per-timestep function (kernels + x-CPML post).
 
     ``comm`` domain-decomposes x (ghost planes into the kernels' stencil
     windows, x-CPML posts masked to the global edge shards, point source
     owned by one shard). ``interpret`` runs the kernels in interpret mode.
+    ``with_dft=False`` builds the quiet-phase step (pre-sensor-window, no
+    DFT/peak streaming).
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
     dt_dx = grid.dt / grid.dx
     omega = 2.0 * np.pi * grid.frequency
     zsrc = grid.source_plane_z
+    fuse_src = grid.source_type == "velocity_plane"
 
     vel_call, stress_call, kc = build_visco_pallas_step(
-        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
     )
     if comm is None:
         from ..parallel.halo import DomainComm
@@ -1065,17 +1211,32 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         xh_coefs = (bxh[0], bxh[1] * is_first, bxh[2], bxh[3] * is_last)
         xi_coefs = (bxi[0], bxi[1] * is_first, bxi[2], bxi[3] * is_last)
 
-        # ---- velocity kernel (x-CPML fused) ----
+        # ---- source scaling ----
+        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+        ramp = jnp.where(
+            n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
+        ).astype(jnp.float32)
+
+        # ---- velocity kernel (x-CPML + CW plane source fused) ----
         psi_v_in = [s[k] for k in _V_PSI_KEYS]
         gxx = comm.ghosts(f["sxx"])
         gxy = comm.ghosts(f["sxy"])
         gxz = comm.ghosts(f["sxz"])
+        if fuse_src:
+            scale = ramp * oz_scale
+            tsrc = jnp.stack(
+                [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
+            ).reshape(1, 2)
+            src_args = (s["src_amp3"], s["src_cph"], s["src_sph"], tsrc)
+        else:
+            src_args = ()
         outs = vel_call(
             f["sxx"], f["sxy"], f["sxz"],
             f["syy"], f["szz"], f["syz"], f["vx"], f["vy"], f["vz"],
             pr["rho_inv"],
             *psi_v_in,
             *gxx, *gxy, *gxz,
+            *src_args,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
             s["psi_sxxx_lo"], s["psi_sxxx_hi"],
             s["psi_sxyx_lo"], s["psi_sxyx_hi"],
@@ -1087,22 +1248,16 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
          n_sxzx_lo, n_sxzx_hi) = outs[15:21]
 
-        # ---- source injection ----
-        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
-        ramp = jnp.where(
-            n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
-        ).astype(jnp.float32)
-        if grid.source_type == "velocity_plane":
-            amp2d = s["src_amp"]
-            sval = amp2d * jnp.sin(omega * t + s["src_phase"]) * ramp * oz_scale
-            plane = vz[:, :, zsrc]
-            vz = vz.at[:, :, zsrc].set(jnp.where(amp2d > 0, sval, plane))
-
         # ---- stress kernel (x-CPML fused) ----
-        in_window = (n >= grid.sensor_start).astype(jnp.float32)
-        cosw = jnp.cos(omega * t) * in_window
-        sinw = jnp.sin(omega * t) * in_window
-        scal = jnp.stack([cosw, sinw]).reshape(1, 2)
+        if with_dft:
+            in_window = (n >= grid.sensor_start).astype(jnp.float32)
+            cosw = jnp.cos(omega * t) * in_window
+            sinw = jnp.sin(omega * t) * in_window
+            scal = jnp.stack([cosw, sinw]).reshape(1, 2)
+            acc_args = (s["acc_cos"], s["acc_sin"], s["peak"])
+            scal_args = (scal,)
+        else:
+            acc_args = scal_args = ()
         psi_s_in = [s[k] for k in _S_PSI_KEYS]
         gvx = comm.ghosts(vx)
         gvy = comm.ghosts(vy)
@@ -1112,10 +1267,10 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             f["sxx"], f["syy"], f["szz"], f["sxy"], f["sxz"], f["syz"],
             f["rxx"], f["ryy"], f["rzz"], f["rxy"], f["rxz"], f["ryz"],
             pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"], pr["b_r"],
-            s["acc_cos"], s["acc_sin"], s["peak"],
+            *acc_args,
             *psi_s_in,
             *gvx, *gvy, *gvz,
-            scal,
+            *scal_args,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
             s["psi_vxx_lo"], s["psi_vxx_hi"],
             s["psi_vyx_lo"], s["psi_vyx_hi"],
@@ -1123,11 +1278,17 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             *xh_coefs, *xi_coefs,
         )
         (sxx, syy, szz, sxy, sxz, syz,
-         rxx, ryy, rzz, rxy, rxz, ryz,
-         acc_c, acc_s, peak) = souts[:15]
-        psi_s_out = souts[15:27]
-        (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
-         n_vzx_lo, n_vzx_hi) = souts[27:33]
+         rxx, ryy, rzz, rxy, rxz, ryz) = souts[:12]
+        if with_dft:
+            acc_c, acc_s, peak = souts[12:15]
+            psi_s_out = souts[15:27]
+            (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+             n_vzx_lo, n_vzx_hi) = souts[27:33]
+        else:
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
+            psi_s_out = souts[12:24]
+            (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+             n_vzx_lo, n_vzx_hi) = souts[24:30]
 
         if grid.source_type == "stress_point":
             # The stress kernel accumulated the DFT/peak BEFORE this
@@ -1143,18 +1304,19 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             sxx = sxx.at[lic, j0, k0].add(sval)
             syy = syy.at[lic, j0, k0].add(sval)
             szz = szz.at[lic, j0, k0].add(sval)
-            acc_c = acc_c.at[lic, j0, k0].add(-sval * cosw)
-            acc_s = acc_s.at[lic, j0, k0].add(-sval * sinw)
-            p_post = -(
-                sxx[lic, j0, k0] + syy[lic, j0, k0] + szz[lic, j0, k0]
-            ) * (1.0 / 3.0)
-            peak_src = jnp.maximum(
-                s["peak_src"], jnp.abs(p_post) * in_window * own
-            )
-            peak = peak.at[lic, j0, k0].set(
-                jnp.where(own > 0, peak_src, peak[lic, j0, k0])
-            )
-            s = dict(s, peak_src=peak_src)
+            if with_dft:
+                acc_c = acc_c.at[lic, j0, k0].add(-sval * cosw)
+                acc_s = acc_s.at[lic, j0, k0].add(-sval * sinw)
+                p_post = -(
+                    sxx[lic, j0, k0] + syy[lic, j0, k0] + szz[lic, j0, k0]
+                ) * (1.0 / 3.0)
+                peak_src = jnp.maximum(
+                    s["peak_src"], jnp.abs(p_post) * in_window * own
+                )
+                peak = peak.at[lic, j0, k0].set(
+                    jnp.where(own > 0, peak_src, peak[lic, j0, k0])
+                )
+                s = dict(s, peak_src=peak_src)
 
         new_carry = dict(
             s,
@@ -1195,11 +1357,21 @@ _S_PSI_KEYS = [
 def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
                           profiles_np, viscous, oz_scale, nb=2,
                           comm=None, interpret=False):
-    """Scan driver for the viscoelastic pallas path (optionally sharded)."""
+    """Scan driver for the viscoelastic pallas path (optionally sharded).
+
+    Two scan phases like the fluid driver: quiet kernels before
+    ``grid.sensor_start``, accumulating kernels inside the window.
+    """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
     step = make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
                                   comm=comm, interpret=interpret)
+    n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
+    step_quiet = (
+        make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
+                               comm=comm, interpret=interpret, with_dft=False)
+        if n_quiet > 0 else None
+    )
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
     zz = lambda: jnp.zeros((N1, N2, ns), jnp.float32)
@@ -1215,7 +1387,6 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         },
         "props": props,
         "acc_cos": z3(), "acc_sin": z3(), "peak": z3(),
-        "src_amp": src_amp, "src_phase": src_phase,
         "src_amp_point": point_amp,
         "psi_sxxx_lo": zx(), "psi_sxxx_hi": zx(),
         "psi_sxyx_lo": zx(), "psi_sxyx_hi": zx(),
@@ -1226,9 +1397,17 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
     }
     if grid.source_type == "stress_point":
         carry["peak_src"] = jnp.float32(0.0)
+    if grid.source_type == "velocity_plane":
+        carry["src_amp3"] = src_amp[:, :, None]
+        carry["src_cph"] = jnp.cos(src_phase)[:, :, None]
+        carry["src_sph"] = jnp.sin(src_phase)[:, :, None]
     for k in _V_PSI_KEYS + _S_PSI_KEYS:
         # derivative axis is the last letter of the field part: psi_sxyY_lo
         axis_y = k[:-3].endswith("y")
         carry[k] = zy() if axis_y else zz()
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
+    if n_quiet > 0:
+        carry, _ = jax.lax.scan(step_quiet, carry, jnp.arange(n_quiet))
+    carry, _ = jax.lax.scan(
+        step, carry, jnp.arange(n_quiet, grid.n_steps)
+    )
     return carry["acc_cos"], carry["acc_sin"], carry["peak"]

@@ -111,6 +111,13 @@ def run_case(
         rim=cfg.bone_rim_correction,
         amp=cfg.source_amp_pa,
         mask_shape=tuple(mask_shape) if mask_shape else "auto",
+        # physics-changing env hooks must invalidate the cache too, else a
+        # re-run with a hook toggled would silently return stale results
+        env_hooks=(
+            os.environ.get("BBT_QCORRECTION", ""),
+            os.environ.get("BBT_PAPER_CONDITIONS", ""),
+            os.environ.get("BBT_AVOID_PHASE_PROGRAMMING", ""),
+        ),
     )
     hash_file = out_base + ".hash"
     h5_path_probe = out_base + "_DataForSim.h5"

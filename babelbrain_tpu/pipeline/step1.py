@@ -256,12 +256,11 @@ def generate_mask(
         )
         ct = np.minimum(ct, hu_cap)
         ct = im.median_filter3d(ct, 3)
-        bone_ct = ct > hu_threshold
-        bone_ct = im.binary_close(bone_ct, 3)
-        if bone_ct.any():
-            bone_ct = im.largest_component(bone_ct)
-        # constrain to the label-derived bone region
         bone_region = (mask == LABELS["cortical"]) | (mask == LABELS["trabecular"])
+        # floor bone HU at the threshold before the rim fix / quantization,
+        # as the reference does (`BabelDatasetPreps.py:933`): partial-volume
+        # rim voxels otherwise stretch the quantization range downward
+        ct = np.where(bone_region, np.maximum(ct, hu_threshold), ct)
         if bone_rim_correction:
             # partial-volume rim fix before quantization (`:935-1017`)
             ct = maximize_bone_rim(ct, bone_region, voxels_per_mm=1.0 / dx_mm)

@@ -3,12 +3,16 @@
 
 Measures the CT-mode production configuration (quantized-HU fluid media —
 the reference disables shear for CT mapping, so this is the clinical
-through-skull path) at 6 PPW with the Pallas streaming-slab kernels.
+through-skull path) at 6 PPW with the Pallas streaming-slab kernels, using
+the production sensor window: the carrier DFT only accumulates over the
+last 2 cycles (`BabelIntegrationBASE.py:2108-2109`), so most timesteps run
+the quiet-phase kernels that skip the accumulator streams entirely.
 
-Timing methodology: per-step cost from differencing two scan lengths with
-an 8-byte device->host readback as the sync point (block_until_ready is
-unreliable on tunneled runtimes, and large readbacks would pollute the
-measurement with tunnel bandwidth).
+Timing methodology: full production-shaped run (42 cycles, window = last
+2) timed with an 8-byte device->host readback as the sync point
+(block_until_ready is unreliable on tunneled runtimes, and large readbacks
+would pollute the measurement with tunnel bandwidth); ~30 ms dispatch
+overhead is <2% of the ~3 s run.
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
 compares against a ~1000 Mcells/s single-GPU BabelViscoFDTD estimate (its
@@ -87,12 +91,12 @@ def main():
     def sync(out):
         return float(np.asarray(out[0][0, 0, :2])[0])
 
-    # single compile; long-enough scan that the ~30 ms dispatch overhead of
-    # the tunneled runtime stays under a few percent
-    n_steps = 200
+    # production-shaped run: 42 cycles total (through-skull transit + ring-up
+    # at this z-extent), carrier DFT over the last 2 cycles only
+    n_steps = 42 * ppp
     grid = FDTDGrid(
         shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
-        sensor_start=0, source_plane_z=13,
+        sensor_start=n_steps - 2 * ppp, source_plane_z=13,
     )
     fn = jax.jit(
         functools.partial(

@@ -66,9 +66,41 @@ class TestEnvHooks:
         )
         assert prog_off is None
 
-    def test_force_error_step2(self, monkeypatch):
-        import babelbrain_tpu.pipeline.runner as runner_mod
+    @pytest.mark.slow
+    def test_force_error_step2(self, monkeypatch, tmp_path):
+        """Functionally exercise the forced Step-2 error hook (the
+        reference's TEST_FORCE_ERROR_BABEL_STEP2,
+        `BabelIntegrationBASE.py:1034-1036`): run a tiny real case and
+        assert the error fires after the acoustic step."""
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            TransducerSpec,
+        )
+        from babelbrain_tpu.pipeline.runner import CaseConfig, run_case
 
-        assert hasattr(runner_mod, "run_case")
-        src = open(runner_mod.__file__).read()
-        assert "BBT_FORCE_ERROR_STEP2" in src
+        TRANSDUCER_REGISTRY.setdefault(
+            "MiniErrTest",
+            TransducerSpec(
+                "MiniErrTest", "single", diameter=16e-3,
+                focal_length=20e-3, frequencies=(500e3,),
+            ),
+        )
+        n = 48
+        aff = np.diag([2.0, 2.0, 2.0, 1.0])
+        aff[:3, 3] = -48.0
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n]
+        r = np.linalg.norm(np.stack([ii, jj, kk], -1) * 2.0 - 48.0, axis=-1)
+        labels = np.zeros((n, n, n), np.int32)
+        labels[r < 30] = 5
+        labels[r < 26] = 2
+        labels[r < 22] = 1
+        monkeypatch.setenv("BBT_FORCE_ERROR_STEP2", "1")
+        cfg = CaseConfig(
+            tx_system="MiniErrTest", frequency=500e3, ppw=6.0,
+            output_dir=str(tmp_path), prefix="err",
+        )
+        with pytest.raises(RuntimeError, match="BBT_FORCE_ERROR_STEP2"):
+            run_case(
+                cfg, labels, aff, target_ras=[0, 0, 10],
+                direction_ras=[0, 0, -1], mask_shape=(40, 40, 64),
+            )
