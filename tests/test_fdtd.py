@@ -135,6 +135,73 @@ class TestAttenuation:
         assert -fit[0] == pytest.approx(alpha, rel=0.03)
 
 
+class TestSlabTransmission:
+    """Closed-form validation: normal-incidence transmission through a fluid
+    slab vs the analytic transfer-matrix coefficient
+    |T| = 1/sqrt(1 + ((Z2/Z1 - Z1/Z2)/2)^2 sin^2(k2 L)).
+
+    The analogue of the reference's analytic-benchmark injection tier
+    (SURVEY.md section 4, `BenchmarkTestFile`): media are given exactly, so
+    the comparison isolates solver numerics. The plane source is a hard
+    velocity source (it re-reflects the slab echo), so the sensor window is
+    placed after the transmitted wave settles but before the source->slab
+    round-trip echo arrives (single-pass regime), and the amplitude is
+    normalized by a no-slab baseline run to cancel source calibration and
+    aperture diffraction.
+    """
+
+    C2, RHO2 = 2000.0, 1600.0
+
+    @pytest.fixture(scope="class")
+    def slab_setup(self):
+        ppw = 12
+        dx = C / F0 / ppw
+        shape = (48, 48, 136)
+        z0 = 90  # slab start: far from the source so the echo window is long
+        ppp = int(np.ceil(1 / F0 / stable_dt(dx, self.C2, cfl=0.5)))
+        dt = 1 / F0 / ppp
+        n_steps = int(13.5 * ppp)
+        grid = FDTDGrid(
+            shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
+            sensor_start=n_steps - 2 * ppp, source_plane_z=13, npml=12,
+        )
+        amp = np.full(shape[:2], 60e3, np.float32)
+        mats = np.array(
+            [[RHO, C, 0, 0, 0], [self.RHO2, self.C2, 0, 0, 0]]
+        )
+
+        cache = {}
+
+        def transmitted(L_cells):
+            if L_cells not in cache:
+                idx = np.zeros(shape, np.uint8)
+                if L_cells:
+                    idx[:, :, z0 : z0 + L_cells] = 1
+                out = run_fdtd(
+                    idx, mats, grid, source_amp=amp, backend="xla"
+                )
+                cache[L_cells] = float(
+                    np.median(out["p_amp"][20:28, 20:28, z0 + 9 : z0 + 20])
+                )
+            return cache[L_cells]
+
+        return transmitted, dx
+
+    @pytest.mark.slow
+    @pytest.mark.tol_1
+    @pytest.mark.parametrize("l_cells", [4, 6, 8])
+    def test_matches_transfer_matrix(self, slab_setup, l_cells):
+        transmitted, dx = slab_setup
+        base = transmitted(0)
+        t_meas = transmitted(l_cells) / base
+        z1, z2 = RHO * C, self.RHO2 * self.C2
+        k2l = 2 * np.pi * F0 / self.C2 * l_cells * dx
+        t_an = 1.0 / np.sqrt(
+            1 + 0.25 * (z2 / z1 - z1 / z2) ** 2 * np.sin(k2l) ** 2
+        )
+        assert t_meas == pytest.approx(t_an, rel=0.015)
+
+
 class TestFocusedWater:
     @pytest.mark.slow
     def test_rayleigh_equivalence(self):
