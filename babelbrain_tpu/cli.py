@@ -63,6 +63,10 @@ def _cmd_run(args):
     if args.ct:
         ct_nii = load_nifti(args.ct)
         ct, ct_aff = ct_nii.get_fdata(), ct_nii.affine
+    t1 = t1_aff = None
+    if args.t1:
+        t1_nii = load_nifti(args.t1)
+        t1, t1_aff = t1_nii.get_fdata(), t1_nii.affine
 
     thermal = None
     if args.thermal_profile:
@@ -89,6 +93,13 @@ def _cmd_run(args):
         ppw=args.ppw,
         steering=tuple(float(v) for v in args.steering.split(",")),
         do_refocus=args.refocus,
+        ct_type=args.ct_type,
+        zte_range=tuple(float(v) for v in args.zte_range.split(",")),
+        hu_threshold=args.hu_threshold,
+        density_threshold=args.density_threshold,
+        coregister=args.coregister,
+        rotation_z=args.rotation_z,
+        mapping_method=args.mapping,
         segment_brain=args.segment_brain,
         bone_rim_correction=args.bone_rim_correction,
         elem_centers=elem_centers,
@@ -107,6 +118,8 @@ def _cmd_run(args):
         direction,
         ct_data=ct,
         ct_affine=ct_aff,
+        t1_data=t1,
+        t1_affine=t1_aff,
         thermal_params=thermal,
         mask_shape=mask_shape,
     )
@@ -194,7 +207,24 @@ def main(argv=None):
     r.add_argument("--tx", default="CTX_500")
     r.add_argument("--frequency", type=float, default=500e3)
     r.add_argument("--ppw", type=float, default=6.0)
-    r.add_argument("--ct", help="CT / pseudo-CT NIfTI (enables CT mode)")
+    r.add_argument("--ct", help="CT / ZTE / PETRA / density NIfTI (enables CT mode)")
+    r.add_argument(
+        "--ct-type", default="CT", choices=["CT", "ZTE", "PETRA", "Density"],
+        help="imaging type of --ct (the reference's CTType selector)",
+    )
+    r.add_argument("--t1", help="T1w NIfTI (for --coregister)")
+    r.add_argument(
+        "--coregister", action="store_true",
+        help="rigid-register --ct to --t1 first (elastix-equivalent)",
+    )
+    r.add_argument("--zte-range", default="0.1,0.6",
+                   help="normalized ZTE/PETRA bone range")
+    r.add_argument("--hu-threshold", type=float, default=300.0)
+    r.add_argument("--density-threshold", type=float, default=1200.0)
+    r.add_argument("--rotation-z", type=float, default=0.0,
+                   help="array rotation about the beam axis (deg)")
+    r.add_argument("--mapping", default="Webb-Marsac",
+                   help="CT mapping method (7 supported)")
     r.add_argument("--steering", default="0,0,0", help="steering offsets (m)")
     r.add_argument("--refocus", action="store_true")
     r.add_argument(

@@ -12,7 +12,12 @@ All constants are published calibrations (citations inline). Pure NumPy.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
+
+_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 MAPPING_METHODS = (
     "Webb-Marsac",
@@ -27,28 +32,48 @@ MAPPING_METHODS = (
 # Webb et al. IEEE TUFFC 65(7):1111 (2018) Tables I/II and IEEE TUFFC
 # 68(5):1532 (2020) Table IV; default scanner combo GE / 120 kVp / BonePlus
 # kernel / axial 0.5, slice 0.6 (the reference's default `CTMapCombo`,
-# `BabelIntegrationBASE.py:1091`).
+# `BabelIntegrationBASE.py:1091`). The full 75-row scanner-parameter tables
+# (every scanner/energy/kernel combination the reference supports) ship as
+# package data extracted from the published calibration CSVs
+# (`WebbHU_SoS.csv` / `WebbHU_Att.csv`, loaders `:494-589`).
 WEBB_DEFAULT_COMBO = ("GE", "120", "B", "", "0.5, 0.6")
-_WEBB_SOS = {  # (Scanner, Energy, Kernel, Other, Res) -> (slope m/s/HU, intercept km/s)
-    ("GE", "120", "B", "", "0.5, 0.6"): (0.75, 1.32),
-}
-_WEBB_ATT = {  # -> (alpha_0 Np/cm/MHz^beta, beta, c 1/HU)
-    ("GE", "120", "B", "", "0.5, 0.6"): (26.0, 1.3, -0.0016),
-}
+
+
+@functools.lru_cache(maxsize=1)
+def _webb_tables():
+    z = np.load(os.path.join(_DATA, "webb_tables.npz"))
+    sos = {
+        tuple(k.split("|")): (s, i)
+        for k, s, i in zip(z["sos_keys"], z["sos_slope"], z["sos_intercept"])
+    }
+    att = {
+        tuple(k.split("|")): (a, b, c)
+        for k, a, b, c in zip(z["att_keys"], z["att_alpha0"], z["att_beta"], z["att_c"])
+    }
+    return sos, att
+
+
+def webb_combos() -> list[tuple]:
+    """All scanner/energy/kernel calibration combos with both SoS and
+    attenuation rows (user-selectable like the reference's ``CTMapCombo``)."""
+    sos, att = _webb_tables()
+    return sorted(set(sos) & set(att))
 
 
 def hu_to_long_sos_webb(hu, combo=WEBB_DEFAULT_COMBO):
-    """HU -> longitudinal SoS (m/s); Webb 2018 linear calibration."""
-    slope, intercept = _WEBB_SOS[tuple(combo)]
+    """HU -> longitudinal SoS (m/s); Webb 2018 calibration table
+    (`BabelIntegrationBASE.py:555-589`): slope*HU + intercept_km/s*1000."""
+    slope, intercept = _webb_tables()[0][tuple(combo)]
     return slope * np.asarray(hu, np.float64) + intercept * 1000.0
 
 
 def hu_to_attenuation_webb(hu, frequency, combo=WEBB_DEFAULT_COMBO):
-    """HU -> longitudinal attenuation (Np/m); Webb 2020 exponential model.
+    """HU -> longitudinal attenuation (Np/m); Webb 2020 exponential model
+    (`BabelIntegrationBASE.py:494-534`).
 
     alpha = alpha_0 * (f/MHz)^beta * exp(c*HU), alpha_0 in Np/cm -> x100 Np/m.
     """
-    a0, beta, c = _WEBB_ATT[tuple(combo)]
+    a0, beta, c = _webb_tables()[1][tuple(combo)]
     hu = np.asarray(hu, np.float64)
     return a0 * (frequency / 1e6) ** beta * np.exp(hu * c) * 100.0
 
@@ -124,38 +149,63 @@ def density_to_long_att_mcdannold(density, frequency):
     return np.polyval(poly, np.asarray(density, np.float64)) * frequency / 660e3
 
 
+@functools.lru_cache(maxsize=1)
+def _pichardo_map():
+    z = np.load(os.path.join(_DATA, "pichardo_map.npz"))
+    return z["rho"], z["freq_mhz"], z["sos"], z["att"]
+
+
+def _bilinear_extrap(xg, yg, z, xq, yq):
+    """Bilinear interpolation with linear extrapolation outside the grid —
+    the semantics of ``RectBivariateSpline(kx=1, ky=1)`` the reference builds
+    over the Pichardo map (`BabelIntegrationBASE.py:61-69`)."""
+    xq = np.asarray(xq, np.float64)
+    yq = np.asarray(yq, np.float64)
+    ix = np.clip(np.searchsorted(xg, xq) - 1, 0, len(xg) - 2)
+    iy = np.clip(np.searchsorted(yg, yq) - 1, 0, len(yg) - 2)
+    tx = (xq - xg[ix]) / (xg[ix + 1] - xg[ix])  # unclipped -> extrapolates
+    ty = (yq - yg[iy]) / (yg[iy + 1] - yg[iy])
+    z00, z01 = z[ix, iy], z[ix, iy + 1]
+    z10, z11 = z[ix + 1, iy], z[ix + 1, iy + 1]
+    return (
+        z00 * (1 - tx) * (1 - ty)
+        + z10 * tx * (1 - ty)
+        + z01 * (1 - tx) * ty
+        + z11 * tx * ty
+    )
+
+
 def density_to_sos_pichardo(density, frequency):
     """Density -> long SoS, bilinear interp of the Pichardo density/frequency
-    map (`BabelIntegrationBASE.py:590-606`). The reference ships this table
-    in `MapPichardo.h5`; we reconstruct the equivalent smooth mapping by a
-    piecewise-linear density model anchored at water (1000, 1480+ @~0.27-0.84
-    MHz) and cortical bone; for densities within bone the Pichardo 2017
-    relation is close to linear in density.
-    """
-    # Anchors consistent with Pichardo 2011/2017: water ~1500 m/s at 1000
-    # kg/m3, trabecular ~2150-2300 at 1738, cortical ~2450-2520 at 1896.5.
-    f = float(frequency)
-    from .database import fit_speed_cortical_long, fit_speed_trabecular_long
+    map (`BabelIntegrationBASE.py:590-606`). Uses the measured 500x500
+    (density 1242-2900 kg/m3, frequency 0.1-1 MHz) calibration grid shipped
+    as package data (extracted from the published `MapPichardo.h5`).
 
-    rho_ref = np.array([1000.0, 1738.0, 1896.5])
-    sos_ref = np.array(
-        [1500.0, float(fit_speed_trabecular_long(f)), float(fit_speed_cortical_long(f))]
-    )
-    return np.interp(np.asarray(density, np.float64), rho_ref, sos_ref)
+    The map arrays are stored as [frequency, density] — SoS rises strongly
+    with density (1715 -> 3767 m/s) and weakly with frequency, and the
+    reference's legacy ``interp2d(rho, freq, MapSoS)`` branch consumes
+    exactly that layout (interp2d expects z as (len(y), len(x))). Its
+    scipy>1.14 ``RectBivariateSpline(rho, freq, MapSoS)`` branch
+    (`BabelIntegrationBASE.py:62-65`) transposes the axes, which makes SoS
+    nearly density-independent — we implement the physically-correct
+    (legacy/published) orientation."""
+    rho, fmhz, sos, _ = _pichardo_map()
+    return _bilinear_extrap(fmhz, rho, sos, float(frequency) / 1e6, density)
 
 
 def density_to_att_pichardo(density, frequency):
-    """Density -> long attenuation (Np/m); piecewise-linear reconstruction of
-    the Pichardo map (`BabelIntegrationBASE.py:608-624`), anchored at water
-    (0) and the bone fits of the tissue database."""
-    f = float(frequency)
-    from .database import fit_att_cortical_long, fit_att_trabecular_long
+    """Density -> long attenuation (Np/m); Pichardo calibration map
+    (`BabelIntegrationBASE.py:608-624`), bilinear on the measured
+    [frequency, density] grid (see density_to_sos_pichardo on layout)."""
+    rho, fmhz, _, att = _pichardo_map()
+    return _bilinear_extrap(fmhz, rho, att, float(frequency) / 1e6, density)
 
-    rho_ref = np.array([1000.0, 1738.0, 1896.5])
-    att_ref = np.array(
-        [0.0, float(fit_att_trabecular_long(f)), float(fit_att_cortical_long(f))]
-    )
-    return np.interp(np.asarray(density, np.float64), rho_ref, att_ref)
+
+def hu_to_density_ucl_lowdose(hu):
+    """HU -> density via the UCL low-dose PETRA-to-CT calibration table
+    (`BabelIntegrationBASE.py:325-344`; github.com/ucl-bug/petra-to-ct)."""
+    z = np.load(os.path.join(_DATA, "ucl_lowdose.npz"))
+    return np.interp(np.asarray(hu, np.float64), z["hu"], z["density"])
 
 
 def density_to_lsos_marsac(density):
@@ -170,14 +220,29 @@ def density_to_lsos_marsac(density):
 
 def simnibs_petra_density(hu):
     """PETRA pseudo-CT HU -> density (SimNIBS cph2025 calibration line,
-    `BabelIntegrationBASE.py:346-360`): linear ramp clipped at water density.
-    """
-    hu = np.asarray(hu, np.float64)
-    # Calibration endpoints: the reference's csv line maps [0 .. 3150] HU
-    # onto [~1000 .. 3147.35] kg/m3 monotonically; approximated linearly.
-    max_hu, max_rho = 3150.0, 3147.35469785
-    rho = 1000.0 + (max_rho - 1000.0) * np.clip(hu, 0.0, max_hu) / max_hu
+    `BabelIntegrationBASE.py:346-360`): piecewise-linear interpolation of the
+    published calibration points extended by the (3150 HU, 3147.35 kg/m3)
+    cap, floored at water density."""
+    z = np.load(os.path.join(_DATA, "cph2025_line.npz"))
+    hu_pts = np.append(z["hu"], 3150.0)
+    rho_pts = np.append(z["density"], 3147.35469785)
+    rho = np.interp(np.asarray(hu, np.float64), hu_pts, rho_pts)
     return np.maximum(rho, 1000.0)
+
+
+def density_to_hu_bony(density):
+    """Bone density (kg/m3) -> HU, piecewise-linear through the reference's
+    8-point CT/density calibration (`BabelIntegrationBASE.py:210-234`, which
+    fits a pwlf with breaks exactly at the data points), linearly
+    extrapolated at both ends."""
+    pts_hu = np.array([-947.030278, 52.0388482, 202.749650, 810.468261,
+                       1003.99419, 1234.90136, 1419.01214, 1659.90448])
+    pts_rho = np.array([1.225, 1060.0, 1160.0, 1530.0, 1660.0, 1820.0,
+                        1990.0, 2150.0])
+    rho = np.asarray(density, np.float64)
+    i = np.clip(np.searchsorted(pts_rho, rho) - 1, 0, len(pts_rho) - 2)
+    t = (rho - pts_rho[i]) / (pts_rho[i + 1] - pts_rho[i])
+    return pts_hu[i] * (1 - t) + pts_hu[i + 1] * t
 
 
 def map_hu_to_properties(
@@ -196,10 +261,15 @@ def map_hu_to_properties(
     given the CT volume already holds density (``bDensity`` path).
     """
     hu = np.asarray(unique_hu, np.float64)
+    if density_input is not None:
+        # ``bDensity`` path (`BabelIntegrationBASE.py:1184-1190`): the input
+        # volume already holds density; recover HU for the HU-based models.
+        density = np.asarray(density_input, np.float64)
+        hu = density_to_hu_bony(density)
     phi = hu_to_porosity(hu)
 
     if density_input is not None:
-        density = np.asarray(density_input, np.float64)
+        pass
     elif method == "Webb-Marsac" and is_petra:
         density = simnibs_petra_density(hu)
     elif method in ("Webb-Marsac", "Marsac-Aubry", "Pichardo-Marsac", "McDannold-Marsac"):

@@ -4,39 +4,81 @@ Re-implements `BabelBrain/CTZTEProcessing.py:501-628` (``ConvertZTE_PETRA_pCT``)
 normalize the ZTE/PETRA intensity image, then map normalized intensity to
 Hounsfield units with the published linear calibrations
 
-    ZTE   (Wiesinger 2018):  pCT = -2085 * norm + 2329
-    PETRA (Treeby/UCL petra-to-ct): pCT = -2080 * norm + 2133.2
+    ZTE   (Miscouridou 2022):  pCT = -2085 * norm + 2329
+    PETRA (SimNIBS petra2Density / UCL): pCT = -2080 * norm + 2133.2
 
-(defaults `BabelBrain/Options/Options.py:105-108`), with air/background set
+(defaults `BabelBrain/Options/Options.py:99-108`), with air/background set
 to -1000 HU. Normalization differs per modality:
-  * ZTE: divide by the median intensity of a soft-tissue mask (the
-    reference uses the 95th-percentile-capped head region, `:591`);
-  * PETRA: divide by the intensity-histogram peak over the head region
-    (`:556-577`).
+  * ZTE: divide by the 95th percentile of the brain-tissue-masked image
+    (`:591-594`);
+  * PETRA: integer-binned intensity histogram, find the top
+    ``n_peaks`` peaks at least ``peak_distance`` intensity units apart and
+    divide by the highest-intensity one (`:556-577`).
+The bone region is the largest connected component of normalized values in
+``norm_range`` (default 0.1-0.6, the GUI ZTE range slider default,
+`BabelBrain.py:704`), closed with an 11^3 structuring element (`:598-609`).
 """
 
 from __future__ import annotations
 
 import numpy as np
+from scipy import ndimage, signal
 
 ZTE_SLOPE, ZTE_OFFSET = -2085.0, 2329.0
 PETRA_SLOPE, PETRA_OFFSET = -2080.0, 2133.2
 
 
-def normalize_zte(zte: np.ndarray, head_mask: np.ndarray):
-    """Normalize ZTE intensities to ~1.0 in soft tissue."""
-    vals = zte[head_mask]
-    cap = np.percentile(vals, 95)
-    ref = np.median(vals[(vals > 0.1 * cap) & (vals <= cap)])
-    return zte / ref
+def normalize_zte(zte: np.ndarray, head_mask: np.ndarray,
+                  tissue_mask: np.ndarray | None = None):
+    """Normalize ZTE by the 95th percentile over brain tissue
+    (`CTZTEProcessing.py:591-594`); voxels outside the head become -0.5."""
+    masked = np.where(
+        tissue_mask if tissue_mask is not None else head_mask, zte, -1000.0
+    )
+    cutoff = np.percentile(masked[masked > -500], 95)
+    norm = zte / cutoff
+    return np.where(head_mask, norm, -0.5)
 
 
-def normalize_petra(petra: np.ndarray, head_mask: np.ndarray, bins: int = 512):
-    """Normalize PETRA intensities by the histogram peak over the head."""
-    vals = petra[head_mask]
-    hist, edges = np.histogram(vals[vals > 0.05 * vals.max()], bins=bins)
-    peak = 0.5 * (edges[np.argmax(hist)] + edges[np.argmax(hist) + 1])
-    return petra / peak
+def normalize_petra(
+    petra: np.ndarray,
+    head_mask: np.ndarray,
+    peak_distance: float = 50.0,
+    n_peaks: int = 2,
+):
+    """Normalize PETRA by the highest-intensity of the ``n_peaks`` tallest
+    histogram peaks (`CTZTEProcessing.py:556-577`; SimNIBS petra2Density).
+
+    The histogram is integer-binned over the full intensity range with the
+    zero-intensity bin dropped, and peaks must be at least ``peak_distance``
+    intensity units apart (defaults `Options.py:99-100`)."""
+    arr = np.asarray(petra, np.float64)
+    if arr.max() - arr.min() > 2**16 - 1:
+        raise ValueError("PETRA intensity range exceeds 2^16")
+    edges = np.arange(int(arr.min()), int(arr.max()) + 2) - 0.5
+    hist, e = np.histogram(arr.ravel().astype(int), bins=edges)
+    bins = 0.5 * (e[1:] + e[:-1])
+    bins, hist = bins[1:], hist[1:]  # drop the background/zero bin
+    dist = max(int(peak_distance / np.mean(np.diff(bins))), 1)
+    pks, _ = signal.find_peaks(hist, distance=dist)
+    order = np.argsort(hist[pks])[::-1][:n_peaks]
+    ref = np.max(bins[pks][order])
+    return arr / ref
+
+
+def select_bone_region(norm: np.ndarray, head_mask: np.ndarray,
+                       norm_range: tuple = (0.1, 0.6)) -> np.ndarray:
+    """Largest connected component of in-range normalized intensity, closed
+    with an 11^3 structure (`CTZTEProcessing.py:598-609`). Voxels outside a
+    3-iteration erosion of the head are excluded first."""
+    guard = norm.copy()
+    guard[ndimage.binary_erosion(head_mask, iterations=3) == 0] = guard.max()
+    arr = (guard >= norm_range[0]) & (guard <= norm_range[1])
+    lab, n = ndimage.label(arr)
+    if n == 0:
+        return np.zeros(norm.shape, bool)
+    largest = np.argmax(np.bincount(lab.ravel())[1:]) + 1
+    return ndimage.binary_closing(lab == largest, structure=np.ones((11,) * 3))
 
 
 def mri_to_pseudo_ct(
@@ -46,37 +88,40 @@ def mri_to_pseudo_ct(
     *,
     slope: float | None = None,
     offset: float | None = None,
-    norm_range: tuple = (0.1, 0.65),
+    norm_range: tuple = (0.1, 0.6),
     air_hu: float = -1000.0,
+    tissue_mask: np.ndarray | None = None,
+    cavity_mask: np.ndarray | None = None,
+    petra_peak_distance: float = 50.0,
+    petra_n_peaks: int = 2,
 ) -> np.ndarray:
     """Convert a ZTE or PETRA image to pseudo-CT HU.
 
-    ``norm_range`` bounds the normalized intensities treated as bone (the
-    reference's pCT range selection, GUI-adjustable ZTE range slider);
-    values outside the head get ``air_hu``; soft tissue (norm above the
-    range) gets a soft-tissue HU of ~42.
+    Mirrors `CTZTEProcessing.py:556-625`: soft tissue inside the head gets
+    42 HU, the bone region (largest in-range component, closed) gets the
+    linear calibration, values outside [-1000, 3300] and cavity voxels
+    become air.
     """
     modality = modality.upper()
     if modality == "ZTE":
-        norm = normalize_zte(image, head_mask)
+        norm = normalize_zte(image, head_mask, tissue_mask)
         s = ZTE_SLOPE if slope is None else slope
         o = ZTE_OFFSET if offset is None else offset
     elif modality == "PETRA":
-        norm = normalize_petra(image, head_mask)
+        norm = normalize_petra(image, head_mask, petra_peak_distance,
+                               petra_n_peaks)
         s = PETRA_SLOPE if slope is None else slope
         o = PETRA_OFFSET if offset is None else offset
     else:
         raise ValueError(f"modality must be ZTE or PETRA, got {modality}")
 
+    bone = select_bone_region(norm, head_mask, norm_range)
     pct = np.full(image.shape, air_hu, np.float64)
-    lo, hi = norm_range
-    bone = head_mask & (norm >= lo) & (norm <= hi)
-    soft = head_mask & (norm > hi)
+    pct[head_mask] = 42.0  # soft tissue (`:614-615`)
     pct[bone] = s * norm[bone] + o
-    pct[soft] = 42.0
-    # in-head air cavities (near-zero signal)
-    cavity = head_mask & (norm < lo)
-    pct[cavity] = air_hu
+    pct[(pct < -1000) | (pct > 3300)] = air_hu  # `:621-622`
+    if cavity_mask is not None:
+        pct[cavity_mask] = air_hu
     return pct
 
 

@@ -49,6 +49,97 @@ def native_available(name: str = "voxelize") -> bool:
         return False
 
 
+def lz4_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one raw LZ4 block (native)."""
+    lib = _build_and_load("blosc")
+    fn = lib.lz4_decompress_block
+    fn.restype = ctypes.c_int64
+    dst = ctypes.create_string_buffer(dst_size)
+    n = fn(src, ctypes.c_int64(len(src)), dst, ctypes.c_int64(dst_size))
+    if n != dst_size:
+        raise ValueError(f"lz4 block decode failed ({n} != {dst_size})")
+    return dst.raw
+
+
+def _unshuffle(buf: bytes, typesize: int) -> bytes:
+    lib = _build_and_load("blosc")
+    fn = lib.blosc_unshuffle
+    n = len(buf)
+    dst = ctypes.create_string_buffer(n)
+    fn(buf, dst, ctypes.c_int64(n), ctypes.c_int64(typesize))
+    return dst.raw
+
+
+def blosc_decompress(chunk: bytes) -> bytes:
+    """Decompress a BLOSC1 chunk (HDF5 filter 32001, LZ4 codec).
+
+    The reference writes all its HDF5 payloads BLOSC-compressed through
+    ``H5pySimple`` (`InformationForDrivingSystems.md:12-16`); this decoder
+    lets the framework read files the reference produced. Handles the
+    memcpy, shuffle, and split-stream block layouts of the BLOSC1 format.
+    """
+    if len(chunk) < 16:
+        raise ValueError("short blosc chunk")
+    flags, typesize = chunk[2], chunk[3]
+    nbytes, blocksize, cbytes = np.frombuffer(chunk[4:16], "<u4")
+    nbytes, blocksize = int(nbytes), int(blocksize)
+    if len(chunk) < cbytes:
+        raise ValueError("truncated blosc chunk")
+    if flags & 0x2:  # memcpyed
+        return chunk[16 : 16 + nbytes]
+    codec = flags >> 5
+    if codec != 1:  # 1 = LZ4/LZ4HC in the BLOSC1 flags byte
+        raise ValueError(f"unsupported blosc codec {codec} (only LZ4)")
+    shuffled = bool(flags & 0x1)
+    if flags & 0x4:
+        raise ValueError("bit-shuffle not supported")
+
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    bstarts = np.frombuffer(chunk[16 : 16 + 4 * nblocks], "<u4")
+    out = bytearray(nbytes)
+
+    def _read_streams(pos: int, nstreams: int, neblock: int) -> bytes | None:
+        per = neblock // nstreams
+        if per * nstreams != neblock:
+            return None
+        parts = []
+        for _ in range(nstreams):
+            if pos + 4 > len(chunk):
+                return None
+            (cb,) = np.frombuffer(chunk[pos : pos + 4], "<i4")
+            pos += 4
+            cb = int(cb)
+            if cb < 0 or pos + abs(cb) > len(chunk):
+                return None
+            if cb == per:  # stored raw
+                parts.append(chunk[pos : pos + per])
+            else:
+                try:
+                    parts.append(lz4_decompress(chunk[pos : pos + cb], per))
+                except ValueError:
+                    return None
+            pos += cb
+        return b"".join(parts)
+
+    for j in range(nblocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        pos = int(bstarts[j])
+        blk = None
+        # BLOSC splits each block into `typesize` byte-plane streams for
+        # small typesizes; the decision isn't in the header, so try the
+        # split layout first and fall back to a single stream.
+        if shuffled and typesize > 1:
+            blk = _read_streams(pos, typesize, neblock)
+        if blk is None:
+            blk = _read_streams(pos, 1, neblock)
+        if blk is None:
+            raise ValueError(f"blosc block {j} decode failed")
+        if shuffled and typesize > 1 and neblock % typesize == 0:
+            blk = _unshuffle(blk, typesize)
+        out[j * blocksize : j * blocksize + neblock] = blk
+    return bytes(out)
+
+
 def voxelize_solid_native(triangles_vox: np.ndarray, shape) -> np.ndarray:
     """Solid voxelization in voxel coordinates (see ops.voxelize for the
     public API). Raises if the native library cannot be built/loaded."""

@@ -177,8 +177,36 @@ def save_dict_h5(data: dict, path: str, compression="gzip"):
         write(f, data)
 
 
+def read_h5_dataset(dset) -> "np.ndarray":
+    """Read an h5py dataset, decoding BLOSC (filter 32001) natively if no
+    codec plugin is installed.
+
+    The reference writes every HDF5 payload through ``H5pySimple`` with
+    BLOSC (`InformationForDrivingSystems.md:12-16`), so DataForSim/thermal
+    files *it* produced need this path for interop."""
+    try:
+        return dset[()]
+    except OSError:
+        if "32001" not in dict(getattr(dset, "_filters", {})):
+            raise
+        from ..native import blosc_decompress
+
+        full = np.zeros(dset.shape, dset.dtype)
+        cshape = dset.chunks or dset.shape
+        for ci in range(dset.id.get_num_chunks()):
+            info = dset.id.get_chunk_info(ci)
+            _, raw = dset.id.read_direct_chunk(info.chunk_offset)
+            arr = np.frombuffer(blosc_decompress(raw), dset.dtype).reshape(cshape)
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(info.chunk_offset, cshape, dset.shape)
+            )
+            full[sl] = arr[tuple(slice(0, s.stop - s.start) for s in sl)]
+        return full
+
+
 def load_dict_h5(path: str) -> dict:
-    """ReadFromH5py equivalent."""
+    """ReadFromH5py equivalent (handles BLOSC-compressed reference files)."""
 
     def read(group):
         if "__list_of_dicts__" in group.attrs:
@@ -193,7 +221,7 @@ def load_dict_h5(path: str) -> dict:
             if isinstance(v, h5py.Group):
                 out[k] = read(v)
             else:
-                val = v[()]
+                val = read_h5_dataset(v)
                 if isinstance(val, bytes):
                     val = val.decode()
                 out[k] = val

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 import yaml
 
 from .thermal import SonicationParams
@@ -66,24 +67,30 @@ class TransducerSpec:
 TRANSDUCER_REGISTRY = {
     "Single": TransducerSpec(
         "Single", "single", diameter=50e-3, focal_length=50e-3,
-        frequencies=(250e3, 500e3, 650e3),
+        frequencies=tuple(np.arange(200e3, 1000e3 + 1, 50e3)),
         meta={"user_adjustable": True},
     ),
     "CTX_500": TransducerSpec(
         "CTX_500", "annular", diameter=64e-3, focal_length=62.94e-3,
         frequencies=(500e3, 545e3),
+        steering_range={"tpo_min": 33.6e-3, "tpo_max": 82.5e-3},
+        meta={"natural_outplane": 52.38e-3},
         in_diameters=(0.0, 31.6988e-3, 44.2688e-3, 53.6688e-3),
         out_diameters=(31.14e-3, 43.71e-3, 53.11e-3, 60.83e-3),
     ),
     "CTX_250": TransducerSpec(
         "CTX_250", "annular", diameter=64e-3, focal_length=62.94e-3,
         frequencies=(250e3,),
+        steering_range={"tpo_min": 25.0e-3, "tpo_max": 60.0e-3},
+        meta={"natural_outplane": 52.38e-3},
         in_diameters=(0.0, 30.1788e-3, 42.1388e-3, 51.1088e-3),
         out_diameters=(29.62e-3, 41.58e-3, 50.55e-3, 57.94e-3),
     ),
     "CTX_250_2ch": TransducerSpec(
         "CTX_250_2ch", "annular", diameter=45.5e-3, focal_length=62.9e-3,
         frequencies=(250e3,),
+        steering_range={"tpo_min": 20.0e-3, "tpo_max": 80.0e-3},
+        meta={"natural_outplane": 56.9e-3},
         in_diameters=(0.0, 29.2588e-3),
         out_diameters=(28.7e-3, 40.2e-3),
     ),
@@ -132,43 +139,67 @@ TRANSDUCER_REGISTRY = {
         frequencies=(250e3, 700e3, 825e3), n_elements=128,
         elem_diameter=9.5e-3,
         steering_range={"z": (-50e-3, 50e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+        meta={"cone_to_focus": (20.0e-3, 95.5e-3, 25.0e-3)},
     ),
     "H301": TransducerSpec(
         "H301", "concave", diameter=150e-3, focal_length=150e-3,
-        frequencies=(650e3,), n_elements=128, elem_diameter=10e-3,
+        frequencies=(1100e3,), n_elements=128, elem_diameter=10.15e-3,
+        steering_range={"z": (-30e-3, 30e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+        meta={"cone_to_focus": (10.0e-3, 129.0e-3, 60.0e-3)},
     ),
     "ATAC": TransducerSpec(
         "ATAC", "concave", diameter=58e-3, focal_length=53.2e-3,
         frequencies=(1000e3,), n_elements=128, elem_diameter=3.5e-3,
+        steering_range={"z": (-30e-3, 30e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+        meta={"cone_to_focus": (10.0e-3, 42.0e-3, 25.0e-3)},
     ),
     "I12378": TransducerSpec(
         "I12378", "concave", diameter=103e-3, focal_length=72e-3,
-        frequencies=(650e3,), n_elements=128, elem_diameter=6.5e-3,
+        frequencies=(650e3,), n_elements=128, elem_diameter=6.6e-3,
+        steering_range={"z": (-30e-3, 30e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+        meta={"cone_to_focus": (10.0e-3, 48.0e-3, 25.0e-3)},
     ),
     "R15148": TransducerSpec(
         "R15148", "concave", diameter=103e-3, focal_length=80e-3,
-        frequencies=(500e3,), n_elements=128, elem_diameter=6.5e-3,
+        frequencies=(500e3,), n_elements=128, elem_diameter=6.6e-3,
+        steering_range={"z": (-30e-3, 30e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+        meta={"cone_to_focus": (10.0e-3, 61.0e-3, 40.0e-3)},
     ),
     "R15646": TransducerSpec(
-        "R15646", "concave", diameter=103e-3, focal_length=80e-3,
-        frequencies=(500e3,), n_elements=64, elem_diameter=9e-3,
+        "R15646", "concave", diameter=65.95e-3, focal_length=65e-3,
+        frequencies=(650e3,), n_elements=64, elem_diameter=6e-3,
+        steering_range={"z": (-30e-3, 30e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+        meta={"cone_to_focus": (10.0e-3, 55.5e-3, 52.0e-3)},
     ),
     "IGT64_500": TransducerSpec(
-        "IGT64_500", "concave", diameter=103e-3, focal_length=80e-3,
-        frequencies=(500e3,), n_elements=64, elem_diameter=9e-3,
+        "IGT64_500", "concave", diameter=65e-3, focal_length=75e-3,
+        frequencies=(500e3,), n_elements=64, elem_diameter=6e-3,
+        steering_range={"z": (-30e-3, 30e-3), "x": (-20e-3, 20e-3), "y": (-20e-3, 20e-3)},
+        meta={"cone_to_focus": (10.0e-3, 65.0e-3, 65.0e-3)},
     ),
     "REMOPD": TransducerSpec(
-        "REMOPD", "flat", diameter=52e-3, focal_length=0.0,
-        frequencies=(300e3, 490e3), n_elements=256, pitch=3.08e-3,
-        grid_dims=(16, 16), elem_diameter=2.8e-3,
+        "REMOPD", "flat", diameter=58e-3, focal_length=0.0,
+        frequencies=(300e3, 480e3, 490e3, 500e3), n_elements=256,
+        pitch=3.08e-3, grid_dims=(16, 16), elem_diameter=2.58e-3,
+        steering_range={"z": (20e-3, 100e-3), "x": (-35e-3, 35e-3),
+                        "y": (-35e-3, 35e-3)},
+        meta={"default_z_steering": 30e-3},
     ),
     "H246": TransducerSpec(
-        "H246", "flat", diameter=33.6e-3, focal_length=0.0,
-        frequencies=(500e3,),
+        "H246", "flat_rings", diameter=33.6e-3, focal_length=0.0,
+        frequencies=(500e3,), n_elements=2,
+        steering_range={"tpo_min": 25.0e-3, "tpo_max": 95.0e-3},
+        in_diameters=(0.0, 24.0e-3), out_diameters=(23.3e-3, 33.6e-3),
     ),
     "DomeTx": TransducerSpec(
         "DomeTx", "dome", diameter=300e-3, focal_length=150e-3,
-        frequencies=(220e3, 670e3), n_elements=1024,
+        frequencies=(220e3, 670e3), n_elements=1024, elem_diameter=9e-3,
+        meta={"amplitude_1w": {"Rayleigh": 0.14475482330468514,
+                               "Visco": {220000: {6: 74065.04, 7: 79050.414,
+                                                  8: 84021.836, 9: 88933.47,
+                                                  10: 94068.0, 11: 91529.37,
+                                                  12: 97344.266},
+                                         670000: {6: 166890.38}}}},
     ),
     "BSonix": TransducerSpec(
         "BSonix", "single", diameter=64e-3, focal_length=80e-3,
@@ -183,13 +214,23 @@ def build_transducer(
     sos_water: float = 1482.3,
     ppw_surface: float = 8.0,
     elem_centers=None,
+    rotation_z: float = 0.0,
 ):
-    """Instantiate geometry for a registry entry (focus at origin)."""
+    """Instantiate geometry for a registry entry (focus at origin).
+
+    ``rotation_z`` (degrees) spins multi-element arrays about the beam axis,
+    the reference's RotationZ parameter (`I12378.py:55-70` et al.).
+    """
     from ..tx import (
+        TABLE_DEVICES,
+        element_table,
         make_annular_array,
         make_concave_array,
+        make_flat_array_from_positions,
         make_flat_grid_array,
+        make_flat_ring_array,
         make_focused_bowl,
+        remopd_positions,
     )
 
     if spec.kind == "single":
@@ -207,17 +248,45 @@ def build_transducer(
         )
     if spec.kind in ("concave", "dome"):
         if elem_centers is None:
-            raise ValueError(
-                f"{spec.name}: element-center table required (manufacturer CSV)"
-            )
+            if spec.name in TABLE_DEVICES:
+                elem_centers = element_table(spec.name)
+            else:
+                raise ValueError(
+                    f"{spec.name}: element-center table required"
+                )
+        if rotation_z:
+            a = np.deg2rad(rotation_z)
+            rot = np.array([[np.cos(a), -np.sin(a), 0.0],
+                            [np.sin(a), np.cos(a), 0.0],
+                            [0.0, 0.0, 1.0]])
+            elem_centers = np.asarray(elem_centers) @ rot.T
         return make_concave_array(
             frequency, spec.focal_length, spec.elem_diameter or 9.5e-3,
             elem_centers, sos_water, ppw_surface,
         )
     if spec.kind == "flat":
+        if spec.name == "REMOPD":
+            # measured element positions; square elements of side
+            # pitch - kerf at z = -1.2 mm (`BabelIntegrationREMOPD.py:28-39`)
+            pos = remopd_positions()
+            if rotation_z:
+                a = np.deg2rad(rotation_z)
+                rot = np.array([[np.cos(a), -np.sin(a), 0.0],
+                                [np.sin(a), np.cos(a), 0.0],
+                                [0.0, 0.0, 1.0]])
+                pos = pos @ rot.T
+            return make_flat_array_from_positions(
+                frequency, pos, 3.08e-3 - 0.5e-3,
+                sos_water, ppw_surface, z_offset=-1.2e-3,
+            )
         nx, ny = spec.grid_dims or (16, 16)
         return make_flat_grid_array(
             frequency, spec.pitch or 3.08e-3, nx, ny,
             spec.elem_diameter or 2.8e-3, sos_water, ppw_surface,
+        )
+    if spec.kind == "flat_rings":
+        return make_flat_ring_array(
+            frequency, spec.in_diameters, spec.out_diameters,
+            sos_water, ppw_surface,
         )
     raise ValueError(f"unknown transducer kind {spec.kind}")

@@ -55,6 +55,14 @@ class CaseConfig:
     source_amp_pa: float = 60e3
     steering: tuple = (0.0, 0.0, 0.0)
     mapping_method: str = "Webb-Marsac"
+    # imaging input type, like the reference's start-dialog CTType combo
+    # (`SelFiles/ui_form.py:227-231`): 'CT' | 'ZTE' | 'PETRA' | 'Density'
+    ct_type: str = "CT"
+    zte_range: tuple = (0.1, 0.6)
+    hu_threshold: float = 300.0
+    density_threshold: float = 1200.0  # `BabelDatasetPreps.py:391,410-413`
+    coregister: bool = False  # rigid-register CT/ZTE/PETRA to T1 first
+    rotation_z: float = 0.0  # array rotation about the beam axis (degrees)
     do_refocus: bool = False
     segment_brain: bool = False
     bone_rim_correction: bool = False
@@ -74,6 +82,8 @@ def run_case(
     *,
     ct_data=None,
     ct_affine=None,
+    t1_data=None,
+    t1_affine=None,
     thermal_params: SonicationParams | None = None,
     mask_shape=None,
     mesh=None,
@@ -96,6 +106,44 @@ def run_case(
     )
     os.makedirs(cfg.output_dir, exist_ok=True)
 
+    ct_type = cfg.ct_type.upper().replace("REAL ", "")
+    if ct_data is not None and ct_type in ("ZTE", "PETRA"):
+        # MRI -> pseudo-CT conversion in the imaging grid, mirroring Step 1's
+        # CTZTEProcessing branch (`BabelDatasetPreps.py:843-851`,
+        # `CTZTEProcessing.py:501-628`)
+        from ..materials.pseudo_ct import mri_to_pseudo_ct
+        from ..ops import imaging as im
+
+        if cfg.coregister and t1_data is not None:
+            # rigid MRI->T1 registration, the elastix-equivalent step
+            # (`CTZTEProcessing.py:111,289`): resample onto the T1 grid,
+            # estimate the transform, apply it
+            from .coreg import register_rigid
+
+            t1 = np.asarray(t1_data, np.float32)
+            mv = im.resample_from_to(
+                np.asarray(ct_data, np.float32), ct_affine,
+                t1_affine, t1.shape, order=1,
+            )
+            _, mat = register_rigid(t1, mv)
+            ct_data = im.resample_affine(mv, mat, t1.shape, order=1)
+            ct_affine = t1_affine
+        head = im.resample_from_to(
+            (np.asarray(labels_data) > 0).astype(np.float32),
+            labels_affine,
+            ct_affine if ct_affine is not None else labels_affine,
+            np.asarray(ct_data).shape,
+            order=0,
+        ) > 0.5
+        with stage_timer(f"{ct_type} to pseudo-CT", level=1, step=1):
+            ct_data = mri_to_pseudo_ct(
+                np.asarray(ct_data, np.float64), head, ct_type,
+                norm_range=tuple(cfg.zte_range),
+            )
+    bone_threshold = (
+        cfg.density_threshold if ct_type == "DENSITY" else cfg.hu_threshold
+    )
+
     chash = case_hash(
         labels=np.asarray(labels_data),
         target=np.asarray(target_ras, float),
@@ -106,7 +154,11 @@ def run_case(
         ppw=cfg.ppw,
         steering=tuple(cfg.steering),
         refocus=cfg.do_refocus,
+        rotz=cfg.rotation_z,
         mapping=cfg.mapping_method,
+        ct_type=cfg.ct_type,
+        zte_range=tuple(cfg.zte_range),
+        thr=(cfg.hu_threshold, cfg.density_threshold),
         segment=cfg.segment_brain,
         rim=cfg.bone_rim_correction,
         amp=cfg.source_amp_pa,
@@ -153,6 +205,9 @@ def run_case(
         ct=np.asarray(ct_data) if ct_data is not None else "none",
         freq=cfg.frequency,
         ppw=cfg.ppw,
+        ct_type=cfg.ct_type,
+        zte_range=tuple(cfg.zte_range),
+        thr=(cfg.hu_threshold, cfg.density_threshold),
         segment=cfg.segment_brain,
         rim=cfg.bone_rim_correction,
         mask_shape=tuple(mask_shape) if mask_shape else "auto",
@@ -190,6 +245,7 @@ def run_case(
                 segment_brain_tissue=cfg.segment_brain,
                 ct_data=ct_data,
                 ct_affine=ct_affine,
+                hu_threshold=bone_threshold,
                 bone_rim_correction=cfg.bone_rim_correction,
             )
             pio.save_nifti(
@@ -223,7 +279,11 @@ def run_case(
     with stage_timer("Step2 acoustic simulation", level=2, step=2):
         if ct_mode:
             rho, sos, att = map_hu_to_properties(
-                s1.unique_hu, cfg.frequency, cfg.mapping_method
+                s1.unique_hu,
+                cfg.frequency,
+                cfg.mapping_method,
+                is_petra=(ct_type == "PETRA"),
+                density_input=s1.unique_hu if ct_type == "DENSITY" else None,
             )
             materials = build_ct_materials(
                 cfg.frequency, cfg.segment_brain, rho, sos, att
@@ -246,7 +306,8 @@ def run_case(
             pad_cone_cells=pad,
         )
         tx = build_transducer(
-            spec, cfg.frequency, elem_centers=cfg.elem_centers
+            spec, cfg.frequency, elem_centers=cfg.elem_centers,
+            rotation_z=cfg.rotation_z,
         )
         tx, mech_adjust = position_transducer(
             tx, dom, spec.focal_length or 0.0, return_adjustment=True
@@ -351,6 +412,7 @@ def run_case(
         "acoustic": result,
         "thermal": thermal,
         "cached": False,
+        "data_for_sim": data,
         "files": {
             "mask": out_base + "_BabelViscoInput.nii.gz",
             "acoustic": h5_path,

@@ -309,6 +309,87 @@ def make_flat_grid_array(
     )
 
 
+def make_flat_array_from_positions(
+    frequency: float,
+    positions: np.ndarray,
+    elem_width: float,
+    sos: float,
+    ppw_surface: float = 8.0,
+    z_offset: float = 0.0,
+) -> Transducer:
+    """Flat array of square elements at measured (x, y) positions
+    (REMOPD: `BabelIntegrationREMOPD.py:36-85`, elements of side
+    pitch-kerf = 2.58 mm at z = -1.2 mm from the outplane)."""
+    pos = np.asarray(positions, np.float64)
+    step = sos / frequency / ppw_surface
+    n_sub = max(int(np.round(elem_width / step)), 1)
+    sub = (np.arange(n_sub) + 0.5) / n_sub * elem_width - elem_width / 2
+    su, sv = np.meshgrid(sub, sub, indexing="ij")
+    sub_area = (elem_width / n_sub) ** 2
+
+    E = pos.shape[0]
+    S = n_sub * n_sub
+    centers = np.zeros((E, S, 3))
+    centers[:, :, 0] = pos[:, None, 0] + su.ravel()[None, :]
+    centers[:, :, 1] = pos[:, None, 1] + sv.ravel()[None, :]
+    centers[:, :, 2] = pos[:, None, 2] + z_offset
+    ecenters = pos.copy()
+    ecenters[:, 2] += z_offset
+    return Transducer(
+        centers=centers.reshape(E * S, 3).astype(np.float32),
+        areas=np.full(E * S, sub_area, np.float32),
+        normals=np.tile(np.array([0.0, 0.0, 1.0], np.float32), (E * S, 1)),
+        elem_ids=np.repeat(np.arange(E, dtype=np.int32), S),
+        elem_centers=ecenters.astype(np.float32),
+        meta={"frequency": frequency, "elem_width": elem_width},
+    )
+
+
+def make_flat_ring_array(
+    frequency: float,
+    in_diameters,
+    out_diameters,
+    sos: float,
+    ppw_surface: float = 8.0,
+) -> Transducer:
+    """Flat concentric-annulus array at z=0 (H246: the reference generates a
+    quasi-flat bowl at F=1000 m and zeroes z, `BabelIntegrationH246.py:271-288`).
+    One physical element per annulus; patch areas are exact annulus sectors."""
+    step = sos / frequency / ppw_surface
+    parts = []
+    for e, (din, dout) in enumerate(zip(in_diameters, out_diameters)):
+        r1, r2 = din / 2.0, dout / 2.0
+        n_r = max(int(np.ceil((r2 - r1) / step)), 1)
+        dr = (r2 - r1) / n_r
+        rows = []
+        for i in range(n_r):
+            rc = r1 + (i + 0.5) * dr
+            n_a = max(int(np.ceil(2 * np.pi * rc / step)), 1)
+            da = 2 * np.pi / n_a
+            ang = (np.arange(n_a) + 0.5) * da
+            area = 0.5 * ((rc + dr / 2) ** 2 - (rc - dr / 2) ** 2) * da
+            rows.append(np.stack(
+                [rc * np.cos(ang), rc * np.sin(ang),
+                 np.zeros(n_a), np.full(n_a, area)], axis=1))
+        patches = np.concatenate(rows)
+        parts.append(Transducer(
+            centers=patches[:, :3].astype(np.float32),
+            areas=patches[:, 3].astype(np.float32),
+            normals=np.tile(np.array([0.0, 0.0, 1.0], np.float32),
+                            (patches.shape[0], 1)),
+            elem_ids=np.zeros(patches.shape[0], np.int32),
+            elem_centers=np.array([[0.5 * (r1 + r2), 0.0, 0.0]], np.float32),
+            meta={},
+        ))
+    tx = Transducer.concatenate(parts)
+    tx.meta = {
+        "frequency": frequency,
+        "in_diameters": list(in_diameters),
+        "out_diameters": list(out_diameters),
+    }
+    return tx
+
+
 def cap_area(focal_length: float, out_diameter: float, in_diameter: float = 0.0):
     """Analytic spherical-cap annulus area (validation helper)."""
     F = focal_length

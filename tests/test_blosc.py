@@ -1,0 +1,143 @@
+"""Native BLOSC1/LZ4 decoder tests (reference-file interop).
+
+The reference persists HDF5 through H5pySimple with the BLOSC filter
+(`InformationForDrivingSystems.md:12-16`); this image has no blosc codec, so
+`native.blosc_decompress` decodes filter-32001 chunks. We synthesize valid
+BLOSC1 chunks (memcpy, stored-stream, shuffled, and real LZ4 sequences) and
+check byte-exact round trips.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from babelbrain_tpu.native import blosc_decompress, lz4_decompress, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available("blosc"), reason="native toolchain unavailable"
+)
+
+
+def lz4_compress_literals(data: bytes) -> bytes:
+    """Minimal valid LZ4 block: one all-literals sequence."""
+    n = len(data)
+    out = bytearray()
+    if n < 15:
+        out.append(n << 4)
+    else:
+        out.append(0xF0)
+        rem = n - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += data
+    return bytes(out)
+
+
+def lz4_compress_rle(byte: int, n: int) -> bytes:
+    """LZ4 block encoding n copies of one byte via an overlapping match."""
+    assert n >= 5
+    mlen = n - 1 - 4  # stored minus the 4-byte minimum
+    out = bytearray()
+    token_m = min(mlen, 15)
+    out.append((1 << 4) | token_m)
+    out.append(byte)  # 1 literal
+    out += struct.pack("<H", 1)  # offset 1 -> RLE
+    if token_m == 15:
+        rem = mlen - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    return bytes(out)
+
+
+def make_blosc_chunk(payload: bytes, typesize: int, blocksize: int,
+                     shuffle: bool, codec_blocks) -> bytes:
+    """Assemble a BLOSC1 chunk; codec_blocks(block)->list of stream bytes."""
+    nbytes = len(payload)
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    flags = (1 << 5) | (0x1 if shuffle else 0)
+    blocks = []
+    for j in range(nblocks):
+        blk = payload[j * blocksize : j * blocksize + blocksize]
+        if shuffle and typesize > 1 and len(blk) % typesize == 0:
+            a = np.frombuffer(blk, np.uint8).reshape(-1, typesize)
+            blk = a.T.tobytes()
+        blocks.append(codec_blocks(blk))
+    header = bytes([2, 1, flags, typesize]) + struct.pack(
+        "<III", nbytes, blocksize, 0
+    )
+    bstart_pos = 16 + 4 * nblocks
+    bstarts, body = [], b""
+    for streams in blocks:
+        bstarts.append(bstart_pos + len(body))
+        for raw, stored in streams:
+            body += struct.pack("<i", len(stored)) + stored
+    chunk = header + struct.pack(f"<{nblocks}I", *bstarts) + body
+    # patch cbytes
+    return chunk[:12] + struct.pack("<I", len(chunk)) + chunk[16:]
+
+
+def test_lz4_literals_roundtrip():
+    data = bytes(range(256)) * 3
+    assert lz4_decompress(lz4_compress_literals(data), len(data)) == data
+
+
+def test_lz4_rle_roundtrip():
+    data = b"\x7f" * 1000
+    assert lz4_decompress(lz4_compress_rle(0x7F, 1000), 1000) == data
+
+
+def test_memcpy_chunk():
+    payload = np.arange(100, dtype=np.float64).tobytes()
+    chunk = bytes([2, 1, 0x2, 8]) + struct.pack(
+        "<III", len(payload), len(payload), 16 + len(payload)
+    ) + payload
+    assert blosc_decompress(chunk) == payload
+
+
+def test_stored_streams_no_shuffle():
+    payload = np.random.default_rng(0).bytes(1024)
+    chunk = make_blosc_chunk(
+        payload, typesize=8, blocksize=256, shuffle=False,
+        codec_blocks=lambda blk: [(blk, blk)],  # cbytes==neblock -> stored raw
+    )
+    assert blosc_decompress(chunk) == payload
+
+
+def test_split_streams_with_shuffle_lz4():
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 50, 512, dtype=np.uint8).tobytes()
+    typesize = 4
+
+    def enc(blk):
+        per = len(blk) // typesize
+        return [
+            (s, lz4_compress_literals(s))
+            for s in (blk[i * per : (i + 1) * per] for i in range(typesize))
+        ]
+
+    chunk = make_blosc_chunk(payload, typesize, 256, True, enc)
+    assert blosc_decompress(chunk) == payload
+
+
+def test_uneven_last_block():
+    payload = np.random.default_rng(2).bytes(700)  # 256+256+188
+    chunk = make_blosc_chunk(
+        payload, typesize=1, blocksize=256, shuffle=False,
+        codec_blocks=lambda blk: [(blk, lz4_compress_literals(blk))],
+    )
+    assert blosc_decompress(chunk) == payload
+
+
+def test_reference_calibration_data_loaded():
+    # the extracted Pichardo map (decoded with this decoder) is sane
+    from babelbrain_tpu.materials.ct_mapping import _pichardo_map
+
+    rho, fmhz, sos, att = _pichardo_map()
+    assert np.all(np.diff(rho) > 0) and np.all(np.diff(fmhz) > 0)
+    assert 1000 < sos.min() < sos.max() < 5000
+    assert 0 < att.min() < att.max() < 1000

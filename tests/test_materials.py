@@ -202,3 +202,33 @@ class TestPseudoCT:
         assert compute_sdr(vol, mask) == pytest.approx(1.0)
         vol[:, :, 14:16] = 400.0
         assert compute_sdr(vol, mask) == pytest.approx(0.4, abs=0.01)
+
+
+class TestPseudoCTNormalization:
+    """Parity details of `CTZTEProcessing.py:556-594`."""
+
+    def test_zte_percentile_norm(self):
+        from babelbrain_tpu.materials.pseudo_ct import normalize_zte
+
+        rng = np.random.default_rng(3)
+        img = rng.uniform(500, 1500, (20, 20, 20))
+        head = np.ones(img.shape, bool)
+        norm = normalize_zte(img, head)
+        cutoff = np.percentile(img[img > -500], 95)
+        np.testing.assert_allclose(norm, img / cutoff)
+        # outside the head -> -0.5 (`:595`)
+        head[0, 0, 0] = False
+        assert normalize_zte(img, head)[0, 0, 0] == -0.5
+
+    def test_petra_two_peak_norm(self):
+        from babelbrain_tpu.materials.pseudo_ct import normalize_petra
+
+        rng = np.random.default_rng(4)
+        # bimodal: tall peak at 300 (soft tissue), smaller at 900; the
+        # reference divides by the HIGHEST-INTENSITY of the top-2 peaks
+        img = np.concatenate([
+            rng.normal(300, 5, 8000), rng.normal(900, 5, 4000),
+        ]).reshape(20, 20, 30)
+        norm = normalize_petra(img, np.ones(img.shape, bool))
+        ref = img / norm  # recovered divisor
+        assert 880 < ref.ravel()[0] < 920

@@ -245,7 +245,9 @@ class TestStep1Phantom:
 class TestProfiles:
     def test_registry_covers_all_families(self):
         kinds = {spec.kind for spec in TRANSDUCER_REGISTRY.values()}
-        assert kinds == {"single", "annular", "concave", "flat", "dome"}
+        assert kinds == {
+            "single", "annular", "concave", "flat", "flat_rings", "dome"
+        }
         # every device the reference's start dialog offers
         # (`SelFiles/ui_form.py:253-271`)
         reference_txs = {

@@ -276,3 +276,60 @@ class TestInputSourcePlane:
             run_acoustic_sim(
                 dom, tx, 60e3, input_source_plane=np.zeros((4, 4), np.complex64)
             )
+
+
+@pytest.mark.slow
+class TestZTEPipeline:
+    """CTType=ZTE end-to-end: MRI -> pseudo-CT -> CT-mode acoustic run
+    (the reference start dialog's ZTE branch, `CTZTEProcessing.py:501-628`)."""
+
+    def test_zte_case(self, phantom, mini_tx, tmp_path):
+        labels, aff = phantom
+        # synthetic ZTE: bright soft tissue, dark bone, dark background
+        rng = np.random.default_rng(0)
+        zte = np.full(labels.shape, 30.0)
+        zte[labels > 0] = 1000.0
+        zte[labels == 2] = 350.0
+        zte += rng.normal(0, 5, labels.shape)
+        cfg = CaseConfig(
+            tx_system="MiniTest", frequency=500e3, ppw=6.0,
+            ct_type="ZTE", output_dir=str(tmp_path), prefix="zte",
+        )
+        res = run_case(
+            cfg, labels, aff,
+            target_ras=[0, 0, 25], direction_ras=[0, 0, -1],
+            ct_data=zte, ct_affine=aff, mask_shape=(64, 64, 104),
+        )
+        data = res["data_for_sim"]
+        # CT mode engaged: per-HU materials present beyond the soft tissues
+        assert np.asarray(data["Material"]).shape[0] > 4
+        assert "SDR" in data
+        # bone pCT maps into a plausible skull HU band
+        s1 = res["step1"]
+        hu = np.asarray(s1.unique_hu)
+        assert hu.min() >= 300.0 and hu.max() <= 2100.0
+        assert np.isfinite(np.asarray(data["p_amp"])).all()
+
+
+@pytest.mark.slow
+def test_density_case(phantom, mini_tx, tmp_path):
+    """CTType=Density: volume already holds kg/m3; bDensity mapping path
+    (`BabelIntegrationBASE.py:1184-1190`)."""
+    labels, aff = phantom
+    dens = np.full(labels.shape, 1000.0)
+    dens[labels == 2] = 1900.0
+    cfg = CaseConfig(
+        tx_system="MiniTest", frequency=500e3, ppw=6.0,
+        ct_type="Density", output_dir=str(tmp_path), prefix="dens",
+    )
+    res = run_case(
+        cfg, labels, aff,
+        target_ras=[0, 0, 25], direction_ras=[0, 0, -1],
+        ct_data=dens, ct_affine=aff, mask_shape=(64, 64, 104),
+    )
+    mats = np.asarray(res["data_for_sim"]["Material"])
+    # densities pass through as material densities; the resample + median
+    # chain smooths the thin 1900 kg/m3 shell somewhat but values must stay
+    # in the bone-density band (not HU-like numbers)
+    assert 1500.0 < mats[:, 0].max() <= 1900.0
+    assert mats[:, 0].min() >= 998.0  # water/soft floor
