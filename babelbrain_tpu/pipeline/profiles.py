@@ -215,11 +215,14 @@ def build_transducer(
     ppw_surface: float = 8.0,
     elem_centers=None,
     rotation_z: float = 0.0,
+    sector: str = "Total",
 ):
     """Instantiate geometry for a registry entry (focus at origin).
 
     ``rotation_z`` (degrees) spins multi-element arrays about the beam axis,
     the reference's RotationZ parameter (`I12378.py:55-70` et al.).
+    ``sector`` selects the REMOPD half-array configs ('Total' | 'Sector1' =
+    elements 0-127 | 'Sector2' = 128-255, `BabelIntegrationREMOPD.py:100-118`).
     """
     from ..tx import (
         TABLE_DEVICES,
@@ -269,6 +272,12 @@ def build_transducer(
             # measured element positions; square elements of side
             # pitch - kerf at z = -1.2 mm (`BabelIntegrationREMOPD.py:28-39`)
             pos = remopd_positions()
+            if sector == "Sector1":
+                pos = pos[:128]
+            elif sector == "Sector2":
+                pos = pos[128:]
+            elif sector != "Total":
+                raise ValueError(f"unknown REMOPD sector {sector!r}")
             if rotation_z:
                 a = np.deg2rad(rotation_z)
                 rot = np.array([[np.cos(a), -np.sin(a), 0.0],
