@@ -505,13 +505,327 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     return vel_call, press_call, coefs
 
 
+def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
+                           interpret=False, with_dft=True):
+    """Single-sweep fused step: velocity AND pressure updates in ONE
+    streaming pass (single-device x-extent only).
+
+    The two-kernel pipeline streams ~19 volume-equivalents of HBM traffic
+    per step (vel: 5R+3W, press: 8R+2W, plus psi slabs); measured on-chip it
+    is HBM-bound (math and gathers hide entirely behind the DMA stream —
+    see bench notes). Fusing the half-steps removes the intermediate
+    re-read of vx/vy/vz/p (14 volumes total: 9R+5W), a ~1.3x step-time
+    reduction at identical numerics.
+
+    Software pipeline across the slab stream (iteration i):
+      * stash incoming p slab i in a 3-slot ring;
+      * velocity update for slab i-1 (p window from the ring);
+      * pressure update for slab i-2 — its x-stencil of vx uses the 2-plane
+        tail of vx_new(i-3), the ring slab vx_new(i-2), and the first 2
+        planes of the vx_new(i-1) just computed; vy/vz derivatives are
+        in-plane so one ring slot each suffices.
+    Grid runs n_slabs + 2 iterations; outputs write with lag-1 (velocities)
+    and lag-2 (p, r, accumulators) index maps. Identical update equations
+    as build_fluid_pallas_step, so bit-parity is expected up to f32
+    reassociation (verified on-chip vs both the XLA path and the two-kernel
+    pair).
+    """
+    N1, N2, N3 = grid.shape
+    if N1 % nb:
+        raise ValueError(f"N1={N1} must be divisible by slab size {nb}")
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    dt_dx = np.float32(grid.dt / grid.dx)
+    dt = np.float32(grid.dt)
+    inv_dx = np.float32(1.0 / grid.dx)
+    zsrc = grid.source_plane_z
+
+    by = _make_profiles_const(profiles_np, 1, "half", ns)
+    bz = _make_profiles_const(profiles_np, 2, "half", ns)
+    by_i = _make_profiles_const(profiles_np, 1, "int", ns)
+    bz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+
+    slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
+    coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx, memory_space=pltpu.VMEM)
+    slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx, memory_space=pltpu.VMEM)
+    cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
+    lag1 = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), n_slabs - 1), 0, 0)
+    lag2 = lambda i: (jnp.minimum(jnp.maximum(i - 2, 0), n_slabs - 1), 0, 0)
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    # x-CPML psi blocks, one pair per lag (velocity acts on d+x of p at
+    # lag 1; pressure on d-x of vx at lag 2)
+    kx = -(-ns // nb)
+    if n_slabs < kx + 1:
+        raise ValueError(
+            f"N1={N1} too small for the fused pipeline ({kx + 1} blocks)"
+        )
+    px_planes = (kx + 1) * nb
+    lo1 = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), kx), 0, 0)
+    lo2 = lambda i: (jnp.minimum(jnp.maximum(i - 2, 0), kx), 0, 0)
+
+    def hi_of(lag):
+        def m(i):
+            s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
+            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+        return m
+
+    psix1 = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
+    coefx1 = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+
+    def kernel(*refs):
+        it = iter(refs)
+        p_ref, vx_ref, vy_ref, vz_ref = (next(it) for _ in range(4))
+        r_ref, rho_ref, piu_ref, crp_ref, br_ref = (next(it) for _ in range(5))
+        if with_dft:
+            acc_c_ref, acc_s_ref, peak_ref = (next(it) for _ in range(3))
+        (psi_py_lo_ref, psi_py_hi_ref, psi_pz_lo_ref, psi_pz_hi_ref,
+         psi_vy_lo_ref, psi_vy_hi_ref, psi_vz_lo_ref, psi_vz_hi_ref) = (
+            next(it) for _ in range(8)
+        )
+        gp_lo_ref, gp_hi_ref, gv_lo_ref, gv_hi_ref = (
+            next(it) for _ in range(4)
+        )
+        amp_ref, cph_ref, sph_ref, tsrc_ref = (next(it) for _ in range(4))
+        if with_dft:
+            scal_ref = next(it)
+        (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
+         czh_blo, czh_alo, czh_bhi, czh_ahi,
+         cyi_blo, cyi_alo, cyi_bhi, cyi_ahi,
+         czi_blo, czi_alo, czi_bhi, czi_ahi) = (next(it) for _ in range(16))
+        (psixp_lo_ref, psixp_hi_ref, bxh_l, axh_l, bxh_h, axh_h,
+         psixv_lo_ref, psixv_hi_ref, bxi_l, axi_l, bxi_h, axi_h) = (
+            next(it) for _ in range(12)
+        )
+        ovx, ovy, ovz, op, orr = (next(it) for _ in range(5))
+        if with_dft:
+            oacc_c, oacc_s, opeak = (next(it) for _ in range(3))
+        (opsi_py_lo, opsi_py_hi, opsi_pz_lo, opsi_pz_hi,
+         opsi_vy_lo, opsi_vy_hi, opsi_vz_lo, opsi_vz_hi,
+         opsixp_lo, opsixp_hi, opsixv_lo, opsixv_hi) = (
+            next(it) for _ in range(12)
+        )
+        p_ring, vx_ring, vx_tail, vy_ring, vz_ring = (
+            next(it) for _ in range(5)
+        )
+
+        i = pl.program_id(0)
+        incoming = p_ref[...]
+
+        @pl.when(i < n_slabs)
+        def _():
+            p_ring[i % 3] = incoming
+
+        # ---- velocity update for slab sv = i-1 ----
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            sv = i - 1
+            prev2 = jnp.where(
+                sv >= 1, p_ring[(i - 2) % 3][nb - 2 :], gp_lo_ref[...]
+            )
+            nxt2 = jnp.where(
+                sv < n_slabs - 1, incoming[0:2], gp_hi_ref[...]
+            )
+            w = jnp.concatenate([prev2, p_ring[(i - 1) % 3], nxt2], axis=0)
+            dpx = _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
+                w[4 : 4 + nb] - w[1 : 1 + nb]
+            )
+            dpx, npx_lo, npx_hi = _x_cpml_apply(
+                dpx, psixp_lo_ref, psixp_hi_ref, bxh_l, axh_l, bxh_h, axh_h
+            )
+            ps = w[2 : 2 + nb]
+            dpy = _d_plus_y(ps)
+            dpz = _d_plus_z(ps)
+            dpy, npy_lo, npy_hi = _apply_cpml_inplane(
+                dpy, psi_py_lo_ref[...], psi_py_hi_ref[...],
+                cyh_blo[...], cyh_alo[...], cyh_bhi[...], cyh_ahi[...], axis=1,
+            )
+            dpz, npz_lo, npz_hi = _apply_cpml_inplane(
+                dpz, psi_pz_lo_ref[...], psi_pz_hi_ref[...],
+                czh_blo[...], czh_alo[...], czh_bhi[...], czh_ahi[...], axis=2,
+            )
+            rho_inv = rho_ref[...]
+            vx_new = vx_ref[...] - dt_dx * rho_inv * dpx
+            vy_new = vy_ref[...] - dt_dx * rho_inv * dpy
+            vz_new = vz_ref[...] - dt_dx * rho_inv * dpz
+            amp = amp_ref[...]
+            sval = tsrc_ref[0, 0] * cph_ref[...] + tsrc_ref[0, 1] * sph_ref[...]
+            z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            on_src = (z_iota == zsrc) & (amp > 0)
+            vz_new = jnp.where(on_src, sval * amp, vz_new)
+            ovx[...] = vx_new
+            ovy[...] = vy_new
+            ovz[...] = vz_new
+            opsi_py_lo[...] = npy_lo
+            opsi_py_hi[...] = npy_hi
+            opsi_pz_lo[...] = npz_lo
+            opsi_pz_hi[...] = npz_hi
+            opsixp_lo[...] = npx_lo
+            opsixp_hi[...] = npx_hi
+
+        # ---- pressure update for slab sp = i-2 ----
+        @pl.when(i >= 2)
+        def _():
+            sp = i - 2
+            prev2 = jnp.where(sp >= 1, vx_tail[...], gv_lo_ref[...])
+            nxt2 = jnp.where(sp < n_slabs - 1, ovx[0:2], gv_hi_ref[...])
+            w = jnp.concatenate(
+                [prev2, vx_ring[(i - 2) % 2], nxt2], axis=0
+            )
+            dvx = _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
+                w[3 : 3 + nb] - w[0:nb]
+            )
+            dvx, nvx_lo2, nvx_hi2 = _x_cpml_apply(
+                dvx, psixv_lo_ref, psixv_hi_ref, bxi_l, axi_l, bxi_h, axi_h
+            )
+            opsixv_lo[...] = nvx_lo2
+            opsixv_hi[...] = nvx_hi2
+            dvy = _d_minus_y(vy_ring[0])
+            dvz = _d_minus_z(vz_ring[0])
+            dvy, nvy_lo, nvy_hi = _apply_cpml_inplane(
+                dvy, psi_vy_lo_ref[...], psi_vy_hi_ref[...],
+                cyi_blo[...], cyi_alo[...], cyi_bhi[...], cyi_ahi[...], axis=1,
+            )
+            dvz, nvz_lo, nvz_hi = _apply_cpml_inplane(
+                dvz, psi_vz_lo_ref[...], psi_vz_hi_ref[...],
+                czi_blo[...], czi_alo[...], czi_bhi[...], czi_ahi[...], axis=2,
+            )
+            theta = dvx + dvy + dvz
+            p_old = p_ring[(i - 2) % 3]
+            if viscous:
+                r_old = r_ref[...]
+                new_r = br_ref[...] * r_old - crp_ref[...] * theta * inv_dx
+                p_new = (
+                    p_old
+                    - dt_dx * piu_ref[...] * theta
+                    - dt * 0.5 * (new_r + r_old)
+                )
+                orr[...] = new_r
+            else:
+                p_new = p_old - dt_dx * piu_ref[...] * theta
+                orr[...] = r_ref[...]
+            op[...] = p_new
+            opsi_vy_lo[...] = nvy_lo
+            opsi_vy_hi[...] = nvy_hi
+            opsi_vz_lo[...] = nvz_lo
+            opsi_vz_hi[...] = nvz_hi
+            if with_dft:
+                cosw = scal_ref[0, 0]
+                sinw = scal_ref[0, 1]
+                oacc_c[...] = acc_c_ref[...] + p_new * cosw
+                oacc_s[...] = acc_s_ref[...] + p_new * sinw
+                opeak[...] = jnp.maximum(
+                    peak_ref[...],
+                    jnp.abs(p_new) * (cosw * cosw + sinw * sinw > 0),
+                )
+            vx_tail[...] = vx_ring[(i - 2) % 2][nb - 2 :]
+
+        # stash this iteration's velocities for the next two iterations
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            vx_ring[(i - 1) % 2] = ovx[...]
+            vy_ring[0] = ovy[...]
+            vz_ring[0] = ovz[...]
+
+    plane = lambda: pl.BlockSpec((nb, N2, 1), lag1, memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    n_acc = 3 if with_dft else 0
+    vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
+
+    in_specs = (
+        [slab(cur)]                                   # p
+        + [slab(lag1)] * 3                            # vx, vy, vz
+        + [slab(lag2)]                                # r
+        + [slab(lag1)]                                # rho_inv
+        + [slab(lag2)] * 3                            # piu, crp, br
+        + [slab(lag2)] * n_acc                        # accs
+        + [slab_y(lag1), slab_y(lag1), slab_z(lag1), slab_z(lag1)]  # psi_p
+        + [slab_y(lag2), slab_y(lag2), slab_z(lag2), slab_z(lag2)]  # psi_v
+        + [ghost_spec] * 4                            # gp_lo/hi, gv_lo/hi
+        + [plane(), plane(), plane()]                 # src amp/cos/sin
+        + [smem()]                                    # tsrc
+        + ([smem()] if with_dft else [])              # scal
+        + [coef_y] * 4 + [coef_z] * 4                 # half profiles
+        + [coef_y] * 4 + [coef_z] * 4                 # int profiles
+        + [psix1(lo1), psix1(hi_of(1))]
+        + [coefx1(lo1), coefx1(lo1), coefx1(hi_of(1)), coefx1(hi_of(1))]
+        + [psix1(lo2), psix1(hi_of(2))]
+        + [coefx1(lo2), coefx1(lo2), coefx1(hi_of(2)), coefx1(hi_of(2))]
+    )
+    out_specs = (
+        [slab(lag1)] * 3                              # vx, vy, vz
+        + [slab(lag2)] * 2                            # p, r
+        + [slab(lag2)] * n_acc
+        + [slab_y(lag1), slab_y(lag1), slab_z(lag1), slab_z(lag1)]
+        + [slab_y(lag2), slab_y(lag2), slab_z(lag2), slab_z(lag2)]
+        + [psix1(lo1), psix1(hi_of(1)), psix1(lo2), psix1(hi_of(2))]
+    )
+    out_shape = (
+        [vol()] * (5 + n_acc)
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 2
+        + [psix_shape] * 4
+    )
+    # aliases: vx/vy/vz, p, r, accs, the 8 psi y/z slabs, the 4 psix arrays
+    aliases = {1: 0, 2: 1, 3: 2, 0: 3, 4: 4}
+    for a in range(n_acc):
+        aliases[9 + a] = 5 + a
+    for a in range(8):
+        aliases[9 + n_acc + a] = 5 + n_acc + a
+    # inputs: 9 fields/coefs, n_acc accs, 8 psi y/z, 4 ghosts, 3 src planes,
+    # tsrc smem, (scal smem), 16 y/z profile constants -> first psix input
+    base_in = 9 + n_acc + 8 + 4 + 3 + 1 + (1 if with_dft else 0) + 16
+    aliases[base_in] = 13 + n_acc          # psixp_lo
+    aliases[base_in + 1] = 14 + n_acc      # psixp_hi
+    aliases[base_in + 6] = 15 + n_acc      # psixv_lo
+    aliases[base_in + 7] = 16 + n_acc      # psixv_hi
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_slabs + 2,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3, nb, N2, N3), jnp.float32),  # p ring
+            pltpu.VMEM((2, nb, N2, N3), jnp.float32),  # vx ring
+            pltpu.VMEM((2, N2, N3), jnp.float32),      # vx tail
+            pltpu.VMEM((1, nb, N2, N3), jnp.float32),  # vy ring
+            pltpu.VMEM((1, nb, N2, N3), jnp.float32),  # vz ring
+        ],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    coefs = {
+        "y_half": tuple(jnp.asarray(c) for c in by),
+        "z_half": tuple(jnp.asarray(c) for c in bz),
+        "y_int": tuple(jnp.asarray(c) for c in by_i),
+        "z_int": tuple(jnp.asarray(c) for c in bz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, kx),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, kx),
+        "px_planes": px_planes,
+    }
+    return call, coefs
+
+
 # ---------------------------------------------------------------------------
 # full-step integration (kernels + jnp x-CPML post-passes + source)
 # ---------------------------------------------------------------------------
 
 
 def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
-                           comm=None, interpret=False, with_dft=True):
+                           comm=None, interpret=False, with_dft=True,
+                           fused=None):
     """Build the complete per-timestep function for lax.scan.
 
     Carry layout: dict with fields (p, vx, vy, vz, r), psi blocks (y/z in
@@ -524,6 +838,11 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     mode (CPU-mesh testing). ``with_dft=False`` builds the quiet-phase step
     (pre-sensor-window): the DFT/peak accumulators pass through the carry
     untouched instead of streaming through the kernel.
+
+    ``fused`` selects the single-sweep kernel (build_fluid_fused_step, ~1.3x
+    less HBM traffic). Default: on when the x axis is not sharded (the fused
+    pipeline needs freshly-updated velocity ghosts, which only exist between
+    kernels when x is decomposed).
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
@@ -531,14 +850,22 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     omega = 2.0 * np.pi * grid.frequency
     zsrc = grid.source_plane_z
 
-    vel_call, press_call, kcoefs = build_fluid_pallas_step(
-        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
-        with_dft=with_dft,
-    )
     if comm is None:
         from ..parallel.halo import DomainComm
 
         comm = DomainComm()
+    if fused is None:
+        fused = not (comm.sharded_x or comm.sharded_y)
+    if fused:
+        return _make_fluid_fused_step_fn(
+            grid, profiles_np, viscous, oz_scale, nb, comm,
+            interpret, with_dft,
+        )
+
+    vel_call, press_call, kcoefs = build_fluid_pallas_step(
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
+    )
 
     bxh_lo, axh_lo, bxh_hi, axh_hi = (
         jnp.asarray(c) for c in kcoefs["x_half_pack"]
@@ -616,6 +943,94 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             ) = outs
             acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
 
+        new_carry = dict(
+            s,
+            fields=dict(p=p_new, vx=vx, vy=vy, vz=vz, r=r_new),
+            psi_py_lo=psi_py_lo, psi_py_hi=psi_py_hi,
+            psi_pz_lo=psi_pz_lo, psi_pz_hi=psi_pz_hi,
+            psi_vy_lo=psi_vy_lo, psi_vy_hi=psi_vy_hi,
+            psi_vz_lo=psi_vz_lo, psi_vz_hi=psi_vz_hi,
+            psix_p_lo=psix_p_lo, psix_p_hi=psix_p_hi,
+            psix_v_lo=psix_v_lo, psix_v_hi=psix_v_hi,
+            acc_cos=acc_c, acc_sin=acc_s, peak=peak,
+        )
+        return new_carry, None
+
+    return step
+
+
+def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
+                              interpret, with_dft):
+    """Step closure for the single-sweep fused kernel (x axis unsharded;
+    y-sharding still works — in-plane ghosting is handled by the y psi/CPML
+    masks exactly as in the two-kernel path since y derivatives never cross
+    the kernel boundary here)."""
+    omega = 2.0 * np.pi * grid.frequency
+
+    call, kcoefs = build_fluid_fused_step(
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
+    )
+    bxh_lo, axh_lo, bxh_hi, axh_hi = (
+        jnp.asarray(c) for c in kcoefs["x_half_pack"]
+    )
+    bxi_lo, axi_lo, bxi_hi, axi_hi = (
+        jnp.asarray(c) for c in kcoefs["x_int_pack"]
+    )
+    N1, N2, N3 = grid.shape
+    zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        pr = s["props"]
+        t = n.astype(jnp.float32) * grid.dt
+
+        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+        ramp = jnp.where(
+            n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
+        ).astype(jnp.float32)
+        scale = ramp * oz_scale
+        tsrc = jnp.stack(
+            [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
+        ).reshape(1, 2)
+        if with_dft:
+            in_window = (n >= grid.sensor_start).astype(jnp.float32)
+            cosw = jnp.cos(omega * t) * in_window
+            sinw = jnp.sin(omega * t) * in_window
+            scal = jnp.stack([cosw, sinw]).reshape(1, 2)
+            acc_in = (s["acc_cos"], s["acc_sin"], s["peak"])
+            scal_in = (scal,)
+        else:
+            acc_in = scal_in = ()
+
+        outs = call(
+            f["p"], f["vx"], f["vy"], f["vz"], f["r"],
+            pr["rho_inv"], pr["pi_u"], pr["c_rp"], pr["b_r"],
+            *acc_in,
+            s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
+            s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
+            zero_ghost, zero_ghost, zero_ghost, zero_ghost,
+            s["src_amp"], s["src_cph"], s["src_sph"], tsrc,
+            *scal_in,
+            *kcoefs["y_half"], *kcoefs["z_half"],
+            *kcoefs["y_int"], *kcoefs["z_int"],
+            s["psix_p_lo"], s["psix_p_hi"],
+            bxh_lo, axh_lo, bxh_hi, axh_hi,
+            s["psix_v_lo"], s["psix_v_hi"],
+            bxi_lo, axi_lo, bxi_hi, axi_hi,
+        )
+        it = iter(outs)
+        vx, vy, vz, p_new, r_new = (next(it) for _ in range(5))
+        if with_dft:
+            acc_c, acc_s, peak = (next(it) for _ in range(3))
+        else:
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
+        (psi_py_lo, psi_py_hi, psi_pz_lo, psi_pz_hi,
+         psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi,
+         psix_p_lo, psix_p_hi, psix_v_lo, psix_v_hi) = (
+            next(it) for _ in range(12)
+        )
         new_carry = dict(
             s,
             fields=dict(p=p_new, vx=vx, vy=vy, vz=vz, r=r_new),
