@@ -818,6 +818,436 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     return call, coefs
 
 
+def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
+                            interpret=False, with_dft=True):
+    """TWO timesteps per streaming sweep (temporal blocking).
+
+    The single-step fused kernel is HBM-bound at ~15 volume-equivalents per
+    step; running two leapfrog steps per sweep amortizes every stream over
+    two updates (~7.5 volumes/step). Pipeline at grid iteration i:
+
+        V1 slab i-1   velocity(t)  from p(t) ring        (p0 ring, depth 3)
+        P1 slab i-2   pressure(t)  from v(t+1/2) rings   (vx1 d3, vy1/vz1 d2)
+        V2 slab i-3   velocity(t+1) from p(t+1) ring     (p1 ring, depth 3)
+        P2 slab i-4   pressure(t+1), DFT/peak for BOTH steps
+
+    Outputs: velocities at lag-3 (v of t+1), p/r/accumulators at lag-4;
+    grid runs n_slabs + 4 iterations. CPML psi memories stream in at the
+    first-visit lag, live in small VMEM rings between their two updates,
+    and stream out at the second-visit lag. Numerics are the identical
+    update equations twice, so results are bit-equal to two applications
+    of the single-step kernel. Requires n_slabs >= kx + 3 and an even
+    number of steps inside each scan phase (the driver pairs steps).
+    """
+    N1, N2, N3 = grid.shape
+    if N1 % nb:
+        raise ValueError(f"N1={N1} must be divisible by slab size {nb}")
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    dt_dx = np.float32(grid.dt / grid.dx)
+    dt = np.float32(grid.dt)
+    inv_dx = np.float32(1.0 / grid.dx)
+    zsrc = grid.source_plane_z
+
+    by = _make_profiles_const(profiles_np, 1, "half", ns)
+    bz = _make_profiles_const(profiles_np, 2, "half", ns)
+    by_i = _make_profiles_const(profiles_np, 1, "int", ns)
+    bz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+
+    slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
+    coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx, memory_space=pltpu.VMEM)
+    slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx, memory_space=pltpu.VMEM)
+    cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
+
+    def lagk(k):
+        return lambda i: (jnp.minimum(jnp.maximum(i - k, 0), n_slabs - 1), 0, 0)
+
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kx = -(-ns // nb)
+    if n_slabs < kx + 3:
+        raise ValueError(f"N1={N1} too small for the 2-step fused pipeline")
+    px_planes = (kx + 1) * nb
+
+    def lo_of(lag):
+        return lambda i: (jnp.minimum(jnp.maximum(i - lag, 0), kx), 0, 0)
+
+    def hi_of(lag):
+        def m(i):
+            s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
+            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+        return m
+
+    psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
+    coefxb = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+
+    def kernel(*refs):
+        it = iter(refs)
+        p_ref, vx_ref, vy_ref, vz_ref = (next(it) for _ in range(4))
+        r_ref, rho_ref, piu_ref, crp_ref, br_ref = (next(it) for _ in range(5))
+        if with_dft:
+            acc_c_ref, acc_s_ref, peak_ref = (next(it) for _ in range(3))
+        (psi_py_lo_ref, psi_py_hi_ref, psi_pz_lo_ref, psi_pz_hi_ref,
+         psi_vy_lo_ref, psi_vy_hi_ref, psi_vz_lo_ref, psi_vz_hi_ref) = (
+            next(it) for _ in range(8)
+        )
+        ghost_ref = next(it)  # zeros (single-device x extent)
+        (amp1_ref, cph1_ref, sph1_ref, amp3_ref, cph3_ref, sph3_ref) = (
+            next(it) for _ in range(6)
+        )
+        tsrc_ref = next(it)  # (2, 2): [sin(wt)*sc, cos(wt)*sc] per step
+        if with_dft:
+            scal_ref = next(it)  # (2, 2): [cos*m, sin*m] per step
+        cyh_c = tuple(next(it) for _ in range(4))
+        czh_c = tuple(next(it) for _ in range(4))
+        cyi_c = tuple(next(it) for _ in range(4))
+        czi_c = tuple(next(it) for _ in range(4))
+        (psixp1_lo_ref, psixp1_hi_ref, psixv2_lo_ref, psixv2_hi_ref) = (
+            next(it) for _ in range(4)
+        )
+        (bxh_l1, axh_l1, bxh_h1, axh_h1,
+         bxh_l3, axh_l3, bxh_h3, axh_h3,
+         bxi_l2, axi_l2, bxi_h2, axi_h2,
+         bxi_l4, axi_l4, bxi_h4, axi_h4) = (next(it) for _ in range(16))
+        ovx, ovy, ovz, op, orr = (next(it) for _ in range(5))
+        if with_dft:
+            oacc_c, oacc_s, opeak = (next(it) for _ in range(3))
+        (opsixp_lo, opsixp_hi, opsixv_lo, opsixv_hi) = (
+            next(it) for _ in range(4)
+        )
+        (opsi_py_lo, opsi_py_hi, opsi_pz_lo, opsi_pz_hi,
+         opsi_vy_lo, opsi_vy_hi, opsi_vz_lo, opsi_vz_hi) = (
+            next(it) for _ in range(8)
+        )
+        (p0_ring, vx1_ring, vy1_ring, vz1_ring, p1_ring, r1_ring,
+         vx2_ring, vy2_ring, vz2_ring,
+         rho_ring, piu_ring, crp_ring, br_ring,
+         ppy_lo_r, ppy_hi_r, ppz_lo_r, ppz_hi_r,
+         pvy_lo_r, pvy_hi_r, pvz_lo_r, pvz_hi_r,
+         pxp_lo_r, pxp_hi_r, pxv_lo_r, pxv_hi_r) = (
+            next(it) for _ in range(25)
+        )
+
+        i = pl.program_id(0)
+        incoming = p_ref[...]
+        ghost = ghost_ref[...]
+
+        @pl.when(i < n_slabs)
+        def _():
+            p0_ring[i % 3] = incoming
+
+        def vel_update(sv, w, rho_inv, v_in, psi_y, psi_z, psix_pair,
+                       xc, amp, cph, sph, ts):
+            """Shared velocity update; returns (vx, vy, vz, psi updates)."""
+            dpx = _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
+                w[4 : 4 + nb] - w[1 : 1 + nb]
+            )
+            psix_lo, psix_hi = psix_pair
+            new_lo = xc[0] * psix_lo + xc[1] * dpx
+            new_hi = xc[2] * psix_hi + xc[3] * dpx
+            dpx = dpx + new_lo + new_hi
+            ps = w[2 : 2 + nb]
+            dpy = _d_plus_y(ps)
+            dpz = _d_plus_z(ps)
+            dpy, npy_lo, npy_hi = _apply_cpml_inplane(
+                dpy, psi_y[0], psi_y[1],
+                cyh_c[0][...], cyh_c[1][...], cyh_c[2][...], cyh_c[3][...],
+                axis=1,
+            )
+            dpz, npz_lo, npz_hi = _apply_cpml_inplane(
+                dpz, psi_z[0], psi_z[1],
+                czh_c[0][...], czh_c[1][...], czh_c[2][...], czh_c[3][...],
+                axis=2,
+            )
+            vx_n = v_in[0] - dt_dx * rho_inv * dpx
+            vy_n = v_in[1] - dt_dx * rho_inv * dpy
+            vz_n = v_in[2] - dt_dx * rho_inv * dpz
+            sval = ts[0] * cph + ts[1] * sph
+            z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            on_src = (z_iota == zsrc) & (amp > 0)
+            vz_n = jnp.where(on_src, sval * amp, vz_n)
+            return (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
+                    new_lo, new_hi)
+
+        def press_update(sp, w, vy_s, vz_s, p_old, r_old, piu, crp, br,
+                         psi_y, psi_z, psix_pair, xc):
+            dvx = _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
+                w[3 : 3 + nb] - w[0:nb]
+            )
+            psix_lo, psix_hi = psix_pair
+            new_lo = xc[0] * psix_lo + xc[1] * dvx
+            new_hi = xc[2] * psix_hi + xc[3] * dvx
+            dvx = dvx + new_lo + new_hi
+            dvy = _d_minus_y(vy_s)
+            dvz = _d_minus_z(vz_s)
+            dvy, nvy_lo, nvy_hi = _apply_cpml_inplane(
+                dvy, psi_y[0], psi_y[1],
+                cyi_c[0][...], cyi_c[1][...], cyi_c[2][...], cyi_c[3][...],
+                axis=1,
+            )
+            dvz, nvz_lo, nvz_hi = _apply_cpml_inplane(
+                dvz, psi_z[0], psi_z[1],
+                czi_c[0][...], czi_c[1][...], czi_c[2][...], czi_c[3][...],
+                axis=2,
+            )
+            theta = dvx + dvy + dvz
+            if viscous:
+                r_new = br * r_old - crp * theta * inv_dx
+                p_new = (
+                    p_old - dt_dx * piu * theta - dt * 0.5 * (r_new + r_old)
+                )
+            else:
+                r_new = r_old
+                p_new = p_old - dt_dx * piu * theta
+            return (p_new, r_new, nvy_lo, nvy_hi, nvz_lo, nvz_hi,
+                    new_lo, new_hi)
+
+        # ---- V1: velocity(t) for slab i-1 ----
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            sv = i - 1
+            prev2 = jnp.where(sv >= 1, p0_ring[(i - 2) % 3][nb - 2 :], ghost)
+            nxt2 = jnp.where(sv < n_slabs - 1, incoming[0:2], ghost)
+            w = jnp.concatenate([prev2, p0_ring[(i - 1) % 3], nxt2], axis=0)
+            (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
+             nxp_lo, nxp_hi) = vel_update(
+                sv, w, rho_ref[...],
+                (vx_ref[...], vy_ref[...], vz_ref[...]),
+                (psi_py_lo_ref[...], psi_py_hi_ref[...]),
+                (psi_pz_lo_ref[...], psi_pz_hi_ref[...]),
+                (psixp1_lo_ref[...], psixp1_hi_ref[...]),
+                (bxh_l1[...], axh_l1[...], bxh_h1[...], axh_h1[...]),
+                amp1_ref[...], cph1_ref[...], sph1_ref[...],
+                (tsrc_ref[0, 0], tsrc_ref[0, 1]),
+            )
+            vx1_ring[sv % 3] = vx_n
+            vy1_ring[sv % 3] = vy_n
+            vz1_ring[sv % 3] = vz_n
+            ppy_lo_r[sv % 3] = npy_lo
+            ppy_hi_r[sv % 3] = npy_hi
+            ppz_lo_r[sv % 3] = npz_lo
+            ppz_hi_r[sv % 3] = npz_hi
+            pxp_lo_r[sv % 3] = nxp_lo
+            pxp_hi_r[sv % 3] = nxp_hi
+
+        # ---- P1: pressure(t) for slab i-2 ----
+        @pl.when((i >= 2) & (i <= n_slabs + 1))
+        def _():
+            sp = i - 2
+            prev2 = jnp.where(sp >= 1, vx1_ring[(sp - 1) % 3][nb - 2 :], ghost)
+            nxt2 = jnp.where(sp < n_slabs - 1, vx1_ring[(sp + 1) % 3][0:2],
+                             ghost)
+            w = jnp.concatenate([prev2, vx1_ring[sp % 3], nxt2], axis=0)
+            (p_n, r_n, nvy_lo, nvy_hi, nvz_lo, nvz_hi,
+             nxv_lo, nxv_hi) = press_update(
+                sp, w, vy1_ring[sp % 3], vz1_ring[sp % 3],
+                p0_ring[sp % 3], r_ref[...],
+                piu_ref[...], crp_ref[...], br_ref[...],
+                (psi_vy_lo_ref[...], psi_vy_hi_ref[...]),
+                (psi_vz_lo_ref[...], psi_vz_hi_ref[...]),
+                (psixv2_lo_ref[...], psixv2_hi_ref[...]),
+                (bxi_l2[...], axi_l2[...], bxi_h2[...], axi_h2[...]),
+            )
+            p1_ring[sp % 3] = p_n
+            r1_ring[sp % 3] = r_n
+            pvy_lo_r[sp % 3] = nvy_lo
+            pvy_hi_r[sp % 3] = nvy_hi
+            pvz_lo_r[sp % 3] = nvz_lo
+            pvz_hi_r[sp % 3] = nvz_hi
+            pxv_lo_r[sp % 3] = nxv_lo
+            pxv_hi_r[sp % 3] = nxv_hi
+
+        # ---- V2: velocity(t+1) for slab i-3 ----
+        @pl.when((i >= 3) & (i <= n_slabs + 2))
+        def _():
+            sv = i - 3
+            prev2 = jnp.where(sv >= 1, p1_ring[(sv - 1) % 3][nb - 2 :], ghost)
+            nxt2 = jnp.where(sv < n_slabs - 1, p1_ring[(sv + 1) % 3][0:2],
+                             ghost)
+            w = jnp.concatenate([prev2, p1_ring[sv % 3], nxt2], axis=0)
+            (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
+             nxp_lo, nxp_hi) = vel_update(
+                sv, w, rho_ring[sv % 2],
+                (vx1_ring[sv % 3], vy1_ring[sv % 3], vz1_ring[sv % 3]),
+                (ppy_lo_r[sv % 3], ppy_hi_r[sv % 3]),
+                (ppz_lo_r[sv % 3], ppz_hi_r[sv % 3]),
+                (pxp_lo_r[sv % 3], pxp_hi_r[sv % 3]),
+                (bxh_l3[...], axh_l3[...], bxh_h3[...], axh_h3[...]),
+                amp3_ref[...], cph3_ref[...], sph3_ref[...],
+                (tsrc_ref[1, 0], tsrc_ref[1, 1]),
+            )
+            vx2_ring[sv % 3] = vx_n
+            vy2_ring[sv % 2] = vy_n
+            vz2_ring[sv % 2] = vz_n
+            ovx[...] = vx_n
+            ovy[...] = vy_n
+            ovz[...] = vz_n
+            opsi_py_lo[...] = npy_lo
+            opsi_py_hi[...] = npy_hi
+            opsi_pz_lo[...] = npz_lo
+            opsi_pz_hi[...] = npz_hi
+            opsixp_lo[...] = nxp_lo
+            opsixp_hi[...] = nxp_hi
+
+        # ---- P2: pressure(t+1) for slab i-4, DFT for both steps ----
+        @pl.when(i >= 4)
+        def _():
+            sp = i - 4
+            prev2 = jnp.where(sp >= 1, vx2_ring[(sp - 1) % 3][nb - 2 :], ghost)
+            nxt2 = jnp.where(sp < n_slabs - 1, vx2_ring[(sp + 1) % 3][0:2],
+                             ghost)
+            w = jnp.concatenate([prev2, vx2_ring[sp % 3], nxt2], axis=0)
+            p1s = p1_ring[sp % 3]
+            (p_n, r_n, nvy_lo, nvy_hi, nvz_lo, nvz_hi,
+             nxv_lo, nxv_hi) = press_update(
+                sp, w, vy2_ring[sp % 2], vz2_ring[sp % 2],
+                p1s, r1_ring[sp % 3],
+                piu_ring[sp % 2], crp_ring[sp % 2], br_ring[sp % 2],
+                (pvy_lo_r[sp % 3], pvy_hi_r[sp % 3]),
+                (pvz_lo_r[sp % 3], pvz_hi_r[sp % 3]),
+                (pxv_lo_r[sp % 3], pxv_hi_r[sp % 3]),
+                (bxi_l4[...], axi_l4[...], bxi_h4[...], axi_h4[...]),
+            )
+            op[...] = p_n
+            orr[...] = r_n
+            opsi_vy_lo[...] = nvy_lo
+            opsi_vy_hi[...] = nvy_hi
+            opsi_vz_lo[...] = nvz_lo
+            opsi_vz_hi[...] = nvz_hi
+            opsixv_lo[...] = nxv_lo
+            opsixv_hi[...] = nxv_hi
+            if with_dft:
+                c1, s1 = scal_ref[0, 0], scal_ref[0, 1]
+                c2, s2 = scal_ref[1, 0], scal_ref[1, 1]
+                oacc_c[...] = acc_c_ref[...] + p1s * c1 + p_n * c2
+                oacc_s[...] = acc_s_ref[...] + p1s * s1 + p_n * s2
+                opeak[...] = jnp.maximum(
+                    peak_ref[...],
+                    jnp.maximum(
+                        jnp.abs(p1s) * (c1 * c1 + s1 * s1 > 0),
+                        jnp.abs(p_n) * (c2 * c2 + s2 * s2 > 0),
+                    ),
+                )
+
+        # end-of-body material stashes (read by V2/P2 two iterations later)
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            rho_ring[(i - 1) % 2] = rho_ref[...]
+
+        @pl.when((i >= 2) & (i <= n_slabs + 1))
+        def _():
+            piu_ring[(i - 2) % 2] = piu_ref[...]
+            crp_ring[(i - 2) % 2] = crp_ref[...]
+            br_ring[(i - 2) % 2] = br_ref[...]
+
+    plane1 = lambda: pl.BlockSpec((nb, N2, 1), lagk(1), memory_space=pltpu.VMEM)
+    plane3 = lambda: pl.BlockSpec((nb, N2, 1), lagk(3), memory_space=pltpu.VMEM)
+    smem22 = lambda: pl.BlockSpec((2, 2), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+    n_acc = 3 if with_dft else 0
+    vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
+
+    in_specs = (
+        [slab(cur)]                                   # p
+        + [slab(lagk(1))] * 3                         # vx, vy, vz
+        + [slab(lagk(2))]                             # r
+        + [slab(lagk(1))]                             # rho_inv
+        + [slab(lagk(2))] * 3                         # piu, crp, br
+        + [slab(lagk(4))] * n_acc                     # accs
+        + [slab_y(lagk(1)), slab_y(lagk(1)),
+           slab_z(lagk(1)), slab_z(lagk(1))]          # psi_p (first visit)
+        + [slab_y(lagk(2)), slab_y(lagk(2)),
+           slab_z(lagk(2)), slab_z(lagk(2))]          # psi_v (first visit)
+        + [ghost_spec]                                # zero ghost
+        + [plane1(), plane1(), plane1(),
+           plane3(), plane3(), plane3()]              # src planes x2 lags
+        + [smem22()]                                  # tsrc (2 steps)
+        + ([smem22()] if with_dft else [])            # scal (2 steps)
+        + [coef_y] * 4 + [coef_z] * 4                 # half profiles
+        + [coef_y] * 4 + [coef_z] * 4                 # int profiles
+        + [psixb(lo_of(1)), psixb(hi_of(1)),
+           psixb(lo_of(2)), psixb(hi_of(2))]          # psix first visits
+        + [coefxb(lo_of(1)), coefxb(lo_of(1)),
+           coefxb(hi_of(1)), coefxb(hi_of(1))]        # x half coefs @V1
+        + [coefxb(lo_of(3)), coefxb(lo_of(3)),
+           coefxb(hi_of(3)), coefxb(hi_of(3))]        # x half coefs @V2
+        + [coefxb(lo_of(2)), coefxb(lo_of(2)),
+           coefxb(hi_of(2)), coefxb(hi_of(2))]        # x int coefs @P1
+        + [coefxb(lo_of(4)), coefxb(lo_of(4)),
+           coefxb(hi_of(4)), coefxb(hi_of(4))]        # x int coefs @P2
+    )
+    out_specs = (
+        [slab(lagk(3))] * 3                           # vx, vy, vz (t+1)
+        + [slab(lagk(4))] * 2                         # p, r (t+1)
+        + [slab(lagk(4))] * n_acc
+        + [psixb(lo_of(3)), psixb(hi_of(3)),
+           psixb(lo_of(4)), psixb(hi_of(4))]          # psix second visits
+        + [slab_y(lagk(3)), slab_y(lagk(3)),
+           slab_z(lagk(3)), slab_z(lagk(3))]          # psi_p out
+        + [slab_y(lagk(4)), slab_y(lagk(4)),
+           slab_z(lagk(4)), slab_z(lagk(4))]          # psi_v out
+    )
+    out_shape = (
+        [vol()] * (5 + n_acc)
+        + [psix_shape] * 4
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 2
+    )
+    # aliases: fields, accs, psix, psi y/z
+    aliases = {1: 0, 2: 1, 3: 2, 0: 3, 4: 4}
+    for a in range(n_acc):
+        aliases[9 + a] = 5 + a
+    psix_in0 = 9 + n_acc + 8 + 1 + 6 + 1 + (1 if with_dft else 0) + 16
+    for a in range(4):  # psix
+        aliases[psix_in0 + a] = 5 + n_acc + a
+    for a in range(8):  # psi y/z
+        aliases[9 + n_acc + a] = 9 + n_acc + a
+
+    ring_slab = lambda d: pltpu.VMEM((d, nb, N2, N3), jnp.float32)
+    ring_y = lambda d: pltpu.VMEM((d, nb, ns, N3), jnp.float32)
+    ring_z = lambda d: pltpu.VMEM((d, nb, N2, ns), jnp.float32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_slabs + 4,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            ring_slab(3),            # p0
+            ring_slab(3), ring_slab(3), ring_slab(3),  # vx1, vy1, vz1
+            ring_slab(3), ring_slab(3),                # p1, r1
+            ring_slab(3), ring_slab(2), ring_slab(2),  # vx2, vy2, vz2
+            ring_slab(2), ring_slab(2), ring_slab(2), ring_slab(2),  # mats
+            ring_y(3), ring_y(3), ring_z(3), ring_z(3),  # psi_p rings
+            ring_y(3), ring_y(3), ring_z(3), ring_z(3),  # psi_v rings
+            ring_slab(3), ring_slab(3),                  # psix_p rings
+            ring_slab(3), ring_slab(3),                  # psix_v rings
+        ],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    coefs = {
+        "y_half": tuple(jnp.asarray(c) for c in by),
+        "z_half": tuple(jnp.asarray(c) for c in bz),
+        "y_int": tuple(jnp.asarray(c) for c in by_i),
+        "z_int": tuple(jnp.asarray(c) for c in bz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, kx),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, kx),
+        "px_planes": px_planes,
+    }
+    return call, coefs
+
+
 # ---------------------------------------------------------------------------
 # full-step integration (kernels + jnp x-CPML post-passes + source)
 # ---------------------------------------------------------------------------
@@ -1047,6 +1477,98 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
     return step
 
 
+def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
+                               interpret, with_dft):
+    """Two-timestep step closure (scan over step PAIRS; n is the first of
+    the two step indices)."""
+    omega = 2.0 * np.pi * grid.frequency
+    call, kcoefs = build_fluid_fused2_step(
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
+    )
+    xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
+    xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])
+    N1, N2, N3 = grid.shape
+    zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
+    ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        pr = s["props"]
+
+        def src_row(nk):
+            t = nk.astype(jnp.float32) * grid.dt
+            ramp = jnp.where(
+                nk < ramp_steps,
+                0.5 * (1.0 - jnp.cos(np.pi * nk / ramp_steps)), 1.0,
+            ).astype(jnp.float32)
+            sc = ramp * oz_scale
+            return jnp.stack([jnp.sin(omega * t) * sc,
+                              jnp.cos(omega * t) * sc])
+
+        tsrc = jnp.stack([src_row(n), src_row(n + 1)])  # (2, 2)
+        if with_dft:
+            def scal_row(nk):
+                t = nk.astype(jnp.float32) * grid.dt
+                m = (nk >= grid.sensor_start).astype(jnp.float32)
+                return jnp.stack([jnp.cos(omega * t) * m,
+                                  jnp.sin(omega * t) * m])
+
+            scal = jnp.stack([scal_row(n), scal_row(n + 1)])
+            acc_in = (s["acc_cos"], s["acc_sin"], s["peak"])
+            scal_in = (scal,)
+        else:
+            acc_in = scal_in = ()
+
+        outs = call(
+            f["p"], f["vx"], f["vy"], f["vz"], f["r"],
+            pr["rho_inv"], pr["pi_u"], pr["c_rp"], pr["b_r"],
+            *acc_in,
+            s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
+            s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
+            zero_ghost,
+            s["src_amp"], s["src_cph"], s["src_sph"],
+            s["src_amp"], s["src_cph"], s["src_sph"],
+            tsrc,
+            *scal_in,
+            *kcoefs["y_half"], *kcoefs["z_half"],
+            *kcoefs["y_int"], *kcoefs["z_int"],
+            s["psix_p_lo"], s["psix_p_hi"], s["psix_v_lo"], s["psix_v_hi"],
+            xh[0], xh[1], xh[2], xh[3],
+            xh[0], xh[1], xh[2], xh[3],
+            xi[0], xi[1], xi[2], xi[3],
+            xi[0], xi[1], xi[2], xi[3],
+        )
+        it = iter(outs)
+        vx, vy, vz, p_new, r_new = (next(it) for _ in range(5))
+        if with_dft:
+            acc_c, acc_s, peak = (next(it) for _ in range(3))
+        else:
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
+        psix_p_lo, psix_p_hi, psix_v_lo, psix_v_hi = (
+            next(it) for _ in range(4)
+        )
+        (psi_py_lo, psi_py_hi, psi_pz_lo, psi_pz_hi,
+         psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi) = (
+            next(it) for _ in range(8)
+        )
+        new_carry = dict(
+            s,
+            fields=dict(p=p_new, vx=vx, vy=vy, vz=vz, r=r_new),
+            psi_py_lo=psi_py_lo, psi_py_hi=psi_py_hi,
+            psi_pz_lo=psi_pz_lo, psi_pz_hi=psi_pz_hi,
+            psi_vy_lo=psi_vy_lo, psi_vy_hi=psi_vy_hi,
+            psi_vz_lo=psi_vz_lo, psi_vz_hi=psi_vz_hi,
+            psix_p_lo=psix_p_lo, psix_p_hi=psix_p_hi,
+            psix_v_lo=psix_v_lo, psix_v_hi=psix_v_hi,
+            acc_cos=acc_c, acc_sin=acc_s, peak=peak,
+        )
+        return new_carry, None
+
+    return step
+
+
 def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
                           oz_scale, nb=2, comm=None, interpret=False):
     """Scan driver mirroring fdtd._simulate_local for the pallas fluid path.
@@ -1060,14 +1582,7 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
-    step = make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
-                                  comm=comm, interpret=interpret)
     n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
-    step_quiet = (
-        make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
-                               comm=comm, interpret=interpret, with_dft=False)
-        if n_quiet > 0 else None
-    )
     px_planes = (-(-ns // nb) + 1) * nb  # in-kernel x-CPML block count
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
@@ -1087,11 +1602,40 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
         "src_cph": jnp.cos(src_phase)[:, :, None],
         "src_sph": jnp.sin(src_phase)[:, :, None],
     }
-    if n_quiet > 0:
-        carry, _ = jax.lax.scan(step_quiet, carry, jnp.arange(n_quiet))
-    carry, _ = jax.lax.scan(
-        step, carry, jnp.arange(n_quiet, grid.n_steps)
+
+    if comm is None:
+        from ..parallel.halo import DomainComm
+
+        comm = DomainComm()
+    kx = -(-ns // nb)
+    use_fused2 = (
+        not (comm.sharded_x or comm.sharded_y) and N1 // nb >= kx + 3
     )
+
+    def run_phase(carry, n0, n1, with_dft):
+        """Advance steps [n0, n1): 2-step fused sweeps + a 1-step tail."""
+        count = n1 - n0
+        if count <= 0:
+            return carry
+        n_pairs = count // 2 if use_fused2 else 0
+        if n_pairs > 0:
+            step2 = _make_fluid_fused2_step_fn(
+                grid, profiles_np, viscous, oz_scale, nb, interpret, with_dft
+            )
+            carry, _ = jax.lax.scan(
+                step2, carry, n0 + 2 * jnp.arange(n_pairs)
+            )
+        rem0 = n0 + 2 * n_pairs
+        if rem0 < n1:
+            step1 = make_fluid_pallas_step(
+                grid, profiles_np, viscous, oz_scale, nb, comm=comm,
+                interpret=interpret, with_dft=with_dft,
+            )
+            carry, _ = jax.lax.scan(step1, carry, jnp.arange(rem0, n1))
+        return carry
+
+    carry = run_phase(carry, 0, n_quiet, with_dft=False)
+    carry = run_phase(carry, n_quiet, grid.n_steps, with_dft=True)
     return carry["acc_cos"], carry["acc_sin"], carry["peak"]
 
 
