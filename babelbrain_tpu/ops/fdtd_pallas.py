@@ -2130,15 +2130,575 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     return vel_call, stress_call, kc
 
 
+def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
+                           interpret=False, with_dft=True):
+    """Single-sweep fused viscoelastic step (velocity AND stress updates in
+    one streaming pass; single-device x extent).
+
+    Same temporal pipeline as build_fluid_fused_step: velocity for slab
+    i-1 from the streamed old stresses, stress for slab i-2 from the
+    freshly computed velocities held in slab-keyed VMEM rings. Removes the
+    intermediate re-read of the 3 velocities and the second read of the 6
+    stresses (~45 -> ~35 volume-equivalents of HBM traffic per step).
+    Update equations identical to build_visco_pallas_step.
+    """
+    N1, N2, N3 = grid.shape
+    fuse_src = grid.source_type == "velocity_plane"
+    zsrc = grid.source_plane_z
+    if N1 % nb or nb < 2:
+        raise ValueError(f"N1={N1} must be divisible by slab size {nb} >= 2")
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    dt_dx = np.float32(grid.dt / grid.dx)
+    dt = np.float32(grid.dt)
+    inv_dx = np.float32(1.0 / grid.dx)
+
+    cy_h = _make_profiles_const(profiles_np, 1, "half", ns)
+    cz_h = _make_profiles_const(profiles_np, 2, "half", ns)
+    cy_i = _make_profiles_const(profiles_np, 1, "int", ns)
+    cz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+
+    slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
+    slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx, memory_space=pltpu.VMEM)
+    slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx, memory_space=pltpu.VMEM)
+    coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
+    lag1 = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), n_slabs - 1), 0, 0)
+    lag2 = lambda i: (jnp.minimum(jnp.maximum(i - 2, 0), n_slabs - 1), 0, 0)
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kx = -(-ns // nb)
+    if n_slabs < kx + 1:
+        raise ValueError(f"N1={N1} too small for the fused pipeline")
+    px_planes = (kx + 1) * nb
+    lo1m = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), kx), 0, 0)
+    lo2m = lambda i: (jnp.minimum(jnp.maximum(i - 2, 0), kx), 0, 0)
+
+    def hi_of(lag):
+        def m(i):
+            s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
+            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+        return m
+
+    psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
+    coefxb = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+
+    def dpx_w(w):
+        return _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
+            w[4 : 4 + nb] - w[1 : 1 + nb]
+        )
+
+    def dmx_w(w):
+        return _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
+            w[3 : 3 + nb] - w[0:nb]
+        )
+
+    def kernel(*refs):
+        it = iter(refs)
+        sxx_ref, sxy_ref, sxz_ref = (next(it) for _ in range(3))  # cur
+        syy_ref, szz_ref, syz_ref = (next(it) for _ in range(3))  # lag1
+        vx_ref, vy_ref, vz_ref, rho_ref = (next(it) for _ in range(4))
+        rxx_ref, ryy_ref, rzz_ref, rxy_ref, rxz_ref, ryz_ref = (
+            next(it) for _ in range(6)
+        )
+        piu_ref, muu_ref, crp_ref, crs_ref, br_ref = (
+            next(it) for _ in range(5)
+        )
+        if with_dft:
+            acc_c_ref, acc_s_ref, peak_ref = (next(it) for _ in range(3))
+        psi_v = [next(it) for _ in range(12)]   # vel-phase psi (lag1)
+        psi_s = [next(it) for _ in range(12)]   # stress-phase psi (lag2)
+        ghost_ref = next(it)
+        if fuse_src:
+            amp_ref, cph_ref, sph_ref, tsrc_ref = (
+                next(it) for _ in range(4)
+            )
+        if with_dft:
+            scal_ref = next(it)
+        cyh = tuple(next(it) for _ in range(4))
+        czh = tuple(next(it) for _ in range(4))
+        cyi = tuple(next(it) for _ in range(4))
+        czi = tuple(next(it) for _ in range(4))
+        (px_sxx_lo, px_sxx_hi, px_sxy_lo, px_sxy_hi, px_sxz_lo,
+         px_sxz_hi) = (next(it) for _ in range(6))
+        (cxh_blo1, cxh_alo1, cxh_bhi1, cxh_ahi1,
+         cxi_blo1, cxi_alo1, cxi_bhi1, cxi_ahi1) = (
+            next(it) for _ in range(8)
+        )
+        (px_vx_lo, px_vx_hi, px_vy_lo, px_vy_hi, px_vz_lo, px_vz_hi) = (
+            next(it) for _ in range(6)
+        )
+        (cxh_blo2, cxh_alo2, cxh_bhi2, cxh_ahi2,
+         cxi_blo2, cxi_alo2, cxi_bhi2, cxi_ahi2) = (
+            next(it) for _ in range(8)
+        )
+        ovx, ovy, ovz = (next(it) for _ in range(3))
+        osxx, osyy, oszz, osxy, osxz, osyz = (next(it) for _ in range(6))
+        orxx, oryy, orzz, orxy, orxz, oryz = (next(it) for _ in range(6))
+        if with_dft:
+            oacc_c, oacc_s, opeak = (next(it) for _ in range(3))
+        opsi_v = [next(it) for _ in range(12)]
+        opsi_s = [next(it) for _ in range(12)]
+        (ox_sxx_lo, ox_sxx_hi, ox_sxy_lo, ox_sxy_hi, ox_sxz_lo,
+         ox_sxz_hi) = (next(it) for _ in range(6))
+        (ox_vx_lo, ox_vx_hi, ox_vy_lo, ox_vy_hi, ox_vz_lo, ox_vz_hi) = (
+            next(it) for _ in range(6)
+        )
+        (ring_xx, ring_xy, ring_xz, ring_yy, ring_zz, ring_yz,
+         rvx, rvy, rvz) = (next(it) for _ in range(9))
+
+        i = pl.program_id(0)
+        ghost = ghost_ref[...]
+
+        @pl.when(i < n_slabs)
+        def _():
+            ring_xx[i % 3] = sxx_ref[...]
+            ring_xy[i % 3] = sxy_ref[...]
+            ring_xz[i % 3] = sxz_ref[...]
+
+        def cpml(d, lo_ref, hi_ref, coefs, axis):
+            return _apply_cpml_inplane(
+                d, lo_ref[...], hi_ref[...],
+                coefs[0][...], coefs[1][...], coefs[2][...], coefs[3][...],
+                axis=axis,
+            )
+
+        def win(ring, s):
+            prev2 = jnp.where(s >= 1, ring[(s - 1) % 3][nb - 2 :], ghost)
+            nxt2 = jnp.where(s < n_slabs - 1, ring[(s + 1) % 3][0:2], ghost)
+            return jnp.concatenate([prev2, ring[s % 3], nxt2], axis=0)
+
+        # ---- velocity update for slab sv = i-1 ----
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            sv = i - 1
+            w_xx = win(ring_xx, sv)
+            w_xy = win(ring_xy, sv)
+            w_xz = win(ring_xz, sv)
+            sxy = w_xy[2 : 2 + nb]
+            sxz = w_xz[2 : 2 + nb]
+            dsxx_x, nx_sxx_lo, nx_sxx_hi = _x_cpml_apply(
+                dpx_w(w_xx), px_sxx_lo, px_sxx_hi,
+                cxh_blo1, cxh_alo1, cxh_bhi1, cxh_ahi1,
+            )
+            dsxy_x, nx_sxy_lo, nx_sxy_hi = _x_cpml_apply(
+                dmx_w(w_xy), px_sxy_lo, px_sxy_hi,
+                cxi_blo1, cxi_alo1, cxi_bhi1, cxi_ahi1,
+            )
+            dsxz_x, nx_sxz_lo, nx_sxz_hi = _x_cpml_apply(
+                dmx_w(w_xz), px_sxz_lo, px_sxz_hi,
+                cxi_blo1, cxi_alo1, cxi_bhi1, cxi_ahi1,
+            )
+            ox_sxx_lo[...] = nx_sxx_lo
+            ox_sxx_hi[...] = nx_sxx_hi
+            ox_sxy_lo[...] = nx_sxy_lo
+            ox_sxy_hi[...] = nx_sxy_hi
+            ox_sxz_lo[...] = nx_sxz_lo
+            ox_sxz_hi[...] = nx_sxz_hi
+            dsxy_y, n0, n1 = cpml(_d_minus_y(sxy), psi_v[0], psi_v[1], cyi, 1)
+            opsi_v[0][...] = n0
+            opsi_v[1][...] = n1
+            dsyy_y, n0, n1 = cpml(
+                _d_plus_y(syy_ref[...]), psi_v[2], psi_v[3], cyh, 1
+            )
+            opsi_v[2][...] = n0
+            opsi_v[3][...] = n1
+            dsyz_y, n0, n1 = cpml(
+                _d_minus_y(syz_ref[...]), psi_v[4], psi_v[5], cyi, 1
+            )
+            opsi_v[4][...] = n0
+            opsi_v[5][...] = n1
+            dsxz_z, n0, n1 = cpml(_d_minus_z(sxz), psi_v[6], psi_v[7], czi, 2)
+            opsi_v[6][...] = n0
+            opsi_v[7][...] = n1
+            dsyz_z, n0, n1 = cpml(
+                _d_minus_z(syz_ref[...]), psi_v[8], psi_v[9], czi, 2
+            )
+            opsi_v[8][...] = n0
+            opsi_v[9][...] = n1
+            dszz_z, n0, n1 = cpml(
+                _d_plus_z(szz_ref[...]), psi_v[10], psi_v[11], czh, 2
+            )
+            opsi_v[10][...] = n0
+            opsi_v[11][...] = n1
+            rho_inv = rho_ref[...]
+            vx_n = vx_ref[...] + dt_dx * rho_inv * (dsxx_x + dsxy_y + dsxz_z)
+            vy_n = vy_ref[...] + dt_dx * rho_inv * (dsxy_x + dsyy_y + dsyz_z)
+            vz_n = vz_ref[...] + dt_dx * rho_inv * (dsxz_x + dsyz_y + dszz_z)
+            if fuse_src:
+                amp = amp_ref[...]
+                sval = (
+                    tsrc_ref[0, 0] * cph_ref[...]
+                    + tsrc_ref[0, 1] * sph_ref[...]
+                )
+                z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+                on_src = (z_iota == zsrc) & (amp > 0)
+                vz_n = jnp.where(on_src, sval * amp, vz_n)
+            ovx[...] = vx_n
+            ovy[...] = vy_n
+            ovz[...] = vz_n
+            rvx[sv % 3] = vx_n
+            rvy[sv % 3] = vy_n
+            rvz[sv % 3] = vz_n
+            # hold syy/szz/syz for this slab's stress update next iteration
+            ring_yy[sv % 2] = syy_ref[...]
+            ring_zz[sv % 2] = szz_ref[...]
+            ring_yz[sv % 2] = syz_ref[...]
+
+        # ---- stress update for slab sp = i-2 ----
+        @pl.when(i >= 2)
+        def _():
+            sp = i - 2
+            w_x = win(rvx, sp)
+            w_y = win(rvy, sp)
+            w_z = win(rvz, sp)
+            vx = w_x[2 : 2 + nb]
+            vy = w_y[2 : 2 + nb]
+            vz = w_z[2 : 2 + nb]
+            dvx_x, nx_vx_lo, nx_vx_hi = _x_cpml_apply(
+                dmx_w(w_x), px_vx_lo, px_vx_hi,
+                cxi_blo2, cxi_alo2, cxi_bhi2, cxi_ahi2,
+            )
+            dvy_x, nx_vy_lo, nx_vy_hi = _x_cpml_apply(
+                dpx_w(w_y), px_vy_lo, px_vy_hi,
+                cxh_blo2, cxh_alo2, cxh_bhi2, cxh_ahi2,
+            )
+            dvz_x, nx_vz_lo, nx_vz_hi = _x_cpml_apply(
+                dpx_w(w_z), px_vz_lo, px_vz_hi,
+                cxh_blo2, cxh_alo2, cxh_bhi2, cxh_ahi2,
+            )
+            ox_vx_lo[...] = nx_vx_lo
+            ox_vx_hi[...] = nx_vx_hi
+            ox_vy_lo[...] = nx_vy_lo
+            ox_vy_hi[...] = nx_vy_hi
+            ox_vz_lo[...] = nx_vz_lo
+            ox_vz_hi[...] = nx_vz_hi
+            dvy_y, n0, n1 = cpml(_d_minus_y(vy), psi_s[0], psi_s[1], cyi, 1)
+            opsi_s[0][...] = n0
+            opsi_s[1][...] = n1
+            dvx_y, n0, n1 = cpml(_d_plus_y(vx), psi_s[2], psi_s[3], cyh, 1)
+            opsi_s[2][...] = n0
+            opsi_s[3][...] = n1
+            dvz_y, n0, n1 = cpml(_d_plus_y(vz), psi_s[4], psi_s[5], cyh, 1)
+            opsi_s[4][...] = n0
+            opsi_s[5][...] = n1
+            dvz_z, n0, n1 = cpml(_d_minus_z(vz), psi_s[6], psi_s[7], czi, 2)
+            opsi_s[6][...] = n0
+            opsi_s[7][...] = n1
+            dvx_z, n0, n1 = cpml(_d_plus_z(vx), psi_s[8], psi_s[9], czh, 2)
+            opsi_s[8][...] = n0
+            opsi_s[9][...] = n1
+            dvy_z, n0, n1 = cpml(_d_plus_z(vy), psi_s[10], psi_s[11], czh, 2)
+            opsi_s[10][...] = n0
+            opsi_s[11][...] = n1
+            theta = dvx_x + dvy_y + dvz_z
+            pi_u = piu_ref[...]
+            mu_u = muu_ref[...]
+            b_r = br_ref[...]
+            c_rp = crp_ref[...]
+            c_rs = crs_ref[...]
+
+            def diag(s_old, r_old, d_own):
+                if viscous:
+                    phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
+                    r_new = b_r * r_old - phi * inv_dx
+                    s_new = (
+                        s_old
+                        + dt_dx * (pi_u * theta - 2 * mu_u * (theta - d_own))
+                        + dt * 0.5 * (r_new + r_old)
+                    )
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * (
+                        pi_u * theta - 2 * mu_u * (theta - d_own)
+                    )
+                return s_new, r_new
+
+            sxx_n, rxx_n = diag(ring_xx[sp % 3], rxx_ref[...], dvx_x)
+            syy_n, ryy_n = diag(ring_yy[sp % 2], ryy_ref[...], dvy_y)
+            szz_n, rzz_n = diag(ring_zz[sp % 2], rzz_ref[...], dvz_z)
+
+            def shear(s_old, r_old, e):
+                if viscous:
+                    r_new = b_r * r_old - c_rs * e * inv_dx
+                    s_new = (
+                        s_old + dt_dx * mu_u * e + dt * 0.5 * (r_new + r_old)
+                    )
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * mu_u * e
+                return s_new, r_new
+
+            sxy_n, rxy_n = shear(ring_xy[sp % 3], rxy_ref[...], dvx_y + dvy_x)
+            sxz_n, rxz_n = shear(ring_xz[sp % 3], rxz_ref[...], dvx_z + dvz_x)
+            syz_n, ryz_n = shear(ring_yz[sp % 2], ryz_ref[...], dvy_z + dvz_y)
+
+            osxx[...] = sxx_n
+            osyy[...] = syy_n
+            oszz[...] = szz_n
+            osxy[...] = sxy_n
+            osxz[...] = sxz_n
+            osyz[...] = syz_n
+            orxx[...] = rxx_n
+            oryy[...] = ryy_n
+            orzz[...] = rzz_n
+            orxy[...] = rxy_n
+            orxz[...] = rxz_n
+            oryz[...] = ryz_n
+            if with_dft:
+                pressure = -(sxx_n + syy_n + szz_n) * (1.0 / 3.0)
+                cosw = scal_ref[0, 0]
+                sinw = scal_ref[0, 1]
+                oacc_c[...] = acc_c_ref[...] + pressure * cosw
+                oacc_s[...] = acc_s_ref[...] + pressure * sinw
+                opeak[...] = jnp.maximum(
+                    peak_ref[...],
+                    jnp.abs(pressure) * (cosw * cosw + sinw * sinw > 0),
+                )
+
+    plane = lambda: pl.BlockSpec((nb, N2, 1), lag1, memory_space=pltpu.VMEM)
+    smem2 = lambda: pl.BlockSpec(
+        (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    n_acc = 3 if with_dft else 0
+    vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
+    n_src = 4 if fuse_src else 0
+
+    psi_v_specs = (
+        [slab_y(lag1)] * 6 + [slab_z(lag1)] * 6
+    )
+    psi_s_specs = (
+        [slab_y(lag2)] * 6 + [slab_z(lag2)] * 6
+    )
+    in_specs = (
+        [slab(cur)] * 3                                # sxx, sxy, sxz
+        + [slab(lag1)] * 3                             # syy, szz, syz
+        + [slab(lag1)] * 4                             # vx, vy, vz, rho
+        + [slab(lag2)] * 6                             # r's
+        + [slab(lag2)] * 5                             # props
+        + [slab(lag2)] * n_acc                         # accs
+        + psi_v_specs
+        + psi_s_specs
+        + [ghost_spec]
+        + ([plane(), plane(), plane(), smem2()] if fuse_src else [])
+        + ([smem2()] if with_dft else [])
+        + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
+        + [psixb(lo1m), psixb(hi_of(1))] * 3           # psix sxx/sxy/sxz
+        + [coefxb(lo1m), coefxb(lo1m), coefxb(hi_of(1)), coefxb(hi_of(1))] * 2
+        + [psixb(lo2m), psixb(hi_of(2))] * 3           # psix vx/vy/vz
+        + [coefxb(lo2m), coefxb(lo2m), coefxb(hi_of(2)), coefxb(hi_of(2))] * 2
+    )
+    out_specs = (
+        [slab(lag1)] * 3                               # vx, vy, vz
+        + [slab(lag2)] * 12                            # s's + r's
+        + [slab(lag2)] * n_acc
+        + [slab_y(lag1)] * 6 + [slab_z(lag1)] * 6      # psi_v
+        + [slab_y(lag2)] * 6 + [slab_z(lag2)] * 6      # psi_s
+        + [psixb(lo1m), psixb(hi_of(1))] * 3
+        + [psixb(lo2m), psixb(hi_of(2))] * 3
+    )
+    out_shape = (
+        [vol()] * (15 + n_acc)
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+        + [psix_shape] * 6
+        + [psix_shape] * 6
+    )
+    # aliases: velocities, then stresses (inputs sxx,sxy,sxz=0-2 /
+    # syy,szz,syz=3-5 onto outputs ordered sxx,syy,szz,sxy,sxz,syz at 3-8)
+    aliases = {6: 0, 7: 1, 8: 2,
+               0: 3, 3: 4, 4: 5, 1: 6, 2: 7, 5: 8}
+    for a in range(6):                  # r's: inputs 10..15 -> outputs 9..14
+        aliases[10 + a] = 9 + a
+    for a in range(n_acc):
+        aliases[21 + a] = 15 + a
+    psi_in0 = 21 + n_acc
+    for a in range(24):                 # psi_v + psi_s
+        aliases[psi_in0 + a] = 15 + n_acc + a
+    psix_in0 = (
+        psi_in0 + 24 + 1 + n_src + (1 if with_dft else 0) + 16
+    )
+    for a in range(6):                  # psix stress (first block group)
+        aliases[psix_in0 + a] = 39 + n_acc + a
+    psixv_in0 = psix_in0 + 6 + 8
+    for a in range(6):
+        aliases[psixv_in0 + a] = 45 + n_acc + a
+
+    ring_slab = lambda d: pltpu.VMEM((d, nb, N2, N3), jnp.float32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_slabs + 2,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            ring_slab(3), ring_slab(3), ring_slab(3),  # sxx, sxy, sxz
+            ring_slab(2), ring_slab(2), ring_slab(2),  # syy, szz, syz
+            ring_slab(3), ring_slab(3), ring_slab(3),  # vx, vy, vz (new)
+        ],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    kc = {
+        "y_half": tuple(jnp.asarray(c) for c in cy_h),
+        "z_half": tuple(jnp.asarray(c) for c in cz_h),
+        "y_int": tuple(jnp.asarray(c) for c in cy_i),
+        "z_int": tuple(jnp.asarray(c) for c in cz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, kx),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, kx),
+        "px_planes": px_planes,
+    }
+    return call, kc
+
+
+def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
+                              interpret, with_dft):
+    """Step closure for the fused single-sweep viscoelastic kernel."""
+    N1, N2, N3 = grid.shape
+    omega = 2.0 * np.pi * grid.frequency
+    fuse_src = grid.source_type == "velocity_plane"
+
+    call, kc = build_visco_fused_step(
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
+    )
+    bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
+    bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
+    zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
+    ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        pr = s["props"]
+        t = n.astype(jnp.float32) * grid.dt
+        ramp = jnp.where(
+            n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
+        ).astype(jnp.float32)
+
+        if fuse_src:
+            scale = ramp * oz_scale
+            tsrc = jnp.stack(
+                [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
+            ).reshape(1, 2)
+            src_args = (s["src_amp3"], s["src_cph"], s["src_sph"], tsrc)
+        else:
+            src_args = ()
+        if with_dft:
+            in_window = (n >= grid.sensor_start).astype(jnp.float32)
+            cosw = jnp.cos(omega * t) * in_window
+            sinw = jnp.sin(omega * t) * in_window
+            scal = jnp.stack([cosw, sinw]).reshape(1, 2)
+            acc_args = (s["acc_cos"], s["acc_sin"], s["peak"])
+            scal_args = (scal,)
+        else:
+            acc_args = scal_args = ()
+
+        psi_v_in = [s[k] for k in _V_PSI_KEYS]
+        psi_s_in = [s[k] for k in _S_PSI_KEYS]
+        outs = call(
+            f["sxx"], f["sxy"], f["sxz"],
+            f["syy"], f["szz"], f["syz"],
+            f["vx"], f["vy"], f["vz"], pr["rho_inv"],
+            f["rxx"], f["ryy"], f["rzz"], f["rxy"], f["rxz"], f["ryz"],
+            pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"], pr["b_r"],
+            *acc_args,
+            *psi_v_in,
+            *psi_s_in,
+            zero_ghost,
+            *src_args,
+            *scal_args,
+            *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
+            s["psi_sxxx_lo"], s["psi_sxxx_hi"],
+            s["psi_sxyx_lo"], s["psi_sxyx_hi"],
+            s["psi_sxzx_lo"], s["psi_sxzx_hi"],
+            *bxh, *bxi,
+            s["psi_vxx_lo"], s["psi_vxx_hi"],
+            s["psi_vyx_lo"], s["psi_vyx_hi"],
+            s["psi_vzx_lo"], s["psi_vzx_hi"],
+            *bxh, *bxi,
+        )
+        it = iter(outs)
+        vx, vy, vz = (next(it) for _ in range(3))
+        sxx, syy, szz, sxy, sxz, syz = (next(it) for _ in range(6))
+        rxx, ryy, rzz, rxy, rxz, ryz = (next(it) for _ in range(6))
+        if with_dft:
+            acc_c, acc_s, peak = (next(it) for _ in range(3))
+        else:
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
+        psi_v_out = [next(it) for _ in range(12)]
+        psi_s_out = [next(it) for _ in range(12)]
+        (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
+         n_sxzx_lo, n_sxzx_hi) = (next(it) for _ in range(6))
+        (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+         n_vzx_lo, n_vzx_hi) = (next(it) for _ in range(6))
+
+        if grid.source_type == "stress_point":
+            # same post-kernel exact correction as the two-kernel step
+            i0, j0, k0 = grid.source_ijk
+            li = i0 - comm.local_x_offset(N1)
+            own = ((li >= 0) & (li < N1)).astype(jnp.float32)
+            lic = jnp.clip(li, 0, N1 - 1)
+            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * own
+            sxx = sxx.at[lic, j0, k0].add(sval)
+            syy = syy.at[lic, j0, k0].add(sval)
+            szz = szz.at[lic, j0, k0].add(sval)
+            if with_dft:
+                acc_c = acc_c.at[lic, j0, k0].add(-sval * cosw)
+                acc_s = acc_s.at[lic, j0, k0].add(-sval * sinw)
+                p_post = -(
+                    sxx[lic, j0, k0] + syy[lic, j0, k0] + szz[lic, j0, k0]
+                ) * (1.0 / 3.0)
+                peak_src = jnp.maximum(
+                    s["peak_src"], jnp.abs(p_post) * in_window * own
+                )
+                peak = peak.at[lic, j0, k0].set(
+                    jnp.where(own > 0, peak_src, peak[lic, j0, k0])
+                )
+                s = dict(s, peak_src=peak_src)
+
+        new_carry = dict(
+            s,
+            fields=dict(
+                vx=vx, vy=vy, vz=vz, sxx=sxx, syy=syy, szz=szz,
+                sxy=sxy, sxz=sxz, syz=syz,
+                rxx=rxx, ryy=ryy, rzz=rzz, rxy=rxy, rxz=rxz, ryz=ryz,
+            ),
+            acc_cos=acc_c, acc_sin=acc_s, peak=peak,
+            psi_sxxx_lo=n_sxxx_lo, psi_sxxx_hi=n_sxxx_hi,
+            psi_sxyx_lo=n_sxyx_lo, psi_sxyx_hi=n_sxyx_hi,
+            psi_sxzx_lo=n_sxzx_lo, psi_sxzx_hi=n_sxzx_hi,
+            psi_vxx_lo=n_vxx_lo, psi_vxx_hi=n_vxx_hi,
+            psi_vyx_lo=n_vyx_lo, psi_vyx_hi=n_vyx_hi,
+            psi_vzx_lo=n_vzx_lo, psi_vzx_hi=n_vzx_hi,
+            **dict(zip(_V_PSI_KEYS, psi_v_out)),
+            **dict(zip(_S_PSI_KEYS, psi_s_out)),
+        )
+        return new_carry, None
+
+    return step
+
+
 def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
-                           comm=None, interpret=False, with_dft=True):
+                           comm=None, interpret=False, with_dft=True,
+                           fused=None):
     """Complete viscoelastic per-timestep function (kernels + x-CPML post).
 
     ``comm`` domain-decomposes x (ghost planes into the kernels' stencil
     windows, x-CPML posts masked to the global edge shards, point source
     owned by one shard). ``interpret`` runs the kernels in interpret mode.
     ``with_dft=False`` builds the quiet-phase step (pre-sensor-window, no
-    DFT/peak streaming).
+    DFT/peak streaming). ``fused`` selects the single-sweep kernel
+    (default: on when unsharded).
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
@@ -2147,14 +2707,22 @@ def make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
     zsrc = grid.source_plane_z
     fuse_src = grid.source_type == "velocity_plane"
 
-    vel_call, stress_call, kc = build_visco_pallas_step(
-        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
-        with_dft=with_dft,
-    )
     if comm is None:
         from ..parallel.halo import DomainComm
 
         comm = DomainComm()
+    if fused is None:
+        fused = not (comm.sharded_x or comm.sharded_y)
+    if fused:
+        return _make_visco_fused_step_fn(
+            grid, profiles_np, viscous, oz_scale, nb, comm, interpret,
+            with_dft,
+        )
+
+    vel_call, stress_call, kc = build_visco_pallas_step(
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
+    )
 
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])

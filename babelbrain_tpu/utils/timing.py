@@ -10,6 +10,7 @@ an in-process registry for programmatic access.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 _SPANS: list[tuple[str, float]] = []
@@ -17,11 +18,30 @@ _SPANS: list[tuple[str, float]] = []
 
 @contextlib.contextmanager
 def stage_timer(label: str, level: int = 2, step: int | None = None, quiet=False):
-    """Context manager emitting ``CTS:L<level>:S<step>: <label>`` timing."""
+    """Context manager emitting ``CTS:L<level>:S<step>: <label>`` timing.
+
+    With ``BBT_PROFILE_DIR=<dir>`` set, each span additionally runs under a
+    ``jax.profiler`` trace annotation (and the top-level span starts a
+    profiler trace into that directory), so device timelines carry the same
+    stage vocabulary as the logs — the TPU equivalent of the reference's
+    linetimer+telemetry span scheme (SURVEY.md section 5).
+    """
     tag = f"CTS:L{level}" + (f":S{step}" if step is not None else "") + f": {label}"
+    prof_dir = os.environ.get("BBT_PROFILE_DIR")
+    ctx = contextlib.ExitStack()
+    if prof_dir:
+        try:
+            import jax.profiler as jp
+
+            if not _SPANS:  # outermost span starts the device trace
+                ctx.enter_context(jp.trace(prof_dir))
+            ctx.enter_context(jp.TraceAnnotation(tag))
+        except Exception:
+            pass  # profiling must never break the pipeline
     t0 = time.time()
     try:
-        yield
+        with ctx:
+            yield
     finally:
         dt = time.time() - t0
         _SPANS.append((tag, dt))
