@@ -2560,6 +2560,511 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     return call, kc
 
 
+def build_visco_fused2_step(grid, profiles_np, viscous, oz_scale, nb=2,
+                            interpret=False, with_dft=True):
+    """TWO viscoelastic timesteps per streaming sweep (temporal blocking).
+
+    Pipeline at grid iteration i: velocity(t) slab i-1, stress(t) slab i-2,
+    velocity(t+1) slab i-3, stress(t+1) slab i-4 — every field/material/psi
+    array streams once per TWO steps (~17.5 volume-equivalents/step vs ~35
+    for the 1-step fused kernel). All intermediate state lives in slab-keyed
+    VMEM rings; CPML psi memories enter at their first-visit lag and exit at
+    the second. Bit-equal to two applications of build_visco_fused_step.
+    Requires velocity_plane sources (the stress_point post-correction can't
+    see the intermediate step) and an even step count per scan phase.
+    """
+    N1, N2, N3 = grid.shape
+    if grid.source_type != "velocity_plane":
+        raise ValueError("fused2 visco requires a velocity_plane source")
+    zsrc = grid.source_plane_z
+    if N1 % nb or nb < 2:
+        raise ValueError(f"N1={N1} must be divisible by slab size {nb} >= 2")
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    dt_dx = np.float32(grid.dt / grid.dx)
+    dt = np.float32(grid.dt)
+    inv_dx = np.float32(1.0 / grid.dx)
+
+    cy_h = _make_profiles_const(profiles_np, 1, "half", ns)
+    cz_h = _make_profiles_const(profiles_np, 2, "half", ns)
+    cy_i = _make_profiles_const(profiles_np, 1, "int", ns)
+    cz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+
+    slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
+    slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx, memory_space=pltpu.VMEM)
+    slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx, memory_space=pltpu.VMEM)
+    coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
+
+    def lagk(k):
+        return lambda i: (jnp.minimum(jnp.maximum(i - k, 0), n_slabs - 1), 0, 0)
+
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kx = -(-ns // nb)
+    if n_slabs < kx + 3:
+        raise ValueError(f"N1={N1} too small for the 2-step fused pipeline")
+    px_planes = (kx + 1) * nb
+
+    def lo_of(lag):
+        return lambda i: (jnp.minimum(jnp.maximum(i - lag, 0), kx), 0, 0)
+
+    def hi_of(lag):
+        def m(i):
+            s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
+            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+        return m
+
+    psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
+    coefxb = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+
+    def dpx_w(w):
+        return _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
+            w[4 : 4 + nb] - w[1 : 1 + nb]
+        )
+
+    def dmx_w(w):
+        return _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
+            w[3 : 3 + nb] - w[0:nb]
+        )
+
+    def kernel(*refs):
+        it = iter(refs)
+        sxx_ref, sxy_ref, sxz_ref = (next(it) for _ in range(3))  # cur
+        syy_ref, szz_ref, syz_ref = (next(it) for _ in range(3))  # lag1
+        vx_ref, vy_ref, vz_ref, rho_ref = (next(it) for _ in range(4))
+        r_refs = [next(it) for _ in range(6)]                     # lag2
+        piu_ref, muu_ref, crp_ref, crs_ref, br_ref = (
+            next(it) for _ in range(5)
+        )
+        if with_dft:
+            acc_c_ref, acc_s_ref, peak_ref = (next(it) for _ in range(3))
+        psi_v_in = [next(it) for _ in range(12)]   # lag1
+        psi_s_in = [next(it) for _ in range(12)]   # lag2
+        ghost_ref = next(it)
+        (amp1_ref, cph1_ref, sph1_ref, amp3_ref, cph3_ref, sph3_ref,
+         tsrc_ref) = (next(it) for _ in range(7))
+        if with_dft:
+            scal_ref = next(it)
+        cyh = tuple(next(it) for _ in range(4))
+        czh = tuple(next(it) for _ in range(4))
+        cyi = tuple(next(it) for _ in range(4))
+        czi = tuple(next(it) for _ in range(4))
+        psix_s_in = [next(it) for _ in range(6)]   # sxx/sxy/sxz lo+hi @1
+        cx1 = [next(it) for _ in range(8)]         # half+int packs @1
+        cx3 = [next(it) for _ in range(8)]         # half+int packs @3
+        psix_v_in = [next(it) for _ in range(6)]   # vx/vy/vz lo+hi @2
+        cx2 = [next(it) for _ in range(8)]
+        cx4 = [next(it) for _ in range(8)]
+        ovx, ovy, ovz = (next(it) for _ in range(3))
+        os_out = [next(it) for _ in range(6)]      # sxx..syz (t+1)
+        or_out = [next(it) for _ in range(6)]
+        if with_dft:
+            oacc_c, oacc_s, opeak = (next(it) for _ in range(3))
+        opsi_v = [next(it) for _ in range(12)]     # lag3
+        opsi_s = [next(it) for _ in range(12)]     # lag4
+        opsix_s = [next(it) for _ in range(6)]     # lag3 maps
+        opsix_v = [next(it) for _ in range(6)]     # lag4 maps
+        (r_xx0, r_xy0, r_xz0, r_yy0, r_zz0, r_yz0,
+         rv1x, rv1y, rv1z,
+         r_xx1, r_yy1, r_zz1, r_xy1, r_xz1, r_yz1,
+         rr1, rv2x, rv2y, rv2z,
+         rrho, rpiu, rmuu, rcrp, rcrs, rbr,
+         rpsi_v_y, rpsi_v_z, rpsi_s_y, rpsi_s_z,
+         rpsix_s, rpsix_v) = (next(it) for _ in range(31))
+
+        def _psi_get(ry, rz, k, slot):
+            return ry[k, slot] if k < 6 else rz[k - 6, slot]
+
+        def _psi_set(ry, rz, k, slot, val):
+            if k < 6:
+                ry[k, slot] = val
+            else:
+                rz[k - 6, slot] = val
+
+        i = pl.program_id(0)
+        ghost = ghost_ref[...]
+
+        @pl.when(i < n_slabs)
+        def _():
+            r_xx0[i % 3] = sxx_ref[...]
+            r_xy0[i % 3] = sxy_ref[...]
+            r_xz0[i % 3] = sxz_ref[...]
+
+        def win(ring, s):
+            prev2 = jnp.where(s >= 1, ring[(s - 1) % 3][nb - 2 :], ghost)
+            nxt2 = jnp.where(s < n_slabs - 1, ring[(s + 1) % 3][0:2], ghost)
+            return jnp.concatenate([prev2, ring[s % 3], nxt2], axis=0)
+
+        def cpml_arr(d, lo, hi, coefs, axis):
+            return _apply_cpml_inplane(
+                d, lo, hi,
+                coefs[0][...], coefs[1][...], coefs[2][...], coefs[3][...],
+                axis=axis,
+            )
+
+        def vel_body(sv, w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
+                     psi12, psix6, cx, amp, cph, sph, ts):
+            """Velocity update; psi12/psix6 = lists of CURRENT psi values.
+            Returns (vx, vy, vz, new_psi12, new_psix6)."""
+            sxy = w_xy[2 : 2 + nb]
+            sxz = w_xz[2 : 2 + nb]
+            xh = (cx[0][...], cx[1][...], cx[2][...], cx[3][...])
+            xi = (cx[4][...], cx[5][...], cx[6][...], cx[7][...])
+            d = dpx_w(w_xx)
+            nlo = xh[0] * psix6[0] + xh[1] * d
+            nhi = xh[2] * psix6[1] + xh[3] * d
+            dsxx_x = d + nlo + nhi
+            npx = [nlo, nhi]
+            d = dmx_w(w_xy)
+            nlo = xi[0] * psix6[2] + xi[1] * d
+            nhi = xi[2] * psix6[3] + xi[3] * d
+            dsxy_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            d = dmx_w(w_xz)
+            nlo = xi[0] * psix6[4] + xi[1] * d
+            nhi = xi[2] * psix6[5] + xi[3] * d
+            dsxz_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            np12 = []
+            dsxy_y, n0, n1 = cpml_arr(_d_minus_y(sxy), psi12[0], psi12[1], cyi, 1)
+            np12 += [n0, n1]
+            dsyy_y, n0, n1 = cpml_arr(_d_plus_y(syy), psi12[2], psi12[3], cyh, 1)
+            np12 += [n0, n1]
+            dsyz_y, n0, n1 = cpml_arr(_d_minus_y(syz), psi12[4], psi12[5], cyi, 1)
+            np12 += [n0, n1]
+            dsxz_z, n0, n1 = cpml_arr(_d_minus_z(sxz), psi12[6], psi12[7], czi, 2)
+            np12 += [n0, n1]
+            dsyz_z, n0, n1 = cpml_arr(_d_minus_z(syz), psi12[8], psi12[9], czi, 2)
+            np12 += [n0, n1]
+            dszz_z, n0, n1 = cpml_arr(_d_plus_z(szz), psi12[10], psi12[11], czh, 2)
+            np12 += [n0, n1]
+            vx_n = v_in[0] + dt_dx * rho_inv * (dsxx_x + dsxy_y + dsxz_z)
+            vy_n = v_in[1] + dt_dx * rho_inv * (dsxy_x + dsyy_y + dsyz_z)
+            vz_n = v_in[2] + dt_dx * rho_inv * (dsxz_x + dsyz_y + dszz_z)
+            sval = ts[0] * cph + ts[1] * sph
+            z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            on_src = (z_iota == zsrc) & (amp > 0)
+            vz_n = jnp.where(on_src, sval * amp, vz_n)
+            return vx_n, vy_n, vz_n, np12, npx
+
+        def stress_body(sp, w_x, w_y, w_z, s_old6, r_old6, props5,
+                        psi12, psix6, cx):
+            """Stress update; returns (s6, r6, new_psi12, new_psix6)."""
+            vx = w_x[2 : 2 + nb]
+            vy = w_y[2 : 2 + nb]
+            vz = w_z[2 : 2 + nb]
+            xh = (cx[0][...], cx[1][...], cx[2][...], cx[3][...])
+            xi = (cx[4][...], cx[5][...], cx[6][...], cx[7][...])
+            d = dmx_w(w_x)
+            nlo = xi[0] * psix6[0] + xi[1] * d
+            nhi = xi[2] * psix6[1] + xi[3] * d
+            dvx_x = d + nlo + nhi
+            npx = [nlo, nhi]
+            d = dpx_w(w_y)
+            nlo = xh[0] * psix6[2] + xh[1] * d
+            nhi = xh[2] * psix6[3] + xh[3] * d
+            dvy_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            d = dpx_w(w_z)
+            nlo = xh[0] * psix6[4] + xh[1] * d
+            nhi = xh[2] * psix6[5] + xh[3] * d
+            dvz_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            np12 = []
+            dvy_y, n0, n1 = cpml_arr(_d_minus_y(vy), psi12[0], psi12[1], cyi, 1)
+            np12 += [n0, n1]
+            dvx_y, n0, n1 = cpml_arr(_d_plus_y(vx), psi12[2], psi12[3], cyh, 1)
+            np12 += [n0, n1]
+            dvz_y, n0, n1 = cpml_arr(_d_plus_y(vz), psi12[4], psi12[5], cyh, 1)
+            np12 += [n0, n1]
+            dvz_z, n0, n1 = cpml_arr(_d_minus_z(vz), psi12[6], psi12[7], czi, 2)
+            np12 += [n0, n1]
+            dvx_z, n0, n1 = cpml_arr(_d_plus_z(vx), psi12[8], psi12[9], czh, 2)
+            np12 += [n0, n1]
+            dvy_z, n0, n1 = cpml_arr(_d_plus_z(vy), psi12[10], psi12[11], czh, 2)
+            np12 += [n0, n1]
+            theta = dvx_x + dvy_y + dvz_z
+            pi_u, mu_u, c_rp, c_rs, b_r = props5
+
+            def diag(s_old, r_old, d_own):
+                if viscous:
+                    phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
+                    r_new = b_r * r_old - phi * inv_dx
+                    s_new = (
+                        s_old
+                        + dt_dx * (pi_u * theta - 2 * mu_u * (theta - d_own))
+                        + dt * 0.5 * (r_new + r_old)
+                    )
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * (
+                        pi_u * theta - 2 * mu_u * (theta - d_own)
+                    )
+                return s_new, r_new
+
+            def shear(s_old, r_old, e):
+                if viscous:
+                    r_new = b_r * r_old - c_rs * e * inv_dx
+                    s_new = (
+                        s_old + dt_dx * mu_u * e + dt * 0.5 * (r_new + r_old)
+                    )
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * mu_u * e
+                return s_new, r_new
+
+            sxx_n, rxx_n = diag(s_old6[0], r_old6[0], dvx_x)
+            syy_n, ryy_n = diag(s_old6[1], r_old6[1], dvy_y)
+            szz_n, rzz_n = diag(s_old6[2], r_old6[2], dvz_z)
+            sxy_n, rxy_n = shear(s_old6[3], r_old6[3], dvx_y + dvy_x)
+            sxz_n, rxz_n = shear(s_old6[4], r_old6[4], dvx_z + dvz_x)
+            syz_n, ryz_n = shear(s_old6[5], r_old6[5], dvy_z + dvz_y)
+            return ((sxx_n, syy_n, szz_n, sxy_n, sxz_n, syz_n),
+                    (rxx_n, ryy_n, rzz_n, rxy_n, rxz_n, ryz_n), np12, npx)
+
+        # ---- V1: velocity(t) slab i-1 ----
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            sv = i - 1
+            vx_n, vy_n, vz_n, np12, npx = vel_body(
+                sv, win(r_xx0, sv), win(r_xy0, sv), win(r_xz0, sv),
+                syy_ref[...], szz_ref[...], syz_ref[...],
+                (vx_ref[...], vy_ref[...], vz_ref[...]), rho_ref[...],
+                [p[...] for p in psi_v_in],
+                [p[...] for p in psix_s_in],
+                cx1,
+                amp1_ref[...], cph1_ref[...], sph1_ref[...],
+                (tsrc_ref[0, 0], tsrc_ref[0, 1]),
+            )
+            rv1x[sv % 3] = vx_n
+            rv1y[sv % 3] = vy_n
+            rv1z[sv % 3] = vz_n
+            for k in range(12):
+                _psi_set(rpsi_v_y, rpsi_v_z, k, sv % 3, np12[k])
+            for k in range(6):
+                rpsix_s[k, sv % 3] = npx[k]
+            # hold syy/szz/syz(t) for S1 next iteration
+            r_yy0[sv % 2] = syy_ref[...]
+            r_zz0[sv % 2] = szz_ref[...]
+            r_yz0[sv % 2] = syz_ref[...]
+
+        # ---- S1: stress(t) slab i-2 ----
+        @pl.when((i >= 2) & (i <= n_slabs + 1))
+        def _():
+            sp = i - 2
+            s6, r6, np12, npx = stress_body(
+                sp, win(rv1x, sp), win(rv1y, sp), win(rv1z, sp),
+                (r_xx0[sp % 3], r_yy0[sp % 2], r_zz0[sp % 2],
+                 r_xy0[sp % 3], r_xz0[sp % 3], r_yz0[sp % 2]),
+                [r[...] for r in r_refs],
+                (piu_ref[...], muu_ref[...], crp_ref[...], crs_ref[...],
+                 br_ref[...]),
+                [p[...] for p in psi_s_in],
+                [p[...] for p in psix_v_in],
+                cx2,
+            )
+            r_xx1[sp % 3] = s6[0]
+            r_yy1[sp % 3] = s6[1]
+            r_zz1[sp % 3] = s6[2]
+            r_xy1[sp % 3] = s6[3]
+            r_xz1[sp % 3] = s6[4]
+            r_yz1[sp % 3] = s6[5]
+            for k in range(6):
+                rr1[k, sp % 3] = r6[k]
+            for k in range(12):
+                _psi_set(rpsi_s_y, rpsi_s_z, k, sp % 3, np12[k])
+            for k in range(6):
+                rpsix_v[k, sp % 3] = npx[k]
+
+        # ---- V2: velocity(t+1) slab i-3 ----
+        @pl.when((i >= 3) & (i <= n_slabs + 2))
+        def _():
+            sv = i - 3
+            vx_n, vy_n, vz_n, np12, npx = vel_body(
+                sv, win(r_xx1, sv), win(r_xy1, sv), win(r_xz1, sv),
+                r_yy1[sv % 3], r_zz1[sv % 3], r_yz1[sv % 3],
+                (rv1x[sv % 3], rv1y[sv % 3], rv1z[sv % 3]), rrho[sv % 2],
+                [_psi_get(rpsi_v_y, rpsi_v_z, k, sv % 3) for k in range(12)],
+                [rpsix_s[k, sv % 3] for k in range(6)],
+                cx3,
+                amp3_ref[...], cph3_ref[...], sph3_ref[...],
+                (tsrc_ref[1, 0], tsrc_ref[1, 1]),
+            )
+            rv2x[sv % 3] = vx_n
+            rv2y[sv % 3] = vy_n
+            rv2z[sv % 3] = vz_n
+            ovx[...] = vx_n
+            ovy[...] = vy_n
+            ovz[...] = vz_n
+            for k in range(12):
+                opsi_v[k][...] = np12[k]
+            for k in range(6):
+                opsix_s[k][...] = npx[k]
+
+        # ---- S2: stress(t+1) slab i-4, DFT for both steps ----
+        @pl.when(i >= 4)
+        def _():
+            sp = i - 4
+            s1_old = (r_xx1[sp % 3], r_yy1[sp % 3], r_zz1[sp % 3],
+                      r_xy1[sp % 3], r_xz1[sp % 3], r_yz1[sp % 3])
+            s6, r6, np12, npx = stress_body(
+                sp, win(rv2x, sp), win(rv2y, sp), win(rv2z, sp),
+                s1_old,
+                [rr1[k, sp % 3] for k in range(6)],
+                (rpiu[sp % 2], rmuu[sp % 2], rcrp[sp % 2], rcrs[sp % 2],
+                 rbr[sp % 2]),
+                [_psi_get(rpsi_s_y, rpsi_s_z, k, sp % 3) for k in range(12)],
+                [rpsix_v[k, sp % 3] for k in range(6)],
+                cx4,
+            )
+            for k in range(6):
+                os_out[k][...] = s6[k]
+                or_out[k][...] = r6[k]
+            for k in range(12):
+                opsi_s[k][...] = np12[k]
+            for k in range(6):
+                opsix_v[k][...] = npx[k]
+            if with_dft:
+                p1 = -(s1_old[0] + s1_old[1] + s1_old[2]) * (1.0 / 3.0)
+                p2 = -(s6[0] + s6[1] + s6[2]) * (1.0 / 3.0)
+                c1, s1w = scal_ref[0, 0], scal_ref[0, 1]
+                c2, s2w = scal_ref[1, 0], scal_ref[1, 1]
+                oacc_c[...] = acc_c_ref[...] + p1 * c1 + p2 * c2
+                oacc_s[...] = acc_s_ref[...] + p1 * s1w + p2 * s2w
+                opeak[...] = jnp.maximum(
+                    peak_ref[...],
+                    jnp.maximum(
+                        jnp.abs(p1) * (c1 * c1 + s1w * s1w > 0),
+                        jnp.abs(p2) * (c2 * c2 + s2w * s2w > 0),
+                    ),
+                )
+
+        # end-of-body material stashes
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            rrho[(i - 1) % 2] = rho_ref[...]
+
+        @pl.when((i >= 2) & (i <= n_slabs + 1))
+        def _():
+            rpiu[(i - 2) % 2] = piu_ref[...]
+            rmuu[(i - 2) % 2] = muu_ref[...]
+            rcrp[(i - 2) % 2] = crp_ref[...]
+            rcrs[(i - 2) % 2] = crs_ref[...]
+            rbr[(i - 2) % 2] = br_ref[...]
+
+    plane1 = lambda: pl.BlockSpec((nb, N2, 1), lagk(1), memory_space=pltpu.VMEM)
+    plane3 = lambda: pl.BlockSpec((nb, N2, 1), lagk(3), memory_space=pltpu.VMEM)
+    smem22 = lambda: pl.BlockSpec((2, 2), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+    n_acc = 3 if with_dft else 0
+    vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
+
+    in_specs = (
+        [slab(cur)] * 3
+        + [slab(lagk(1))] * 3
+        + [slab(lagk(1))] * 4
+        + [slab(lagk(2))] * 6
+        + [slab(lagk(2))] * 5
+        + [slab(lagk(4))] * n_acc
+        + [slab_y(lagk(1))] * 6 + [slab_z(lagk(1))] * 6   # psi_v in
+        + [slab_y(lagk(2))] * 6 + [slab_z(lagk(2))] * 6   # psi_s in
+        + [ghost_spec]
+        + [plane1(), plane1(), plane1(), plane3(), plane3(), plane3(),
+           smem22()]
+        + ([smem22()] if with_dft else [])
+        + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
+        + [psixb(lo_of(1)), psixb(hi_of(1))] * 3          # psix_s in
+        + [coefxb(lo_of(1)), coefxb(lo_of(1)),
+           coefxb(hi_of(1)), coefxb(hi_of(1))] * 2        # cx1
+        + [coefxb(lo_of(3)), coefxb(lo_of(3)),
+           coefxb(hi_of(3)), coefxb(hi_of(3))] * 2        # cx3
+        + [psixb(lo_of(2)), psixb(hi_of(2))] * 3          # psix_v in
+        + [coefxb(lo_of(2)), coefxb(lo_of(2)),
+           coefxb(hi_of(2)), coefxb(hi_of(2))] * 2        # cx2
+        + [coefxb(lo_of(4)), coefxb(lo_of(4)),
+           coefxb(hi_of(4)), coefxb(hi_of(4))] * 2        # cx4
+    )
+    out_specs = (
+        [slab(lagk(3))] * 3
+        + [slab(lagk(4))] * 12
+        + [slab(lagk(4))] * n_acc
+        + [slab_y(lagk(3))] * 6 + [slab_z(lagk(3))] * 6   # psi_v out
+        + [slab_y(lagk(4))] * 6 + [slab_z(lagk(4))] * 6   # psi_s out
+        + [psixb(lo_of(3)), psixb(hi_of(3))] * 3
+        + [psixb(lo_of(4)), psixb(hi_of(4))] * 3
+    )
+    out_shape = (
+        [vol()] * (15 + n_acc)
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)] * 6
+        + [psix_shape] * 12
+    )
+    # aliases: inputs sxx,sxy,sxz=0-2 / syy,szz,syz=3-5 / v=6-8 / r=10-15
+    aliases = {6: 0, 7: 1, 8: 2,
+               0: 3, 3: 4, 4: 5, 1: 6, 2: 7, 5: 8}
+    for a in range(6):
+        aliases[10 + a] = 9 + a
+    for a in range(n_acc):
+        aliases[21 + a] = 15 + a
+    psi_in0 = 21 + n_acc
+    for a in range(24):
+        aliases[psi_in0 + a] = 15 + n_acc + a
+    psix_s_in0 = psi_in0 + 24 + 1 + 7 + (1 if with_dft else 0) + 16
+    for a in range(6):
+        aliases[psix_s_in0 + a] = 39 + n_acc + a
+    psix_v_in0 = psix_s_in0 + 6 + 16
+    for a in range(6):
+        aliases[psix_v_in0 + a] = 45 + n_acc + a
+
+    ring_slab = lambda d: pltpu.VMEM((d, nb, N2, N3), jnp.float32)
+    ring_y = lambda d: pltpu.VMEM((d, nb, ns, N3), jnp.float32)
+    ring_z = lambda d: pltpu.VMEM((d, nb, N2, ns), jnp.float32)
+    scratch = (
+        [ring_slab(3)] * 3 + [ring_slab(2)] * 3   # s0: xx/xy/xz, yy/zz/yz
+        + [ring_slab(3)] * 3                      # v1
+        + [ring_slab(3)] * 6                      # s1 (xx,yy,zz,xy,xz,yz)
+        + [pltpu.VMEM((6, 3, nb, N2, N3), jnp.float32)]  # r1
+        + [ring_slab(3), ring_slab(3), ring_slab(3)]     # v2 (x-windows
+                                                         # needed for all 3)
+        + [ring_slab(2)] * 6                      # rho + 5 props
+        + [pltpu.VMEM((6, 3, nb, ns, N3), jnp.float32),  # psi_v y rings
+           pltpu.VMEM((6, 3, nb, N2, ns), jnp.float32),  # psi_v z rings
+           pltpu.VMEM((6, 3, nb, ns, N3), jnp.float32),  # psi_s y rings
+           pltpu.VMEM((6, 3, nb, N2, ns), jnp.float32)]  # psi_s z rings
+        + [pltpu.VMEM((6, 3, nb, N2, N3), jnp.float32)]  # psix_s rings
+        + [pltpu.VMEM((6, 3, nb, N2, N3), jnp.float32)]  # psix_v rings
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_slabs + 4,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=125 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    kc = {
+        "y_half": tuple(jnp.asarray(c) for c in cy_h),
+        "z_half": tuple(jnp.asarray(c) for c in cz_h),
+        "y_int": tuple(jnp.asarray(c) for c in cy_i),
+        "z_int": tuple(jnp.asarray(c) for c in cz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, kx),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, kx),
+        "px_planes": px_planes,
+    }
+    return call, kc
+
+
 def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
                               interpret, with_dft):
     """Step closure for the fused single-sweep viscoelastic kernel."""
@@ -2881,24 +3386,126 @@ _S_PSI_KEYS = [
 ]
 
 
+def _make_visco_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
+                               interpret, with_dft):
+    """Two-timestep visco step closure (scan over step pairs)."""
+    omega = 2.0 * np.pi * grid.frequency
+    call, kc = build_visco_fused2_step(
+        grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
+        with_dft=with_dft,
+    )
+    bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
+    bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
+    N1, N2, N3 = grid.shape
+    zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
+    ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        pr = s["props"]
+
+        def src_row(nk):
+            t = nk.astype(jnp.float32) * grid.dt
+            ramp = jnp.where(
+                nk < ramp_steps,
+                0.5 * (1.0 - jnp.cos(np.pi * nk / ramp_steps)), 1.0,
+            ).astype(jnp.float32)
+            sc = ramp * oz_scale
+            return jnp.stack([jnp.sin(omega * t) * sc,
+                              jnp.cos(omega * t) * sc])
+
+        tsrc = jnp.stack([src_row(n), src_row(n + 1)])
+        if with_dft:
+            def scal_row(nk):
+                t = nk.astype(jnp.float32) * grid.dt
+                m = (nk >= grid.sensor_start).astype(jnp.float32)
+                return jnp.stack([jnp.cos(omega * t) * m,
+                                  jnp.sin(omega * t) * m])
+
+            scal = jnp.stack([scal_row(n), scal_row(n + 1)])
+            acc_in = (s["acc_cos"], s["acc_sin"], s["peak"])
+            scal_in = (scal,)
+        else:
+            acc_in = scal_in = ()
+
+        psi_v_in = [s[k] for k in _V_PSI_KEYS]
+        psi_s_in = [s[k] for k in _S_PSI_KEYS]
+        outs = call(
+            f["sxx"], f["sxy"], f["sxz"],
+            f["syy"], f["szz"], f["syz"],
+            f["vx"], f["vy"], f["vz"], pr["rho_inv"],
+            f["rxx"], f["ryy"], f["rzz"], f["rxy"], f["rxz"], f["ryz"],
+            pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"], pr["b_r"],
+            *acc_in,
+            *psi_v_in,
+            *psi_s_in,
+            zero_ghost,
+            s["src_amp3"], s["src_cph"], s["src_sph"],
+            s["src_amp3"], s["src_cph"], s["src_sph"],
+            tsrc,
+            *scal_in,
+            *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
+            s["psi_sxxx_lo"], s["psi_sxxx_hi"],
+            s["psi_sxyx_lo"], s["psi_sxyx_hi"],
+            s["psi_sxzx_lo"], s["psi_sxzx_hi"],
+            *bxh, *bxi,
+            *bxh, *bxi,
+            s["psi_vxx_lo"], s["psi_vxx_hi"],
+            s["psi_vyx_lo"], s["psi_vyx_hi"],
+            s["psi_vzx_lo"], s["psi_vzx_hi"],
+            *bxh, *bxi,
+            *bxh, *bxi,
+        )
+        it = iter(outs)
+        vx, vy, vz = (next(it) for _ in range(3))
+        sxx, syy, szz, sxy, sxz, syz = (next(it) for _ in range(6))
+        rxx, ryy, rzz, rxy, rxz, ryz = (next(it) for _ in range(6))
+        if with_dft:
+            acc_c, acc_s, peak = (next(it) for _ in range(3))
+        else:
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
+        psi_v_out = [next(it) for _ in range(12)]
+        psi_s_out = [next(it) for _ in range(12)]
+        (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
+         n_sxzx_lo, n_sxzx_hi) = (next(it) for _ in range(6))
+        (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+         n_vzx_lo, n_vzx_hi) = (next(it) for _ in range(6))
+        new_carry = dict(
+            s,
+            fields=dict(
+                vx=vx, vy=vy, vz=vz, sxx=sxx, syy=syy, szz=szz,
+                sxy=sxy, sxz=sxz, syz=syz,
+                rxx=rxx, ryy=ryy, rzz=rzz, rxy=rxy, rxz=rxz, ryz=ryz,
+            ),
+            acc_cos=acc_c, acc_sin=acc_s, peak=peak,
+            psi_sxxx_lo=n_sxxx_lo, psi_sxxx_hi=n_sxxx_hi,
+            psi_sxyx_lo=n_sxyx_lo, psi_sxyx_hi=n_sxyx_hi,
+            psi_sxzx_lo=n_sxzx_lo, psi_sxzx_hi=n_sxzx_hi,
+            psi_vxx_lo=n_vxx_lo, psi_vxx_hi=n_vxx_hi,
+            psi_vyx_lo=n_vyx_lo, psi_vyx_hi=n_vyx_hi,
+            psi_vzx_lo=n_vzx_lo, psi_vzx_hi=n_vzx_hi,
+            **dict(zip(_V_PSI_KEYS, psi_v_out)),
+            **dict(zip(_S_PSI_KEYS, psi_s_out)),
+        )
+        return new_carry, None
+
+    return step
+
+
 def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
                           profiles_np, viscous, oz_scale, nb=2,
                           comm=None, interpret=False):
     """Scan driver for the viscoelastic pallas path (optionally sharded).
 
     Two scan phases like the fluid driver: quiet kernels before
-    ``grid.sensor_start``, accumulating kernels inside the window.
+    ``grid.sensor_start``, accumulating kernels inside the window. On an
+    unsharded x extent with a velocity_plane source, steps run in pairs
+    through the two-timestep fused kernel with a 1-step fused tail.
     """
     N1, N2, N3 = grid.shape
     ns = grid.npml + 2
-    step = make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
-                                  comm=comm, interpret=interpret)
     n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
-    step_quiet = (
-        make_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb,
-                               comm=comm, interpret=interpret, with_dft=False)
-        if n_quiet > 0 else None
-    )
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
     zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
     zz = lambda: jnp.zeros((N1, N2, ns), jnp.float32)
@@ -2932,9 +3539,37 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         # derivative axis is the last letter of the field part: psi_sxyY_lo
         axis_y = k[:-3].endswith("y")
         carry[k] = zy() if axis_y else zz()
-    if n_quiet > 0:
-        carry, _ = jax.lax.scan(step_quiet, carry, jnp.arange(n_quiet))
-    carry, _ = jax.lax.scan(
-        step, carry, jnp.arange(n_quiet, grid.n_steps)
+
+    if comm is None:
+        from ..parallel.halo import DomainComm
+
+        comm = DomainComm()
+    kx = -(-ns // nb)
+    use_fused2 = (
+        not (comm.sharded_x or comm.sharded_y)
+        and grid.source_type == "velocity_plane"
+        and N1 // nb >= kx + 3
     )
+
+    def run_phase(carry, n0, n1, with_dft):
+        count = n1 - n0
+        if count <= 0:
+            return carry
+        n_pairs = count // 2 if use_fused2 else 0
+        if n_pairs > 0:
+            step2 = _make_visco_fused2_step_fn(
+                grid, profiles_np, viscous, oz_scale, nb, interpret, with_dft
+            )
+            carry, _ = jax.lax.scan(step2, carry, n0 + 2 * jnp.arange(n_pairs))
+        rem0 = n0 + 2 * n_pairs
+        if rem0 < n1:
+            step1 = make_visco_pallas_step(
+                grid, profiles_np, viscous, oz_scale, nb, comm=comm,
+                interpret=interpret, with_dft=with_dft,
+            )
+            carry, _ = jax.lax.scan(step1, carry, jnp.arange(rem0, n1))
+        return carry
+
+    carry = run_phase(carry, 0, n_quiet, with_dft=False)
+    carry = run_phase(carry, n_quiet, grid.n_steps, with_dft=True)
     return carry["acc_cos"], carry["acc_sin"], carry["peak"]

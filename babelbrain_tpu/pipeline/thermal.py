@@ -445,10 +445,24 @@ def focal_metrics(p_amp, spacing_m: float, threshold_db: float = -6.0):
         line = region[tuple(idx)]
         axes_mm.append(float(line.sum()) * spacing_m * 1e3)
     volume_mm3 = float(region.sum()) * (spacing_m * 1e3) ** 3
+
+    # moments-based ellipsoid axes, the reference's exact definition
+    # (`_BabelBaseTx.py:23-46`): second central moments of the region ->
+    # sqrt(20 * eigenvalues), descending
+    ii, jj, kk = np.nonzero(region)
+    pts = np.stack([ii, jj, kk], axis=1).astype(np.float64)
+    c = pts.mean(axis=0)
+    d = pts - c
+    S = d.T @ d / pts.shape[0]
+    eigvals = np.sort(np.linalg.eigvalsh(S))[::-1]
+    ell = tuple(float(np.sqrt(20.0 * max(e, 0.0))) * spacing_m * 1e3
+                for e in eigvals)
     return {
         "peak_Pa": float(peak),
         "peak_ijk": tuple(int(v) for v in pk),
         "axes_mm": tuple(axes_mm),
+        "ellipsoid_axes_mm": ell,
+        "centroid_ijk": tuple(float(v) for v in c),
         "volume_mm3": volume_mm3,
     }
 
