@@ -1569,8 +1569,530 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
     return step
 
 
+def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
+                            interpret=False):
+    """K timesteps per streaming sweep (deep temporal blocking), quiet
+    phase only (no DFT/peak accumulators — the driver runs the sensor
+    window on the 2-step kernel, which is <5% of production steps).
+
+    Generalizes ``build_fluid_fused2_step``: per grid iteration i the
+    pipeline runs stages V_k (velocity of step k, slab lag 2k-1) and P_k
+    (pressure of step k, slab lag 2k) for k = 1..K. State between stages
+    lives in VMEM rings:
+
+      * p_k / r_k / vx_k / vy_k / vz_k slabs: depth-3 rings (consecutive
+        stages are 2 lags apart; x-stencil neighbors come from the ring
+        plus the value the upstream stage just produced this iteration);
+      * material fields (rho_inv, pi_u, c_rp, b_r): stashed at the end of
+        the body on first HBM visit, single ring of depth 2K-2 (the last
+        reader, stage K, runs earlier in the same iteration the slot is
+        recycled);
+      * CPML psi memories (in-plane y/z slabs and the x psi blocks): one
+        shared ring of depth 2K-1 per stream, updated in place by each
+        stage (slot for slab s is first written at i=s+1 and last read at
+        i=s+2K-1; the next writer of that slot is stage 1 at i=s+2K).
+
+    HBM traffic per sweep is the same ~14 volume-equivalents as the 1-step
+    fused kernel, i.e. 14/K volumes per timestep. Numerics are the
+    identical update equations applied K times — bit-equal to K
+    applications of the single-step kernel. Requires
+    n_slabs >= kx + 2K - 1.
+    """
+    N1, N2, N3 = grid.shape
+    if N1 % nb:
+        raise ValueError(f"N1={N1} must be divisible by slab size {nb}")
+    if K < 2:
+        raise ValueError("K must be >= 2")
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    dt_dx = np.float32(grid.dt / grid.dx)
+    dt = np.float32(grid.dt)
+    inv_dx = np.float32(1.0 / grid.dx)
+    zsrc = grid.source_plane_z
+
+    by = _make_profiles_const(profiles_np, 1, "half", ns)
+    bz = _make_profiles_const(profiles_np, 2, "half", ns)
+    by_i = _make_profiles_const(profiles_np, 1, "int", ns)
+    bz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+
+    slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
+    coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx,
+                                      memory_space=pltpu.VMEM)
+    slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx,
+                                      memory_space=pltpu.VMEM)
+    cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
+
+    def lagk(k):
+        return lambda i: (jnp.minimum(jnp.maximum(i - k, 0), n_slabs - 1),
+                          0, 0)
+
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kx = -(-ns // nb)
+    if n_slabs < kx + 2 * K - 1:
+        raise ValueError(
+            f"N1={N1} too small for the {K}-step fused pipeline"
+        )
+    px_planes = (kx + 1) * nb
+
+    def lo_of(lag):
+        return lambda i: (jnp.minimum(jnp.maximum(i - lag, 0), kx), 0, 0)
+
+    def hi_of(lag):
+        def m(i):
+            s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
+            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx),
+                    0, 0)
+        return m
+
+    psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
+    coefxb = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+
+    Dm = 2 * K - 2   # material stash ring depth
+    Dp = 2 * K - 1   # shared psi ring depth
+
+    # ---- declarative in/out/scratch orderings (indexed by name) ----
+    in_entries = (
+        [("p", slab(cur)),
+         ("vx", slab(lagk(1))), ("vy", slab(lagk(1))), ("vz", slab(lagk(1))),
+         ("r", slab(lagk(2))),
+         ("rho", slab(lagk(1))),
+         ("piu", slab(lagk(2))), ("crp", slab(lagk(2))),
+         ("br", slab(lagk(2))),
+         ("psi_py_lo", slab_y(lagk(1))), ("psi_py_hi", slab_y(lagk(1))),
+         ("psi_pz_lo", slab_z(lagk(1))), ("psi_pz_hi", slab_z(lagk(1))),
+         ("psi_vy_lo", slab_y(lagk(2))), ("psi_vy_hi", slab_y(lagk(2))),
+         ("psi_vz_lo", slab_z(lagk(2))), ("psi_vz_hi", slab_z(lagk(2))),
+         ("ghost", ghost_spec)]
+        + [(f"{nm}{k}", pl.BlockSpec((nb, N2, 1), lagk(2 * k - 1),
+                                     memory_space=pltpu.VMEM))
+           for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
+        + [("tsrc", pl.BlockSpec((K, 2), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM))]
+        + [(f"cyh{j}", coef_y) for j in range(4)]
+        + [(f"czh{j}", coef_z) for j in range(4)]
+        + [(f"cyi{j}", coef_y) for j in range(4)]
+        + [(f"czi{j}", coef_z) for j in range(4)]
+        + [("psix_p_lo", psixb(lo_of(1))), ("psix_p_hi", psixb(hi_of(1))),
+           ("psix_v_lo", psixb(lo_of(2))), ("psix_v_hi", psixb(hi_of(2)))]
+        + [(f"{nm}{k}", coefxb((lo_of if nm in ("bxh_l", "axh_l") else
+                                hi_of)(2 * k - 1)))
+           for k in range(1, K + 1)
+           for nm in ("bxh_l", "axh_l", "bxh_h", "axh_h")]
+        + [(f"{nm}{k}", coefxb((lo_of if nm in ("bxi_l", "axi_l") else
+                                hi_of)(2 * k)))
+           for k in range(1, K + 1)
+           for nm in ("bxi_l", "axi_l", "bxi_h", "axi_h")]
+    )
+    out_entries = (
+        [("ovx", slab(lagk(2 * K - 1))), ("ovy", slab(lagk(2 * K - 1))),
+         ("ovz", slab(lagk(2 * K - 1))),
+         ("op", slab(lagk(2 * K))), ("orr", slab(lagk(2 * K)))]
+        + [("opsix_p_lo", psixb(lo_of(2 * K - 1))),
+           ("opsix_p_hi", psixb(hi_of(2 * K - 1))),
+           ("opsix_v_lo", psixb(lo_of(2 * K))),
+           ("opsix_v_hi", psixb(hi_of(2 * K)))]
+        + [("opsi_py_lo", slab_y(lagk(2 * K - 1))),
+           ("opsi_py_hi", slab_y(lagk(2 * K - 1))),
+           ("opsi_pz_lo", slab_z(lagk(2 * K - 1))),
+           ("opsi_pz_hi", slab_z(lagk(2 * K - 1))),
+           ("opsi_vy_lo", slab_y(lagk(2 * K))),
+           ("opsi_vy_hi", slab_y(lagk(2 * K))),
+           ("opsi_vz_lo", slab_z(lagk(2 * K))),
+           ("opsi_vz_hi", slab_z(lagk(2 * K)))]
+    )
+    vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
+    out_shape_by_name = {
+        "ovx": vol(), "ovy": vol(), "ovz": vol(), "op": vol(), "orr": vol(),
+        "opsix_p_lo": psix_shape, "opsix_p_hi": psix_shape,
+        "opsix_v_lo": psix_shape, "opsix_v_hi": psix_shape,
+        "opsi_py_lo": jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
+        "opsi_py_hi": jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
+        "opsi_pz_lo": jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
+        "opsi_pz_hi": jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
+        "opsi_vy_lo": jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
+        "opsi_vy_hi": jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
+        "opsi_vz_lo": jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
+        "opsi_vz_hi": jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32),
+    }
+    in_idx = {nm: j for j, (nm, _) in enumerate(in_entries)}
+    out_idx = {nm: j for j, (nm, _) in enumerate(out_entries)}
+    aliases = {
+        in_idx["vx"]: out_idx["ovx"], in_idx["vy"]: out_idx["ovy"],
+        in_idx["vz"]: out_idx["ovz"], in_idx["p"]: out_idx["op"],
+        in_idx["r"]: out_idx["orr"],
+        in_idx["psix_p_lo"]: out_idx["opsix_p_lo"],
+        in_idx["psix_p_hi"]: out_idx["opsix_p_hi"],
+        in_idx["psix_v_lo"]: out_idx["opsix_v_lo"],
+        in_idx["psix_v_hi"]: out_idx["opsix_v_hi"],
+    }
+    for nm in ("psi_py_lo", "psi_py_hi", "psi_pz_lo", "psi_pz_hi",
+               "psi_vy_lo", "psi_vy_hi", "psi_vz_lo", "psi_vz_hi"):
+        aliases[in_idx[nm]] = out_idx["o" + nm]
+
+    ring_slab = lambda d: pltpu.VMEM((d, nb, N2, N3), jnp.float32)
+    ring_y = lambda d: pltpu.VMEM((d, nb, ns, N3), jnp.float32)
+    ring_z = lambda d: pltpu.VMEM((d, nb, N2, ns), jnp.float32)
+    scratch_entries = (
+        [(f"p{k}_ring", ring_slab(3)) for k in range(K)]
+        + [(f"r{k}_ring", ring_slab(3)) for k in range(1, K)]
+        + [(f"vx{k}_ring", ring_slab(3)) for k in range(1, K + 1)]
+        + [(f"vy{k}_ring", ring_slab(3 if k < K else 2))
+           for k in range(1, K + 1)]
+        + [(f"vz{k}_ring", ring_slab(3 if k < K else 2))
+           for k in range(1, K + 1)]
+        + [("rho_ring", ring_slab(Dm)), ("piu_ring", ring_slab(Dm)),
+           ("crp_ring", ring_slab(Dm)), ("br_ring", ring_slab(Dm))]
+        + [("ppy_lo_r", ring_y(Dp)), ("ppy_hi_r", ring_y(Dp)),
+           ("ppz_lo_r", ring_z(Dp)), ("ppz_hi_r", ring_z(Dp)),
+           ("pvy_lo_r", ring_y(Dp)), ("pvy_hi_r", ring_y(Dp)),
+           ("pvz_lo_r", ring_z(Dp)), ("pvz_hi_r", ring_z(Dp))]
+        + [("pxp_lo_r", ring_slab(Dp)), ("pxp_hi_r", ring_slab(Dp)),
+           ("pxv_lo_r", ring_slab(Dp)), ("pxv_hi_r", ring_slab(Dp))]
+    )
+
+    def kernel(*refs):
+        n_in = len(in_entries)
+        n_out = len(out_entries)
+        R = {nm: refs[j] for j, (nm, _) in enumerate(in_entries)}
+        R.update({nm: refs[n_in + j] for j, (nm, _) in enumerate(out_entries)})
+        R.update({nm: refs[n_in + n_out + j]
+                  for j, (nm, _) in enumerate(scratch_entries)})
+
+        cyh_c = tuple(R[f"cyh{j}"] for j in range(4))
+        czh_c = tuple(R[f"czh{j}"] for j in range(4))
+        cyi_c = tuple(R[f"cyi{j}"] for j in range(4))
+        czi_c = tuple(R[f"czi{j}"] for j in range(4))
+
+        i = pl.program_id(0)
+        incoming = R["p"][...]
+        ghost = R["ghost"][...]
+
+        @pl.when(i < n_slabs)
+        def _():
+            R["p0_ring"][i % 3] = incoming
+
+        def vel_update(w, rho_inv, v_in, psi_y, psi_z, psix_pair,
+                       xc, amp, cph, sph, ts):
+            dpx = _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
+                w[4 : 4 + nb] - w[1 : 1 + nb]
+            )
+            psix_lo, psix_hi = psix_pair
+            new_lo = xc[0] * psix_lo + xc[1] * dpx
+            new_hi = xc[2] * psix_hi + xc[3] * dpx
+            dpx = dpx + new_lo + new_hi
+            ps = w[2 : 2 + nb]
+            dpy = _d_plus_y(ps)
+            dpz = _d_plus_z(ps)
+            dpy, npy_lo, npy_hi = _apply_cpml_inplane(
+                dpy, psi_y[0], psi_y[1],
+                cyh_c[0][...], cyh_c[1][...], cyh_c[2][...], cyh_c[3][...],
+                axis=1,
+            )
+            dpz, npz_lo, npz_hi = _apply_cpml_inplane(
+                dpz, psi_z[0], psi_z[1],
+                czh_c[0][...], czh_c[1][...], czh_c[2][...], czh_c[3][...],
+                axis=2,
+            )
+            vx_n = v_in[0] - dt_dx * rho_inv * dpx
+            vy_n = v_in[1] - dt_dx * rho_inv * dpy
+            vz_n = v_in[2] - dt_dx * rho_inv * dpz
+            sval = ts[0] * cph + ts[1] * sph
+            z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            on_src = (z_iota == zsrc) & (amp > 0)
+            vz_n = jnp.where(on_src, sval * amp, vz_n)
+            return (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
+                    new_lo, new_hi)
+
+        def press_update(w, vy_s, vz_s, p_old, r_old, piu, crp, br,
+                         psi_y, psi_z, psix_pair, xc):
+            dvx = _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
+                w[3 : 3 + nb] - w[0:nb]
+            )
+            psix_lo, psix_hi = psix_pair
+            new_lo = xc[0] * psix_lo + xc[1] * dvx
+            new_hi = xc[2] * psix_hi + xc[3] * dvx
+            dvx = dvx + new_lo + new_hi
+            dvy = _d_minus_y(vy_s)
+            dvz = _d_minus_z(vz_s)
+            dvy, nvy_lo, nvy_hi = _apply_cpml_inplane(
+                dvy, psi_y[0], psi_y[1],
+                cyi_c[0][...], cyi_c[1][...], cyi_c[2][...], cyi_c[3][...],
+                axis=1,
+            )
+            dvz, nvz_lo, nvz_hi = _apply_cpml_inplane(
+                dvz, psi_z[0], psi_z[1],
+                czi_c[0][...], czi_c[1][...], czi_c[2][...], czi_c[3][...],
+                axis=2,
+            )
+            theta = dvx + dvy + dvz
+            if viscous:
+                r_new = br * r_old - crp * theta * inv_dx
+                p_new = (
+                    p_old - dt_dx * piu * theta - dt * 0.5 * (r_new + r_old)
+                )
+            else:
+                r_new = r_old
+                p_new = p_old - dt_dx * piu * theta
+            return (p_new, r_new, nvy_lo, nvy_hi, nvz_lo, nvz_hi,
+                    new_lo, new_hi)
+
+        def v_stage(k):
+            lag = 2 * k - 1
+
+            @pl.when((i >= lag) & (i <= n_slabs + lag - 1))
+            def _():
+                sv = i - lag
+                p_ring = R[f"p{k - 1}_ring"]
+                prev2 = jnp.where(sv >= 1, p_ring[(sv - 1) % 3][nb - 2:],
+                                  ghost)
+                if k == 1:
+                    nxt_src = incoming[0:2]
+                else:
+                    nxt_src = p_ring[(sv + 1) % 3][0:2]
+                nxt2 = jnp.where(sv < n_slabs - 1, nxt_src, ghost)
+                w = jnp.concatenate([prev2, p_ring[sv % 3], nxt2], axis=0)
+                if k == 1:
+                    rho_inv = R["rho"][...]
+                    v_in = (R["vx"][...], R["vy"][...], R["vz"][...])
+                    psi_y = (R["psi_py_lo"][...], R["psi_py_hi"][...])
+                    psi_z = (R["psi_pz_lo"][...], R["psi_pz_hi"][...])
+                    psix = (R["psix_p_lo"][...], R["psix_p_hi"][...])
+                else:
+                    rho_inv = R["rho_ring"][sv % Dm]
+                    v_in = (R[f"vx{k - 1}_ring"][sv % 3],
+                            R[f"vy{k - 1}_ring"][sv % 3],
+                            R[f"vz{k - 1}_ring"][sv % 3])
+                    psi_y = (R["ppy_lo_r"][sv % Dp], R["ppy_hi_r"][sv % Dp])
+                    psi_z = (R["ppz_lo_r"][sv % Dp], R["ppz_hi_r"][sv % Dp])
+                    psix = (R["pxp_lo_r"][sv % Dp], R["pxp_hi_r"][sv % Dp])
+                (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
+                 nxp_lo, nxp_hi) = vel_update(
+                    w, rho_inv, v_in, psi_y, psi_z, psix,
+                    (R[f"bxh_l{k}"][...], R[f"axh_l{k}"][...],
+                     R[f"bxh_h{k}"][...], R[f"axh_h{k}"][...]),
+                    R[f"amp{k}"][...], R[f"cph{k}"][...], R[f"sph{k}"][...],
+                    (R["tsrc"][k - 1, 0], R["tsrc"][k - 1, 1]),
+                )
+                dv = 3 if k < K else 2
+                R[f"vx{k}_ring"][sv % 3] = vx_n
+                R[f"vy{k}_ring"][sv % dv] = vy_n
+                R[f"vz{k}_ring"][sv % dv] = vz_n
+                if k == K:
+                    R["ovx"][...] = vx_n
+                    R["ovy"][...] = vy_n
+                    R["ovz"][...] = vz_n
+                    R["opsi_py_lo"][...] = npy_lo
+                    R["opsi_py_hi"][...] = npy_hi
+                    R["opsi_pz_lo"][...] = npz_lo
+                    R["opsi_pz_hi"][...] = npz_hi
+                    R["opsix_p_lo"][...] = nxp_lo
+                    R["opsix_p_hi"][...] = nxp_hi
+                else:
+                    R["ppy_lo_r"][sv % Dp] = npy_lo
+                    R["ppy_hi_r"][sv % Dp] = npy_hi
+                    R["ppz_lo_r"][sv % Dp] = npz_lo
+                    R["ppz_hi_r"][sv % Dp] = npz_hi
+                    R["pxp_lo_r"][sv % Dp] = nxp_lo
+                    R["pxp_hi_r"][sv % Dp] = nxp_hi
+
+        def p_stage(k):
+            lag = 2 * k
+
+            @pl.when((i >= lag) & (i <= n_slabs + lag - 1))
+            def _():
+                sp = i - lag
+                dv = 3 if k < K else 2
+                vx_ring = R[f"vx{k}_ring"]
+                prev2 = jnp.where(sp >= 1, vx_ring[(sp - 1) % 3][nb - 2:],
+                                  ghost)
+                nxt2 = jnp.where(sp < n_slabs - 1, vx_ring[(sp + 1) % 3][0:2],
+                                 ghost)
+                w = jnp.concatenate([prev2, vx_ring[sp % 3], nxt2], axis=0)
+                p_old = R[f"p{k - 1}_ring"][sp % 3]
+                if k == 1:
+                    r_old = R["r"][...]
+                    piu = R["piu"][...]
+                    crp = R["crp"][...]
+                    br = R["br"][...]
+                    psi_y = (R["psi_vy_lo"][...], R["psi_vy_hi"][...])
+                    psi_z = (R["psi_vz_lo"][...], R["psi_vz_hi"][...])
+                    psix = (R["psix_v_lo"][...], R["psix_v_hi"][...])
+                else:
+                    r_old = R[f"r{k - 1}_ring"][sp % 3]
+                    piu = R["piu_ring"][sp % Dm]
+                    crp = R["crp_ring"][sp % Dm]
+                    br = R["br_ring"][sp % Dm]
+                    psi_y = (R["pvy_lo_r"][sp % Dp], R["pvy_hi_r"][sp % Dp])
+                    psi_z = (R["pvz_lo_r"][sp % Dp], R["pvz_hi_r"][sp % Dp])
+                    psix = (R["pxv_lo_r"][sp % Dp], R["pxv_hi_r"][sp % Dp])
+                (p_n, r_n, nvy_lo, nvy_hi, nvz_lo, nvz_hi,
+                 nxv_lo, nxv_hi) = press_update(
+                    w, R[f"vy{k}_ring"][sp % dv], R[f"vz{k}_ring"][sp % dv],
+                    p_old, r_old, piu, crp, br, psi_y, psi_z, psix,
+                    (R[f"bxi_l{k}"][...], R[f"axi_l{k}"][...],
+                     R[f"bxi_h{k}"][...], R[f"axi_h{k}"][...]),
+                )
+                if k == K:
+                    R["op"][...] = p_n
+                    R["orr"][...] = r_n
+                    R["opsi_vy_lo"][...] = nvy_lo
+                    R["opsi_vy_hi"][...] = nvy_hi
+                    R["opsi_vz_lo"][...] = nvz_lo
+                    R["opsi_vz_hi"][...] = nvz_hi
+                    R["opsix_v_lo"][...] = nxv_lo
+                    R["opsix_v_hi"][...] = nxv_hi
+                else:
+                    R[f"p{k}_ring"][sp % 3] = p_n
+                    R[f"r{k}_ring"][sp % 3] = r_n
+                    R["pvy_lo_r"][sp % Dp] = nvy_lo
+                    R["pvy_hi_r"][sp % Dp] = nvy_hi
+                    R["pvz_lo_r"][sp % Dp] = nvz_lo
+                    R["pvz_hi_r"][sp % Dp] = nvz_hi
+                    R["pxv_lo_r"][sp % Dp] = nxv_lo
+                    R["pxv_hi_r"][sp % Dp] = nxv_hi
+
+        for k in range(1, K + 1):
+            v_stage(k)
+            p_stage(k)
+
+        # end-of-body material stashes (first HBM visit -> ring)
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            R["rho_ring"][(i - 1) % Dm] = R["rho"][...]
+
+        @pl.when((i >= 2) & (i <= n_slabs + 1))
+        def _():
+            R["piu_ring"][(i - 2) % Dm] = R["piu"][...]
+            R["crp_ring"][(i - 2) % Dm] = R["crp"][...]
+            R["br_ring"][(i - 2) % Dm] = R["br"][...]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_slabs + 2 * K,),
+        in_specs=[spec for _, spec in in_entries],
+        out_specs=[spec for nm, spec in out_entries],
+        out_shape=[out_shape_by_name[nm] for nm, _ in out_entries],
+        scratch_shapes=[s for _, s in scratch_entries],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    coefs = {
+        "y_half": tuple(jnp.asarray(c) for c in by),
+        "z_half": tuple(jnp.asarray(c) for c in bz),
+        "y_int": tuple(jnp.asarray(c) for c in by_i),
+        "z_int": tuple(jnp.asarray(c) for c in bz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, kx),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, kx),
+        "px_planes": px_planes,
+    }
+    return call, coefs
+
+
+def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
+                               interpret):
+    """K-timestep quiet-phase step closure (scan over step GROUPS of K;
+    n is the first of the K step indices)."""
+    omega = 2.0 * np.pi * grid.frequency
+    call, kcoefs = build_fluid_fusedK_step(
+        grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
+    )
+    xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
+    xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])
+    N1, N2, N3 = grid.shape
+    zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
+    ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        pr = s["props"]
+
+        def src_row(nk):
+            t = nk.astype(jnp.float32) * grid.dt
+            ramp = jnp.where(
+                nk < ramp_steps,
+                0.5 * (1.0 - jnp.cos(np.pi * nk / ramp_steps)), 1.0,
+            ).astype(jnp.float32)
+            sc = ramp * oz_scale
+            return jnp.stack([jnp.sin(omega * t) * sc,
+                              jnp.cos(omega * t) * sc])
+
+        tsrc = jnp.stack([src_row(n + j) for j in range(K)])  # (K, 2)
+        src = (s["src_amp"], s["src_cph"], s["src_sph"])
+        outs = call(
+            f["p"], f["vx"], f["vy"], f["vz"], f["r"],
+            pr["rho_inv"], pr["pi_u"], pr["c_rp"], pr["b_r"],
+            s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
+            s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
+            zero_ghost,
+            *(pl_in for _ in range(K) for pl_in in src),
+            tsrc,
+            *kcoefs["y_half"], *kcoefs["z_half"],
+            *kcoefs["y_int"], *kcoefs["z_int"],
+            s["psix_p_lo"], s["psix_p_hi"], s["psix_v_lo"], s["psix_v_hi"],
+            *(c for _ in range(K) for c in xh),
+            *(c for _ in range(K) for c in xi),
+        )
+        it = iter(outs)
+        vx, vy, vz, p_new, r_new = (next(it) for _ in range(5))
+        psix_p_lo, psix_p_hi, psix_v_lo, psix_v_hi = (
+            next(it) for _ in range(4)
+        )
+        (psi_py_lo, psi_py_hi, psi_pz_lo, psi_pz_hi,
+         psi_vy_lo, psi_vy_hi, psi_vz_lo, psi_vz_hi) = (
+            next(it) for _ in range(8)
+        )
+        new_carry = dict(
+            s,
+            fields=dict(p=p_new, vx=vx, vy=vy, vz=vz, r=r_new),
+            psi_py_lo=psi_py_lo, psi_py_hi=psi_py_hi,
+            psi_pz_lo=psi_pz_lo, psi_pz_hi=psi_pz_hi,
+            psi_vy_lo=psi_vy_lo, psi_vy_hi=psi_vy_hi,
+            psi_vz_lo=psi_vz_lo, psi_vz_hi=psi_vz_hi,
+            psix_p_lo=psix_p_lo, psix_p_hi=psix_p_hi,
+            psix_v_lo=psix_v_lo, psix_v_hi=psix_v_hi,
+        )
+        return new_carry, None
+
+    return step
+
+
+def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024):
+    """Pick the deepest K whose VMEM footprint (rings + double-buffered
+    block streams) fits the budget; 0/1 means 'no fusedK'."""
+    N1, N2, N3 = grid.shape
+    if N1 % nb:
+        return 0
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    kx = -(-ns // nb)
+    slab_b = nb * N2 * N3 * 4
+    for K in range(K_cap, 1, -1):
+        if n_slabs < kx + 2 * K - 1:
+            continue
+        ring_slabs = 31 * K - 17
+        est = (ring_slabs + 44) * slab_b + 8 * (2 * K - 1) * nb * ns * max(
+            N2, N3
+        ) * 4 + 4 * 1024 * 1024
+        if est <= budget_bytes:
+            return K
+    return 0
+
+
 def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
-                          oz_scale, nb=2, comm=None, interpret=False):
+                          oz_scale, nb=2, comm=None, interpret=False,
+                          fuse_steps=None):
     """Scan driver mirroring fdtd._simulate_local for the pallas fluid path.
 
     With ``comm`` the first axis of every (N1, ...) array is the LOCAL shard
@@ -1608,24 +2130,43 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
 
         comm = DomainComm()
     kx = -(-ns // nb)
-    use_fused2 = (
-        not (comm.sharded_x or comm.sharded_y) and N1 // nb >= kx + 3
-    )
+    unsharded = not (comm.sharded_x or comm.sharded_y)
+    use_fused2 = unsharded and N1 // nb >= kx + 3
+    if fuse_steps is None:
+        K = _fusedK_auto(grid, nb) if unsharded else 0
+    else:
+        K = int(fuse_steps)
+        if K >= 3 and (not unsharded or N1 // nb < kx + 2 * K - 1):
+            raise ValueError(
+                f"fuse_steps={K} needs an unsharded x-extent with "
+                f"N1/nb >= {kx + 2 * K - 1}"
+            )
+    use_fusedK = K >= 3
 
     def run_phase(carry, n0, n1, with_dft):
-        """Advance steps [n0, n1): 2-step fused sweeps + a 1-step tail."""
+        """Advance steps [n0, n1): K-step fused sweeps (quiet phase),
+        then 2-step fused sweeps, then a 1-step tail."""
         count = n1 - n0
         if count <= 0:
             return carry
-        n_pairs = count // 2 if use_fused2 else 0
+        remK = n0
+        if use_fusedK and not with_dft and count // K > 0:
+            stepK = _make_fluid_fusedK_step_fn(
+                grid, profiles_np, viscous, oz_scale, K, nb, interpret
+            )
+            carry, _ = jax.lax.scan(
+                stepK, carry, n0 + K * jnp.arange(count // K)
+            )
+            remK = n0 + K * (count // K)
+        n_pairs = (n1 - remK) // 2 if use_fused2 else 0
         if n_pairs > 0:
             step2 = _make_fluid_fused2_step_fn(
                 grid, profiles_np, viscous, oz_scale, nb, interpret, with_dft
             )
             carry, _ = jax.lax.scan(
-                step2, carry, n0 + 2 * jnp.arange(n_pairs)
+                step2, carry, remK + 2 * jnp.arange(n_pairs)
             )
-        rem0 = n0 + 2 * n_pairs
+        rem0 = remK + 2 * n_pairs
         if rem0 < n1:
             step1 = make_fluid_pallas_step(
                 grid, profiles_np, viscous, oz_scale, nb, comm=comm,

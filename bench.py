@@ -98,11 +98,13 @@ def main():
         shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
         sensor_start=n_steps - 2 * ppp, source_plane_z=13,
     )
+    # nb=2 slabs let the auto-selected 6-step temporal-blocked kernel fit
+    # VMEM (fuse_steps auto -> K=6 at this shape; ~2.3 HBM volumes/step)
     fn = jax.jit(
         functools.partial(
             simulate_fluid_pallas,
             grid=grid, profiles_np=prof, viscous=True,
-            oz_scale=1.0 / (1000.0 * 1500.0), nb=4,
+            oz_scale=1.0 / (1000.0 * 1500.0), nb=2,
         )
     )
     sync(fn(props, amp, ph))

@@ -65,6 +65,62 @@ def test_fused_matches_xla_interpret():
 
 
 @pytest.mark.slow
+def test_fusedK_matches_xla_interpret():
+    """Deep temporal blocking (K=3 steps/sweep) vs the XLA solver.
+
+    Exercises the fusedK quiet phase, the fused2 remainder/DFT phase, and
+    the 1-step tail in one run (quiet count not divisible by 3).
+    """
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _material_fields,
+        run_fdtd,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops import fdtd_pallas as fp
+
+    F0, C = 500e3, 1500.0
+    shape = (32, 32, 64)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, C, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 6
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_plane_z=13,
+    )
+    mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+    idx = np.zeros(shape, np.uint8)
+    amp = np.zeros(shape[:2])
+    amp[8:-8, 8:-8] = 60e3
+    ph = np.random.default_rng(5).uniform(-2, 2, shape[:2])
+    o_x = run_fdtd(idx, mats, grid, source_amp=amp, source_phase=ph,
+                   backend="xla")
+
+    coefs = sls_coefficients(mats, F0, dt)
+    props = {
+        k: jnp.asarray(v)
+        for k, v in _material_fields(idx, coefs, has_shear=False).items()
+    }
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, C, 1e-5)
+    out = fp.simulate_fluid_pallas(
+        props, jnp.asarray(amp, jnp.float32), jnp.asarray(ph, jnp.float32),
+        grid=grid, profiles_np=prof, viscous=True,
+        oz_scale=1.0 / (1000.0 * C), nb=2, interpret=True, fuse_steps=3,
+    )
+    acc_c, acc_s, _ = (np.asarray(o) for o in out)
+    n_win = ns - grid.sensor_start
+    p_amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
+    reg = (slice(2, -2),) * 3
+    scale = o_x["p_amp"][reg].max()
+    np.testing.assert_allclose(
+        p_amp[reg], o_x["p_amp"][reg], atol=scale * 1e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.slow
 def test_visco_fused_matches_xla_interpret():
     from babelbrain_tpu.ops.fdtd import (
         FDTDGrid,
