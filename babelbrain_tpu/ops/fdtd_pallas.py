@@ -1570,10 +1570,14 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
 
 
 def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
-                            interpret=False):
-    """K timesteps per streaming sweep (deep temporal blocking), quiet
-    phase only (no DFT/peak accumulators — the driver runs the sensor
-    window on the 2-step kernel, which is <5% of production steps).
+                            interpret=False, with_dft=False):
+    """K timesteps per streaming sweep (deep temporal blocking).
+
+    With ``with_dft`` the final pressure stage also accumulates the
+    carrier DFT cos/sin streams and the peak tracker for ALL K steps; the
+    intermediate pressure rings deepen to 2K-2k+1 slots so step-k
+    pressures survive until stage K reads them (the quiet phase keeps
+    them at depth 3).
 
     Generalizes ``build_fluid_fused2_step``: per grid iteration i the
     pipeline runs stages V_k (velocity of step k, slab lag 2k-1) and P_k
@@ -1658,6 +1662,12 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     Dm = 2 * K - 2   # material stash ring depth
     Dp = 2 * K - 1   # shared psi ring depth
 
+    def p_depth(k):
+        """Ring depth for p after step k (0 = incoming p)."""
+        if not with_dft or k == 0:
+            return 3
+        return max(3, 2 * K - 2 * k + 1)
+
     # ---- declarative in/out/scratch orderings (indexed by name) ----
     in_entries = (
         [("p", slab(cur)),
@@ -1671,11 +1681,16 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
          ("psi_vy_lo", slab_y(lagk(2))), ("psi_vy_hi", slab_y(lagk(2))),
          ("psi_vz_lo", slab_z(lagk(2))), ("psi_vz_hi", slab_z(lagk(2))),
          ("ghost", ghost_spec)]
+        + ([("acc_c", slab(lagk(2 * K))), ("acc_s", slab(lagk(2 * K))),
+            ("peak", slab(lagk(2 * K)))] if with_dft else [])
         + [(f"{nm}{k}", pl.BlockSpec((nb, N2, 1), lagk(2 * k - 1),
                                      memory_space=pltpu.VMEM))
            for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
         + [("tsrc", pl.BlockSpec((K, 2), lambda i: (0, 0),
                                  memory_space=pltpu.SMEM))]
+        + ([("scal", pl.BlockSpec((K, 2), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))]
+           if with_dft else [])
         + [(f"cyh{j}", coef_y) for j in range(4)]
         + [(f"czh{j}", coef_z) for j in range(4)]
         + [(f"cyi{j}", coef_y) for j in range(4)]
@@ -1695,6 +1710,8 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         [("ovx", slab(lagk(2 * K - 1))), ("ovy", slab(lagk(2 * K - 1))),
          ("ovz", slab(lagk(2 * K - 1))),
          ("op", slab(lagk(2 * K))), ("orr", slab(lagk(2 * K)))]
+        + ([("oacc_c", slab(lagk(2 * K))), ("oacc_s", slab(lagk(2 * K))),
+            ("opeak", slab(lagk(2 * K)))] if with_dft else [])
         + [("opsix_p_lo", psixb(lo_of(2 * K - 1))),
            ("opsix_p_hi", psixb(hi_of(2 * K - 1))),
            ("opsix_v_lo", psixb(lo_of(2 * K))),
@@ -1711,6 +1728,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
     out_shape_by_name = {
         "ovx": vol(), "ovy": vol(), "ovz": vol(), "op": vol(), "orr": vol(),
+        "oacc_c": vol(), "oacc_s": vol(), "opeak": vol(),
         "opsix_p_lo": psix_shape, "opsix_p_hi": psix_shape,
         "opsix_v_lo": psix_shape, "opsix_v_hi": psix_shape,
         "opsi_py_lo": jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
@@ -1733,6 +1751,10 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         in_idx["psix_v_lo"]: out_idx["opsix_v_lo"],
         in_idx["psix_v_hi"]: out_idx["opsix_v_hi"],
     }
+    if with_dft:
+        aliases[in_idx["acc_c"]] = out_idx["oacc_c"]
+        aliases[in_idx["acc_s"]] = out_idx["oacc_s"]
+        aliases[in_idx["peak"]] = out_idx["opeak"]
     for nm in ("psi_py_lo", "psi_py_hi", "psi_pz_lo", "psi_pz_hi",
                "psi_vy_lo", "psi_vy_hi", "psi_vz_lo", "psi_vz_hi"):
         aliases[in_idx[nm]] = out_idx["o" + nm]
@@ -1741,7 +1763,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     ring_y = lambda d: pltpu.VMEM((d, nb, ns, N3), jnp.float32)
     ring_z = lambda d: pltpu.VMEM((d, nb, N2, ns), jnp.float32)
     scratch_entries = (
-        [(f"p{k}_ring", ring_slab(3)) for k in range(K)]
+        [(f"p{k}_ring", ring_slab(p_depth(k))) for k in range(K)]
         + [(f"r{k}_ring", ring_slab(3)) for k in range(1, K)]
         + [(f"vx{k}_ring", ring_slab(3)) for k in range(1, K + 1)]
         + [(f"vy{k}_ring", ring_slab(3 if k < K else 2))
@@ -1851,14 +1873,15 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
             def _():
                 sv = i - lag
                 p_ring = R[f"p{k - 1}_ring"]
-                prev2 = jnp.where(sv >= 1, p_ring[(sv - 1) % 3][nb - 2:],
+                Dk = p_depth(k - 1)
+                prev2 = jnp.where(sv >= 1, p_ring[(sv - 1) % Dk][nb - 2:],
                                   ghost)
                 if k == 1:
                     nxt_src = incoming[0:2]
                 else:
-                    nxt_src = p_ring[(sv + 1) % 3][0:2]
+                    nxt_src = p_ring[(sv + 1) % Dk][0:2]
                 nxt2 = jnp.where(sv < n_slabs - 1, nxt_src, ghost)
-                w = jnp.concatenate([prev2, p_ring[sv % 3], nxt2], axis=0)
+                w = jnp.concatenate([prev2, p_ring[sv % Dk], nxt2], axis=0)
                 if k == 1:
                     rho_inv = R["rho"][...]
                     v_in = (R["vx"][...], R["vy"][...], R["vz"][...])
@@ -1916,7 +1939,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                 nxt2 = jnp.where(sp < n_slabs - 1, vx_ring[(sp + 1) % 3][0:2],
                                  ghost)
                 w = jnp.concatenate([prev2, vx_ring[sp % 3], nxt2], axis=0)
-                p_old = R[f"p{k - 1}_ring"][sp % 3]
+                p_old = R[f"p{k - 1}_ring"][sp % p_depth(k - 1)]
                 if k == 1:
                     r_old = R["r"][...]
                     piu = R["piu"][...]
@@ -1949,8 +1972,26 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                     R["opsi_vz_hi"][...] = nvz_hi
                     R["opsix_v_lo"][...] = nxv_lo
                     R["opsix_v_hi"][...] = nxv_hi
+                    if with_dft:
+                        # carrier DFT + peak over all K step pressures
+                        acc_c = R["acc_c"][...]
+                        acc_s = R["acc_s"][...]
+                        pk = R["peak"][...]
+                        for j in range(1, K + 1):
+                            pj = (p_n if j == K
+                                  else R[f"p{j}_ring"][sp % p_depth(j)])
+                            cj = R["scal"][j - 1, 0]
+                            sj = R["scal"][j - 1, 1]
+                            acc_c = acc_c + pj * cj
+                            acc_s = acc_s + pj * sj
+                            pk = jnp.maximum(
+                                pk, jnp.abs(pj) * (cj * cj + sj * sj > 0)
+                            )
+                        R["oacc_c"][...] = acc_c
+                        R["oacc_s"][...] = acc_s
+                        R["opeak"][...] = pk
                 else:
-                    R[f"p{k}_ring"][sp % 3] = p_n
+                    R[f"p{k}_ring"][sp % p_depth(k)] = p_n
                     R[f"r{k}_ring"][sp % 3] = r_n
                     R["pvy_lo_r"][sp % Dp] = nvy_lo
                     R["pvy_hi_r"][sp % Dp] = nvy_hi
@@ -2000,12 +2041,13 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
 
 
 def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
-                               interpret):
-    """K-timestep quiet-phase step closure (scan over step GROUPS of K;
-    n is the first of the K step indices)."""
+                               interpret, with_dft=False):
+    """K-timestep step closure (scan over step GROUPS of K; n is the
+    first of the K step indices)."""
     omega = 2.0 * np.pi * grid.frequency
     call, kcoefs = build_fluid_fusedK_step(
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
+        with_dft=with_dft,
     )
     xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
     xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])
@@ -2029,6 +2071,17 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                               jnp.cos(omega * t) * sc])
 
         tsrc = jnp.stack([src_row(n + j) for j in range(K)])  # (K, 2)
+        if with_dft:
+            def scal_row(nk):
+                t = nk.astype(jnp.float32) * grid.dt
+                m = (nk >= grid.sensor_start).astype(jnp.float32)
+                return jnp.stack([jnp.cos(omega * t) * m,
+                                  jnp.sin(omega * t) * m])
+
+            acc_in = (s["acc_cos"], s["acc_sin"], s["peak"])
+            scal_in = (jnp.stack([scal_row(n + j) for j in range(K)]),)
+        else:
+            acc_in = scal_in = ()
         src = (s["src_amp"], s["src_cph"], s["src_sph"])
         outs = call(
             f["p"], f["vx"], f["vy"], f["vz"], f["r"],
@@ -2036,8 +2089,10 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
             s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
             zero_ghost,
+            *acc_in,
             *(pl_in for _ in range(K) for pl_in in src),
             tsrc,
+            *scal_in,
             *kcoefs["y_half"], *kcoefs["z_half"],
             *kcoefs["y_int"], *kcoefs["z_int"],
             s["psix_p_lo"], s["psix_p_hi"], s["psix_v_lo"], s["psix_v_hi"],
@@ -2046,6 +2101,10 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         )
         it = iter(outs)
         vx, vy, vz, p_new, r_new = (next(it) for _ in range(5))
+        if with_dft:
+            acc_c, acc_s, peak = (next(it) for _ in range(3))
+        else:
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
         psix_p_lo, psix_p_hi, psix_v_lo, psix_v_hi = (
             next(it) for _ in range(4)
         )
@@ -2062,15 +2121,21 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             psi_vz_lo=psi_vz_lo, psi_vz_hi=psi_vz_hi,
             psix_p_lo=psix_p_lo, psix_p_hi=psix_p_hi,
             psix_v_lo=psix_v_lo, psix_v_hi=psix_v_hi,
+            acc_cos=acc_c, acc_sin=acc_s, peak=peak,
         )
         return new_carry, None
 
     return step
 
 
-def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024):
+def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024,
+                 with_dft=False):
     """Pick the deepest K whose VMEM footprint (rings + double-buffered
-    block streams) fits the budget; 0/1 means 'no fusedK'."""
+    block streams) fits the budget; 0/1 means 'no fusedK'.
+
+    ``with_dft`` accounts for the deeper p rings (step-k pressures live
+    until stage K accumulates the carrier DFT) and the acc/peak block
+    streams."""
     N1, N2, N3 = grid.shape
     if N1 % nb:
         return 0
@@ -2082,9 +2147,12 @@ def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024):
         if n_slabs < kx + 2 * K - 1:
             continue
         ring_slabs = 31 * K - 17
-        est = (ring_slabs + 44) * slab_b + 8 * (2 * K - 1) * nb * ns * max(
-            N2, N3
-        ) * 4 + 4 * 1024 * 1024
+        buf_slabs = 44
+        if with_dft:
+            ring_slabs += (K - 1) * (K - 2)
+            buf_slabs += 12
+        est = (ring_slabs + buf_slabs) * slab_b + 8 * (2 * K - 1) * nb * ns \
+            * max(N2, N3) * 4 + 4 * 1024 * 1024
         if est <= budget_bytes:
             return K
     return 0
@@ -2134,6 +2202,7 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
     use_fused2 = unsharded and N1 // nb >= kx + 3
     if fuse_steps is None:
         K = _fusedK_auto(grid, nb) if unsharded else 0
+        K_dft = _fusedK_auto(grid, nb, with_dft=True) if unsharded else 0
     else:
         K = int(fuse_steps)
         if K >= 3 and (not unsharded or N1 // nb < kx + 2 * K - 1):
@@ -2141,23 +2210,26 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
                 f"fuse_steps={K} needs an unsharded x-extent with "
                 f"N1/nb >= {kx + 2 * K - 1}"
             )
+        K_dft = K
     use_fusedK = K >= 3
 
     def run_phase(carry, n0, n1, with_dft):
-        """Advance steps [n0, n1): K-step fused sweeps (quiet phase),
-        then 2-step fused sweeps, then a 1-step tail."""
+        """Advance steps [n0, n1): K-step fused sweeps, then 2-step fused
+        sweeps, then a 1-step tail."""
         count = n1 - n0
         if count <= 0:
             return carry
         remK = n0
-        if use_fusedK and not with_dft and count // K > 0:
+        Kp = K_dft if with_dft else K
+        if use_fusedK and Kp >= 3 and count // Kp > 0:
             stepK = _make_fluid_fusedK_step_fn(
-                grid, profiles_np, viscous, oz_scale, K, nb, interpret
+                grid, profiles_np, viscous, oz_scale, Kp, nb, interpret,
+                with_dft=with_dft,
             )
             carry, _ = jax.lax.scan(
-                stepK, carry, n0 + K * jnp.arange(count // K)
+                stepK, carry, n0 + Kp * jnp.arange(count // Kp)
             )
-            remK = n0 + K * (count // K)
+            remK = n0 + Kp * (count // Kp)
         n_pairs = (n1 - remK) // 2 if use_fused2 else 0
         if n_pairs > 0:
             step2 = _make_fluid_fused2_step_fn(

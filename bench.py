@@ -6,7 +6,9 @@ the reference disables shear for CT mapping, so this is the clinical
 through-skull path) at 6 PPW with the Pallas streaming-slab kernels, using
 the production sensor window: the carrier DFT only accumulates over the
 last 2 cycles (`BabelIntegrationBASE.py:2108-2109`), so most timesteps run
-the quiet-phase kernels that skip the accumulator streams entirely.
+the quiet-phase kernels that skip the accumulator streams entirely — in
+production that is the auto-selected K=6 temporally-blocked sweep (six
+leapfrog steps per HBM pass); the windowed steps run the 2-step sweep.
 
 Timing methodology: full production-shaped run (42 cycles, window = last
 2) timed with an 8-byte device->host readback as the sync point
