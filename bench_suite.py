@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Extended benchmark suite: one JSON line per solver on the real TPU chip.
+
+``bench.py`` stays the single-line driver contract (fluid CT-mode FDTD, the
+clinical through-skull path). This suite additionally measures the other
+three device-resident solvers so the full perf surface is reproducible:
+
+  * fdtd_fluid_ct   — CT mode (1026 quantized-HU materials, no shear),
+                      production sensor window, K-step fused Pallas sweep.
+  * fdtd_visco_label— label mode (9 tissues incl. skull shear), 15-field
+                      viscoelastic update, 2-step fused Pallas sweep.
+  * rayleigh        — Rayleigh-Sommerfeld pair throughput (MXU distance
+                      form + VPU transcendentals).
+  * bhte            — Pennes bio-heat FTCS stepper (XLA scan), thermal-run
+                      shaped schedule.
+
+Timing: tiny-slice readback as the sync point (block_until_ready is
+unreliable on tunneled runtimes); BHTE uses two scan lengths differenced to
+cancel dispatch+readback. Usage: ``python bench_suite.py [name ...]``.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+SHAPE = (192, 192, 240)
+F0 = 500e3
+PPW = 6.0
+
+
+def _emit(metric, value, unit, baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _grid_and_profiles(mats, include_shear):
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        stable_dt,
+    )
+
+    cmax = mats[:, 1:3].max()
+    dx = 1482.3 / F0 / PPW
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, cmax, cfl=0.5)))
+    dt = 1 / F0 / ppp
+    n_steps = 42 * ppp
+    grid = FDTDGrid(
+        shape=SHAPE, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
+        sensor_start=n_steps - 2 * ppp, source_plane_z=13,
+    )
+    prof = _build_cpml_profiles_np(SHAPE, 12, dx, dt, cmax, 1e-5)
+    return grid, prof
+
+
+def bench_fluid_ct():
+    import jax
+    import jax.numpy as jnp
+
+    from babelbrain_tpu.materials import map_hu_to_properties
+    from babelbrain_tpu.ops.fdtd import _material_fields, sls_coefficients
+    from babelbrain_tpu.ops.fdtd_pallas import simulate_fluid_pallas
+
+    hu = np.linspace(300.0, 2100.0, 1023)
+    rho, sos, att = map_hu_to_properties(hu, F0, "Webb-Marsac")
+    mats = np.zeros((1026, 5))
+    mats[0] = [1000.0, 1500.0, 0, 0, 0]
+    mats[1] = [1116.0, 1537.0, 0, 2.99, 0]
+    mats[2] = [1041.0, 1562.0, 0, 4.49, 0]
+    mats[3:, 0] = rho
+    mats[3:, 1] = sos
+    mats[3:, 3] = att
+    grid, prof = _grid_and_profiles(mats, include_shear=False)
+
+    idx = np.zeros(SHAPE, np.uint16)
+    rng = np.random.default_rng(0)
+    idx[:, :, 60:70] = 1
+    idx[:, :, 70:88] = rng.integers(3, 1026, (192, 192, 18))
+    idx[:, :, 88:] = 2
+
+    coefs = sls_coefficients(mats, F0, grid.dt)
+    props = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in _material_fields(idx, coefs, has_shear=False).items()
+    }
+    amp = jax.device_put(
+        jnp.zeros(SHAPE[:2], jnp.float32).at[16:-16, 16:-16].set(60e3)
+    )
+    ph = jax.device_put(jnp.zeros(SHAPE[:2], jnp.float32))
+
+    fn = jax.jit(
+        functools.partial(
+            simulate_fluid_pallas,
+            grid=grid, profiles_np=prof, viscous=True,
+            oz_scale=1.0 / (1000.0 * 1500.0), nb=2,
+        )
+    )
+    sync = lambda out: float(np.asarray(out[0][0, 0, :2])[0])
+    sync(fn(props, amp, ph))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        sync(fn(props, amp, ph))
+        best = min(best, time.time() - t0)
+    mcups = np.prod(SHAPE) / (best / grid.n_steps) / 1e6
+    _emit("fdtd_fluid_ct_mcells_per_s", mcups, "Mcells/s", 1000.0)
+
+
+def bench_visco_label():
+    import jax
+    import jax.numpy as jnp
+
+    from babelbrain_tpu.materials import material_array
+    from babelbrain_tpu.ops.fdtd import _material_fields, sls_coefficients
+    from babelbrain_tpu.ops.fdtd_pallas import simulate_visco_pallas
+
+    mats = material_array(F0)  # water/cortical/trabecular/skin/brain order
+    grid, prof = _grid_and_profiles(mats, include_shear=True)
+
+    idx = np.zeros(SHAPE, np.uint16)
+    idx[:, :, 60:70] = 3        # skin
+    idx[:, :, 70:78] = 1        # cortical (shear)
+    idx[:, :, 78:84] = 2        # trabecular (shear)
+    idx[:, :, 84:88] = 1
+    idx[:, :, 88:] = 4          # brain
+
+    coefs = sls_coefficients(mats, F0, grid.dt)
+    props = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in _material_fields(idx, coefs, has_shear=True).items()
+    }
+    amp = jax.device_put(
+        jnp.zeros(SHAPE[:2], jnp.float32).at[16:-16, 16:-16].set(60e3)
+    )
+    ph = jax.device_put(jnp.zeros(SHAPE[:2], jnp.float32))
+
+    fn = jax.jit(
+        functools.partial(
+            simulate_visco_pallas,
+            grid=grid, profiles_np=prof, viscous=True,
+            oz_scale=1.0 / (1000.0 * 1500.0), nb=2,
+        )
+    )
+    sync = lambda out: float(np.asarray(out[0][0, 0, :2])[0])
+    pa = jnp.float32(0.0)
+    sync(fn(props, amp, ph, pa))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        sync(fn(props, amp, ph, pa))
+        best = min(best, time.time() - t0)
+    mcups = np.prod(SHAPE) / (best / grid.n_steps) / 1e6
+    _emit("fdtd_visco_label_mcells_per_s", mcups, "Mcells/s", 1000.0)
+
+
+def bench_rayleigh():
+    from babelbrain_tpu.ops.rayleigh import rayleigh_field
+
+    M, P = 16384, 1_048_576
+    rng = np.random.default_rng(1)
+    centers = rng.normal(0, 0.03, (M, 3)).astype(np.float32)
+    centers[:, 2] -= 0.08
+    areas = np.full(M, 1e-7, np.float32)
+    u0 = np.exp(1j * rng.uniform(0, 2 * np.pi, M)).astype(np.complex64)
+    pts = rng.normal(0, 0.04, (P, 3)).astype(np.float32)
+    k = 2 * np.pi * F0 / 1482.3
+
+    rayleigh_field(k, centers, areas, u0, pts)  # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        rayleigh_field(k, centers, areas, u0, pts)
+        best = min(best, time.time() - t0)
+    gpairs = M * P / best / 1e9
+    # baseline: ~0.5 G pairs/s for a tuned single-GPU O(MP) kernel
+    _emit("rayleigh_gpairs_per_s", gpairs, "Gpairs/s", 0.5)
+
+
+def bench_bhte():
+    import jax.numpy as jnp
+
+    from babelbrain_tpu.materials import material_array, build_thermal_material_list
+    from babelbrain_tpu.ops import bhte as B
+
+    shape = (192, 192, 192)
+    # pipeline label-mode order (Water, Skin, Cortical, Trabecular, Brain)
+    acoustic = material_array(
+        F0, tissues=("Water", "Skin", "Cortical", "Trabecular", "Brain")
+    )
+    mats = build_thermal_material_list(
+        acoustic, ct_mode=False, segmented_brain=False
+    )
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 60:70] = 1   # skin
+    idx[:, :, 70:88] = 2   # cortical
+    idx[:, :, 88:] = 4     # brain
+    p = np.zeros(shape, np.float32)
+    p[80:110, 80:110, 110:150] = 1e6
+    dt, dx = 0.01, 1482.3 / F0 / PPW
+
+    Q = np.stack([B.absorption_heating(p, idx, mats, 0.3),
+                  np.zeros(shape, np.float32)])
+    coeff = {k: jnp.asarray(v)
+             for k, v in B._build_coeff_maps(idx, mats, dx, dt).items()}
+    t0f = np.asarray(mats.init_temperature, np.float64)[idx]
+    T0 = jnp.asarray(t0f, jnp.float32)
+    dose0 = jnp.zeros(shape, jnp.float32)
+    mon = jnp.zeros(1, jnp.int32)
+    tart = jnp.float32(37.0)
+    Qj = jnp.asarray(Q)
+
+    def run(n):
+        fs = jnp.zeros(n, jnp.int32)
+        on = jnp.ones(n, jnp.bool_)
+        out = B._bhte_scan(T0, dose0, Qj, fs, on, coeff, mon, tart, n)
+        return float(np.asarray(out[0][0, 0, :2])[0])
+
+    n1, n2 = 50, 350
+    run(n1); run(n2)  # compile both lengths
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time(); run(n1); ta = time.time() - t0
+        t0 = time.time(); run(n2); tb = time.time() - t0
+        best = min(best, (tb - ta) / (n2 - n1))
+    mcups = np.prod(shape) / best / 1e6
+    # baseline: ~2000 Mcells/s for a single-GPU FTCS BHTE kernel
+    _emit("bhte_mcells_per_s", mcups, "Mcells/s", 2000.0)
+
+
+ALL = {
+    "fdtd_fluid_ct": bench_fluid_ct,
+    "fdtd_visco_label": bench_visco_label,
+    "rayleigh": bench_rayleigh,
+    "bhte": bench_bhte,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        ALL[n]()
+
+
+if __name__ == "__main__":
+    main()
