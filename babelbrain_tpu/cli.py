@@ -191,8 +191,12 @@ def _cmd_list_tx(args):
 def _cmd_bench(args):
     import runpy
 
+    # bench.py lives at the repo root, one level above the package
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
     sys.argv = ["bench.py"]
-    runpy.run_path("bench.py", run_name="__main__")
+    runpy.run_path(path, run_name="__main__")
 
 
 def main(argv=None):
