@@ -323,6 +323,26 @@ def _material_fields(mat_idx, coefs, has_shear=True):
     return out
 
 
+def _fold_reflector(props_np, reflector_mask, has_shear):
+    """Fold a pressure-release reflector mask into the modulus fields.
+
+    The reference passes air cavities as a ``ReflectorMask`` whose voxels are
+    forced to zero stress every step (`BabelIntegrationBASE.py:2365`). With
+    zero initial conditions that is exactly equivalent to zeroing the moduli
+    (pi_u/mu_u) and the relaxation feeds (c_rp/c_rs) at those voxels: stress
+    and pressure then stay identically zero there while velocities still
+    evolve against the zero-stress (pressure-release) surface. Folding into
+    the material fields makes the reflector free on EVERY backend — XLA,
+    sharded, and all fused Pallas kernels — with no extra HBM stream.
+    """
+    keep = 1.0 - np.asarray(reflector_mask).astype(np.float32)
+    props_np["pi_u"] = props_np["pi_u"] * keep
+    props_np["c_rp"] = props_np["c_rp"] * keep
+    if has_shear:
+        props_np["mu_u"] = props_np["mu_u"] * keep
+        props_np["c_rs"] = props_np["c_rs"] * keep
+
+
 def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm,
                   extras=(), monitor_idx=None):
     """Build the per-step update closure (traced once under scan).
@@ -525,19 +545,6 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm,
                 sxz = sxz + dt_dx * mu_u * exz
                 syz = syz + dt_dx * mu_u * eyz
 
-        if "keep" in p:
-            keep = p["keep"]
-            sxx = sxx * keep
-            syy = syy * keep
-            szz = szz * keep
-            sxy = sxy * keep
-            sxz = sxz * keep
-            syz = syz * keep
-            if viscous:
-                carry_fields["rxx"] = carry_fields.get("rxx", f.get("rxx")) * keep
-                carry_fields["ryy"] = carry_fields.get("ryy", f.get("ryy")) * keep
-                carry_fields["rzz"] = carry_fields.get("rzz", f.get("rzz")) * keep
-
         if grid.source_type == "stress_point":
             i0, j0, k0 = grid.source_ijk
             i_loc = jnp.int32(i0) - comm.local_x_offset(sxx.shape[0])
@@ -703,12 +710,6 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm,
             carry_fields["r"] = new_r
         else:
             p = p - dt_dx * pr["pi_u"] * theta
-        if "keep" in pr:
-            # pressure-release reflector voxels (air cavities): the
-            # reference's ReflectorMask (`BabelIntegrationBASE.py:2365`)
-            p = p * pr["keep"]
-            if viscous:
-                carry_fields["r"] = carry_fields["r"] * pr["keep"]
 
         if grid.source_type == "stress_point":
             i0, j0, k0 = grid.source_ijk
@@ -858,9 +859,14 @@ def run_fdtd(
         local extent >= npml+2 (so each PML slab lives on one edge shard).
         The pallas backend supports 1-D x decomposition only.
     backend : 'auto' | 'xla' | 'pallas'. 'pallas' uses the fused
-        streaming-slab TPU kernels (fluid path, single device, plane
-        sources only); 'auto' picks pallas when those conditions hold on a
-        TPU backend.
+        streaming-slab TPU kernels (plane AND stress-point sources, fluid
+        and shear media, reflector masks); 'auto' picks pallas on a TPU
+        backend whenever the source type allows (volumetric dome sources
+        and sel_maps/monitor capture stay on the XLA path).
+    reflector_mask : optional bool volume of air-cavity voxels forced to
+        zero stress (the reference's ``ReflectorMask``,
+        `BabelIntegrationBASE.py:2365`). Folded into the modulus fields
+        (see ``_fold_reflector``) so it is free on every backend.
 
     sel_maps : optional extra output maps, named ``<Field>_rms`` /
         ``<Field>_peak`` with Field in {Pressure, Vx, Vy, Vz, Sigmaxx,
@@ -937,11 +943,7 @@ def run_fdtd(
             backend = "xla"  # volumetric sources not in the pallas kernels
 
     if reflector_mask is not None:
-        props_np["keep"] = (
-            1.0 - np.asarray(reflector_mask).astype(np.float32)
-        )
-        if backend == "auto":
-            backend = "xla"  # reflector not yet wired into the pallas kernels
+        _fold_reflector(props_np, reflector_mask, has_shear)
 
     if mesh is not None:
         from ..parallel.halo import mesh_axis_sizes
@@ -951,26 +953,20 @@ def run_fdtd(
         mesh_nx = mesh_ny = 1
 
     use_pallas = False
+    pallas_src_ok = grid.source_type in ("velocity_plane", "stress_point")
     pallas_sharded = (
         mesh is not None
         and backend == "pallas"
         and mesh_ny == 1  # pallas ghost-plane kernels decompose x only
-        and (
-            grid.source_type == "velocity_plane"
-            or (grid.source_type == "stress_point" and has_shear)
-        )
+        and pallas_src_ok
     )
-    pallas_ok = mesh is None and (
-        grid.source_type == "velocity_plane"
-        or (grid.source_type == "stress_point" and has_shear)
-    )
+    pallas_ok = mesh is None and pallas_src_ok
     if backend in ("auto", "pallas") and pallas_ok:
         plat = jax.devices()[0].platform
         use_pallas = backend == "pallas" or plat != "cpu"
     if backend == "pallas" and not (use_pallas or pallas_sharded):
         raise ValueError(
-            "pallas backend requires a velocity_plane source (stress_point "
-            "is supported for shear media)"
+            "pallas backend requires a velocity_plane or stress_point source"
         )
 
     if pallas_sharded:
@@ -1030,14 +1026,15 @@ def run_fdtd(
                         comm=comm, interpret=interpret,
                     ),
                     mesh=mesh,
-                    in_specs=({k: spec3 for k in props_np}, spec2, spec2),
+                    in_specs=({k: spec3 for k in props_np}, spec2, spec2, P()),
                     out_specs=(spec3, spec3, spec3),
                     # pallas_call outputs carry no vma annotation
                     check_vma=False,
                 )
             )
             acc_c, acc_s, peak = fn(
-                props, jnp.asarray(src_amp), jnp.asarray(src_phase)
+                props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+                jnp.float32(point_amp),
             )
         acc_c = np.asarray(acc_c)
         acc_s = np.asarray(acc_s)
@@ -1082,7 +1079,8 @@ def run_fdtd(
                 )
             )
             acc_c, acc_s, peak = fn(
-                props, jnp.asarray(src_amp), jnp.asarray(src_phase)
+                props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+                jnp.float32(point_amp),
             )
         acc_c = np.asarray(acc_c)
         acc_s = np.asarray(acc_s)
@@ -1258,7 +1256,7 @@ def run_fdtd_batch(
         grid.shape, grid.npml, grid.dx, grid.dt, cmax, grid.reflection_limit
     )
     if reflector_mask is not None:
-        props_np["keep"] = 1.0 - np.asarray(reflector_mask).astype(np.float32)
+        _fold_reflector(props_np, reflector_mask, has_shear)
 
     amps = np.asarray(source_amps, np.float32)
     phases = np.asarray(source_phases, np.float32)

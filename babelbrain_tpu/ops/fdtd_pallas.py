@@ -92,6 +92,19 @@ def _apply_cpml_inplane(d, psi_lo, psi_hi, b_lo, a_lo, b_hi, a_hi, axis):
     return d, new_lo, new_hi
 
 
+def _point_src_row(amp_point, nk, grid, omega, ramp_steps):
+    """(2,) SMEM row [-amp*sin(w t)*ramp, 0] for the fluid point source at
+    step ``nk`` (sign folded so the kernel ADDS it to p, matching the XLA
+    path's ``p.at[ijk].add(-sval)``)."""
+    t = nk.astype(jnp.float32) * grid.dt
+    ramp = jnp.where(
+        nk < ramp_steps,
+        0.5 * (1.0 - jnp.cos(np.pi * nk / ramp_steps)), 1.0,
+    ).astype(jnp.float32)
+    v = -amp_point * jnp.sin(omega * t) * ramp
+    return jnp.stack([v, jnp.float32(0.0)])
+
+
 def _make_profiles_const(profiles, axis, stag, ns):
     """Slab-trimmed (b, a) numpy constants shaped for in-plane broadcast."""
     p = profiles[axis][stag]
@@ -848,6 +861,13 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
     dt = np.float32(grid.dt)
     inv_dx = np.float32(1.0 / grid.dx)
     zsrc = grid.source_plane_z
+    point = grid.source_type == "stress_point"
+    if point:
+        # fluid point source (CT-mode refocus backprop,
+        # `BabelIntegrationBASE.py:2374`): injected in-kernel at the
+        # pressure stages so the fused sweep stays exact
+        i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
+        s_pt, li_pt = divmod(i0_pt, nb)
 
     by = _make_profiles_const(profiles_np, 1, "half", ns)
     bz = _make_profiles_const(profiles_np, 2, "half", ns)
@@ -901,6 +921,8 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
             next(it) for _ in range(6)
         )
         tsrc_ref = next(it)  # (2, 2): [sin(wt)*sc, cos(wt)*sc] per step
+        if point:
+            psrc_ref = next(it)  # (2, 2): [-amp*sin(wt)*ramp, 0] per step
         if with_dft:
             scal_ref = next(it)  # (2, 2): [cos*m, sin*m] per step
         cyh_c = tuple(next(it) for _ in range(4))
@@ -936,6 +958,20 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
         i = pl.program_id(0)
         incoming = p_ref[...]
         ghost = ghost_ref[...]
+
+        if point:
+            ii_p = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+            jj_p = jax.lax.broadcasted_iota(jnp.int32, (1, N2, 1), 1)
+            kk_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            pmask = (
+                (ii_p == li_pt) & (jj_p == j0_pt) & (kk_p == k0_pt)
+            ).astype(jnp.float32)
+
+        def inject_point(p_n, sp, step_idx):
+            if not point:
+                return p_n
+            sel = (sp == s_pt).astype(jnp.float32)
+            return p_n + psrc_ref[step_idx, 0] * sel * pmask
 
         @pl.when(i < n_slabs)
         def _():
@@ -1053,6 +1089,7 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
                 (psixv2_lo_ref[...], psixv2_hi_ref[...]),
                 (bxi_l2[...], axi_l2[...], bxi_h2[...], axi_h2[...]),
             )
+            p_n = inject_point(p_n, sp, 0)
             p1_ring[sp % 3] = p_n
             r1_ring[sp % 3] = r_n
             pvy_lo_r[sp % 3] = nvy_lo
@@ -1113,6 +1150,7 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
                 (pxv_lo_r[sp % 3], pxv_hi_r[sp % 3]),
                 (bxi_l4[...], axi_l4[...], bxi_h4[...], axi_h4[...]),
             )
+            p_n = inject_point(p_n, sp, 1)
             op[...] = p_n
             orr[...] = r_n
             opsi_vy_lo[...] = nvy_lo
@@ -1167,6 +1205,7 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
         + [plane1(), plane1(), plane1(),
            plane3(), plane3(), plane3()]              # src planes x2 lags
         + [smem22()]                                  # tsrc (2 steps)
+        + ([smem22()] if point else [])               # psrc (2 steps)
         + ([smem22()] if with_dft else [])            # scal (2 steps)
         + [coef_y] * 4 + [coef_z] * 4                 # half profiles
         + [coef_y] * 4 + [coef_z] * 4                 # int profiles
@@ -1204,7 +1243,8 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
     aliases = {1: 0, 2: 1, 3: 2, 0: 3, 4: 4}
     for a in range(n_acc):
         aliases[9 + a] = 5 + a
-    psix_in0 = 9 + n_acc + 8 + 1 + 6 + 1 + (1 if with_dft else 0) + 16
+    psix_in0 = (9 + n_acc + 8 + 1 + 6 + 1 + (1 if point else 0)
+                + (1 if with_dft else 0) + 16)
     for a in range(4):  # psix
         aliases[psix_in0 + a] = 5 + n_acc + a
     for a in range(8):  # psi y/z
@@ -1372,6 +1412,13 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
                 psix_v_lo, psix_v_hi,
             ) = outs
             acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
+            in_window = cosw = sinw = None
+
+        if grid.source_type == "stress_point":
+            s, p_new, acc_c, acc_s, peak = _fluid_point_post(
+                s, p_new, acc_c, acc_s, peak, grid, comm, n, omega, ramp,
+                in_window, cosw, sinw, with_dft,
+            )
 
         new_carry = dict(
             s,
@@ -1387,6 +1434,36 @@ def make_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
         return new_carry, None
 
     return step
+
+
+def _fluid_point_post(s, p_new, acc_c, acc_s, peak, grid, comm, n, omega,
+                      ramp, in_window, cosw, sinw, with_dft):
+    """Exact post-kernel fluid point-source correction for 1-step kernels.
+
+    Mirrors the XLA order (pressure update -> injection -> DFT): the kernel
+    accumulated the pre-injection pressure, so the single affected voxel's
+    DFT terms are amended and its peak is re-tracked via the ``peak_src``
+    carry scalar (same pattern as the visco post, below)."""
+    N1 = p_new.shape[0]
+    i0, j0, k0 = grid.source_ijk
+    li = i0 - comm.local_x_offset(N1)
+    own = ((li >= 0) & (li < N1)).astype(jnp.float32)
+    lic = jnp.clip(li, 0, N1 - 1)
+    t = n.astype(jnp.float32) * grid.dt
+    sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * own
+    p_new = p_new.at[lic, j0, k0].add(-sval)
+    if with_dft:
+        acc_c = acc_c.at[lic, j0, k0].add(-sval * cosw)
+        acc_s = acc_s.at[lic, j0, k0].add(-sval * sinw)
+        p_post = p_new[lic, j0, k0]
+        peak_src = jnp.maximum(
+            s["peak_src"], jnp.abs(p_post) * in_window * own
+        )
+        peak = peak.at[lic, j0, k0].set(
+            jnp.where(own > 0, peak_src, peak[lic, j0, k0])
+        )
+        s = dict(s, peak_src=peak_src)
+    return s, p_new, acc_c, acc_s, peak
 
 
 def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
@@ -1433,6 +1510,7 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
             scal_in = (scal,)
         else:
             acc_in = scal_in = ()
+            in_window = cosw = sinw = None
 
         outs = call(
             f["p"], f["vx"], f["vy"], f["vz"], f["r"],
@@ -1461,6 +1539,11 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
          psix_p_lo, psix_p_hi, psix_v_lo, psix_v_hi) = (
             next(it) for _ in range(12)
         )
+        if grid.source_type == "stress_point":
+            s, p_new, acc_c, acc_s, peak = _fluid_point_post(
+                s, p_new, acc_c, acc_s, peak, grid, comm, n, omega, ramp,
+                in_window, cosw, sinw, with_dft,
+            )
         new_carry = dict(
             s,
             fields=dict(p=p_new, vx=vx, vy=vy, vz=vz, r=r_new),
@@ -1491,6 +1574,7 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
     N1, N2, N3 = grid.shape
     zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
     ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+    point = grid.source_type == "stress_point"
 
     def step(carry, n):
         s = carry
@@ -1508,6 +1592,15 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
                               jnp.cos(omega * t) * sc])
 
         tsrc = jnp.stack([src_row(n), src_row(n + 1)])  # (2, 2)
+        if point:
+            psrc = jnp.stack(
+                [_point_src_row(s["src_amp_point"], nk, grid, omega,
+                                ramp_steps)
+                 for nk in (n, n + 1)]
+            )
+            psrc_in = (psrc,)
+        else:
+            psrc_in = ()
         if with_dft:
             def scal_row(nk):
                 t = nk.astype(jnp.float32) * grid.dt
@@ -1531,6 +1624,7 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
             s["src_amp"], s["src_cph"], s["src_sph"],
             s["src_amp"], s["src_cph"], s["src_sph"],
             tsrc,
+            *psrc_in,
             *scal_in,
             *kcoefs["y_half"], *kcoefs["z_half"],
             *kcoefs["y_int"], *kcoefs["z_int"],
@@ -1613,6 +1707,10 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     dt = np.float32(grid.dt)
     inv_dx = np.float32(1.0 / grid.dx)
     zsrc = grid.source_plane_z
+    point = grid.source_type == "stress_point"
+    if point:
+        i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
+        s_pt, li_pt = divmod(i0_pt, nb)
 
     by = _make_profiles_const(profiles_np, 1, "half", ns)
     bz = _make_profiles_const(profiles_np, 2, "half", ns)
@@ -1688,6 +1786,9 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
            for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
         + [("tsrc", pl.BlockSpec((K, 2), lambda i: (0, 0),
                                  memory_space=pltpu.SMEM))]
+        + ([("psrc", pl.BlockSpec((K, 2), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))]
+           if point else [])
         + ([("scal", pl.BlockSpec((K, 2), lambda i: (0, 0),
                                   memory_space=pltpu.SMEM))]
            if with_dft else [])
@@ -1796,6 +1897,20 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         i = pl.program_id(0)
         incoming = R["p"][...]
         ghost = R["ghost"][...]
+
+        if point:
+            ii_p = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+            jj_p = jax.lax.broadcasted_iota(jnp.int32, (1, N2, 1), 1)
+            kk_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            pmask = (
+                (ii_p == li_pt) & (jj_p == j0_pt) & (kk_p == k0_pt)
+            ).astype(jnp.float32)
+
+        def inject_point(p_n, sp, k):
+            if not point:
+                return p_n
+            sel = (sp == s_pt).astype(jnp.float32)
+            return p_n + R["psrc"][k - 1, 0] * sel * pmask
 
         @pl.when(i < n_slabs)
         def _():
@@ -1963,6 +2078,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                     (R[f"bxi_l{k}"][...], R[f"axi_l{k}"][...],
                      R[f"bxi_h{k}"][...], R[f"axi_h{k}"][...]),
                 )
+                p_n = inject_point(p_n, sp, k)
                 if k == K:
                     R["op"][...] = p_n
                     R["orr"][...] = r_n
@@ -2071,6 +2187,13 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                               jnp.cos(omega * t) * sc])
 
         tsrc = jnp.stack([src_row(n + j) for j in range(K)])  # (K, 2)
+        if grid.source_type == "stress_point":
+            psrc_in = (jnp.stack(
+                [_point_src_row(s["src_amp_point"], n + j, grid, omega,
+                                ramp_steps) for j in range(K)]
+            ),)
+        else:
+            psrc_in = ()
         if with_dft:
             def scal_row(nk):
                 t = nk.astype(jnp.float32) * grid.dt
@@ -2092,6 +2215,7 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             *acc_in,
             *(pl_in for _ in range(K) for pl_in in src),
             tsrc,
+            *psrc_in,
             *scal_in,
             *kcoefs["y_half"], *kcoefs["z_half"],
             *kcoefs["y_int"], *kcoefs["z_int"],
@@ -2158,7 +2282,8 @@ def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024,
     return 0
 
 
-def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
+def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
+                          grid, profiles_np, viscous,
                           oz_scale, nb=2, comm=None, interpret=False,
                           fuse_steps=None):
     """Scan driver mirroring fdtd._simulate_local for the pallas fluid path.
@@ -2192,6 +2317,9 @@ def simulate_fluid_pallas(props, src_amp, src_phase, grid, profiles_np, viscous,
         "src_cph": jnp.cos(src_phase)[:, :, None],
         "src_sph": jnp.sin(src_phase)[:, :, None],
     }
+    if grid.source_type == "stress_point":
+        carry["src_amp_point"] = jnp.float32(point_amp)
+        carry["peak_src"] = jnp.float32(0.0)
 
     if comm is None:
         from ..parallel.halo import DomainComm

@@ -192,6 +192,7 @@ def run_acoustic_sim(
             grid_b,
             point_amp=source_amp_pa,
             mesh=mesh,
+            reflector_mask=reflector,
         )
         # --- S6: sensor-plane field -> element conjugate phases ---
         plane_amp = back["p_amp"][:, :, dom.npml]
@@ -222,6 +223,7 @@ def run_acoustic_sim(
             source_amp=np.abs(srcr),
             source_phase=np.angle(srcr),
             mesh=mesh,
+            reflector_mask=reflector,
         )
 
     # --- S10: assemble results in input orientation ---

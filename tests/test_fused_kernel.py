@@ -172,3 +172,110 @@ def test_visco_fused_matches_xla_interpret():
     np.testing.assert_allclose(
         p_amp[reg], o_x["p_amp"][reg], atol=scale * 2e-4, rtol=1e-3
     )
+
+
+@pytest.mark.slow
+def test_fluid_point_source_pallas_matches_xla():
+    """Fluid stress-point source (CT-mode refocus backprop,
+    `BabelIntegrationBASE.py:2374`) through the fusedK in-kernel injection
+    plus the 1-step post-correction tail: bit-parity vs the XLA solver."""
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _material_fields,
+        run_fdtd,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops import fdtd_pallas as fp
+
+    F0, C = 500e3, 1500.0
+    shape = (32, 32, 64)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, C, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 4
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_plane_z=13,
+        source_type="stress_point", source_ijk=(17, 15, 40),
+    )
+    mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+    idx = np.zeros(shape, np.uint8)
+    pamp = 50e3
+    o_x = run_fdtd(idx, mats, grid, point_amp=pamp, backend="xla")
+
+    coefs = sls_coefficients(mats, F0, dt)
+    props = {
+        k: jnp.asarray(v)
+        for k, v in _material_fields(idx, coefs, has_shear=False).items()
+    }
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, C, 1e-5)
+    zeros2 = jnp.zeros(shape[:2], jnp.float32)
+    out = fp.simulate_fluid_pallas(
+        props, zeros2, zeros2, jnp.float32(pamp),
+        grid=grid, profiles_np=prof, viscous=True,
+        oz_scale=1.0 / (1000.0 * C), nb=2, interpret=True, fuse_steps=3,
+    )
+    acc_c, acc_s, peak = (np.asarray(o) for o in out)
+    n_win = ns - grid.sensor_start
+    p_amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
+    scale = o_x["p_amp"].max()
+    np.testing.assert_allclose(p_amp, o_x["p_amp"], atol=scale * 1e-6)
+    np.testing.assert_allclose(peak, o_x["peak"], atol=scale * 1e-6)
+
+
+@pytest.mark.slow
+def test_reflector_fold_pallas_matches_xla():
+    """Air-cavity reflector (`BabelIntegrationBASE.py:2365`) folded into
+    the modulus fields: the fused Pallas kernels and the XLA path agree,
+    and the cavity voxels carry exactly zero pressure."""
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _fold_reflector,
+        _material_fields,
+        run_fdtd,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops import fdtd_pallas as fp
+
+    F0, C = 500e3, 1500.0
+    shape = (32, 32, 64)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, C, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 4
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_plane_z=13,
+    )
+    mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+    idx = np.zeros(shape, np.uint8)
+    amp = np.zeros(shape[:2])
+    amp[6:-6, 6:-6] = 60e3
+    refl = np.zeros(shape, bool)
+    refl[:, :, 44:48] = True
+    o_x = run_fdtd(idx, mats, grid, source_amp=amp, reflector_mask=refl,
+                   backend="xla")
+
+    coefs = sls_coefficients(mats, F0, dt)
+    props_np = _material_fields(idx, coefs, has_shear=False)
+    _fold_reflector(props_np, refl, False)
+    props = {k: jnp.asarray(v) for k, v in props_np.items()}
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, C, 1e-5)
+    out = fp.simulate_fluid_pallas(
+        props, jnp.asarray(amp, jnp.float32),
+        jnp.zeros(shape[:2], jnp.float32),
+        grid=grid, profiles_np=prof, viscous=True,
+        oz_scale=1.0 / (1000.0 * C), nb=2, interpret=True, fuse_steps=3,
+    )
+    acc_c, acc_s, _ = (np.asarray(o) for o in out)
+    n_win = ns - grid.sensor_start
+    p_amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
+    scale = o_x["p_amp"].max()
+    np.testing.assert_allclose(p_amp, o_x["p_amp"], atol=scale * 1e-5)
+    assert p_amp[refl].max() == 0.0
+    # transmission beyond the cavity is blocked
+    assert o_x["p_amp"][:, :, 50:].max() < 1e-3 * scale
