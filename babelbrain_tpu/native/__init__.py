@@ -140,6 +140,81 @@ def blosc_decompress(chunk: bytes) -> bytes:
     return bytes(out)
 
 
+def lz4_compress(src: bytes) -> bytes | None:
+    """Compress one raw LZ4 block (native); None when incompressible."""
+    lib = _build_and_load("blosc")
+    fn = lib.lz4_compress_block
+    fn.restype = ctypes.c_int64
+    cap = len(src) - 1 if len(src) > 1 else 1
+    dst = ctypes.create_string_buffer(max(cap, 1))
+    n = fn(src, ctypes.c_int64(len(src)), dst, ctypes.c_int64(cap))
+    if n < 0:
+        return None
+    return dst.raw[:n]
+
+
+def _shuffle(buf: bytes, typesize: int) -> bytes:
+    lib = _build_and_load("blosc")
+    fn = lib.blosc_shuffle
+    n = len(buf)
+    dst = ctypes.create_string_buffer(n)
+    fn(buf, dst, ctypes.c_int64(n), ctypes.c_int64(typesize))
+    return dst.raw
+
+
+def blosc_compress(data: bytes, typesize: int = 1,
+                   blocksize: int = 1 << 17) -> bytes:
+    """Build a BLOSC1 chunk (HDF5 filter 32001, LZ4 codec, byte shuffle).
+
+    Counterpart of ``blosc_decompress``: lets ``save_dict_h5`` write files
+    the reference's driving systems read with stock c-blosc/hdf5plugin
+    (`InformationForDrivingSystems.md:12-16`). Follows c-blosc 1.x layout
+    rules: shuffle per block when divisible by the typesize, and split each
+    shuffled block into ``typesize`` byte-plane streams when ``typesize <=
+    16`` and the per-stream extent is >= 128 bytes (the decompressor infers
+    the same split from the header, so the rule must match).
+    """
+    n = len(data)
+    if typesize < 1 or typesize > 255:
+        typesize = 1
+    blocksize = max(typesize, (blocksize // typesize) * typesize)
+    shuffle = typesize > 1
+    flags = (1 << 5) | (0x1 if shuffle else 0)  # codec LZ4 + byte shuffle
+    if n == 0:
+        header = bytes([2, 1, flags, typesize]) + np.array(
+            [0, blocksize, 16], "<u4"
+        ).tobytes()
+        return header
+    nblocks = (n + blocksize - 1) // blocksize
+    body = bytearray()
+    bstarts = np.zeros(nblocks, "<u4")
+    base = 16 + 4 * nblocks
+    for j in range(nblocks):
+        raw = data[j * blocksize : j * blocksize + blocksize]
+        neblock = len(raw)
+        do_shuffle = shuffle and neblock % typesize == 0
+        if do_shuffle:
+            raw = _shuffle(raw, typesize)
+        split = (
+            do_shuffle and typesize <= 16 and neblock // typesize >= 128
+        )
+        nstreams = typesize if split else 1
+        per = neblock // nstreams
+        bstarts[j] = base + len(body)
+        for s in range(nstreams):
+            part = raw[s * per : (s + 1) * per]
+            comp = lz4_compress(part)
+            if comp is None or len(comp) >= len(part):
+                body += np.array([len(part)], "<i4").tobytes() + part
+            else:
+                body += np.array([len(comp)], "<i4").tobytes() + comp
+    cbytes = base + len(body)
+    header = bytes([2, 1, flags, typesize]) + np.array(
+        [n, blocksize, cbytes], "<u4"
+    ).tobytes()
+    return header + bstarts.tobytes() + bytes(body)
+
+
 def voxelize_solid_native(triangles_vox: np.ndarray, shape) -> np.ndarray:
     """Solid voxelization in voxel coordinates (see ops.voxelize for the
     public API). Raises if the native library cannot be built/loaded."""

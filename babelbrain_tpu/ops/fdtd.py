@@ -1058,12 +1058,14 @@ def run_fdtd(
             grid.reflection_limit,
         )
         props = {k: jnp.asarray(v) for k, v in props_np.items()}
+        # off-TPU (explicit backend='pallas' on CPU) run the interpreter
+        interpret = jax.devices()[0].platform == "cpu"
         if has_shear:
             fn = jax.jit(
                 functools.partial(
                     simulate_visco_pallas,
                     grid=grid, profiles_np=profiles_np, viscous=viscous,
-                    oz_scale=oz_scale, nb=nb,
+                    oz_scale=oz_scale, nb=nb, interpret=interpret,
                 )
             )
             acc_c, acc_s, peak = fn(
@@ -1075,7 +1077,7 @@ def run_fdtd(
                 functools.partial(
                     simulate_fluid_pallas,
                     grid=grid, profiles_np=profiles_np, viscous=viscous,
-                    oz_scale=oz_scale, nb=nb,
+                    oz_scale=oz_scale, nb=nb, interpret=interpret,
                 )
             )
             acc_c, acc_s, peak = fn(

@@ -519,7 +519,7 @@ def build_fluid_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
 
 def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
-                           interpret=False, with_dft=True):
+                           interpret=False, with_dft=True, edge_offset=0):
     """Single-sweep fused step: velocity AND pressure updates in ONE
     streaming pass (single-device x-extent only).
 
@@ -552,6 +552,10 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     dt = np.float32(grid.dt)
     inv_dx = np.float32(1.0 / grid.dx)
     zsrc = grid.source_plane_z
+    point = grid.source_type == "stress_point"
+    if point:
+        i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
+        s_pt, li_pt = divmod(i0_pt, nb)
 
     by = _make_profiles_const(profiles_np, 1, "half", ns)
     bz = _make_profiles_const(profiles_np, 2, "half", ns)
@@ -578,13 +582,17 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             f"N1={N1} too small for the fused pipeline ({kx + 1} blocks)"
         )
     px_planes = (kx + 1) * nb
-    lo1 = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), kx), 0, 0)
-    lo2 = lambda i: (jnp.minimum(jnp.maximum(i - 2, 0), kx), 0, 0)
+    h0 = int(edge_offset)
+    lo1 = lambda i: (jnp.minimum(jnp.maximum(i - 1 - h0, 0), kx), 0, 0)
+    lo2 = lambda i: (jnp.minimum(jnp.maximum(i - 2 - h0, 0), kx), 0, 0)
 
     def hi_of(lag):
+        base = n_slabs - kx - h0
+
         def m(i):
             s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
-            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+            return (jnp.where((s >= base) & (s < n_slabs - h0), s - base,
+                              kx), 0, 0)
         return m
 
     psix1 = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
@@ -605,6 +613,8 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             next(it) for _ in range(4)
         )
         amp_ref, cph_ref, sph_ref, tsrc_ref = (next(it) for _ in range(4))
+        if point:
+            psrc_ref = next(it)
         if with_dft:
             scal_ref = next(it)
         (cyh_blo, cyh_alo, cyh_bhi, cyh_ahi,
@@ -629,6 +639,14 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
 
         i = pl.program_id(0)
         incoming = p_ref[...]
+
+        if point:
+            ii_p = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+            jj_p = jax.lax.broadcasted_iota(jnp.int32, (1, N2, 1), 1)
+            kk_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            pmask = (
+                (ii_p == li_pt) & (jj_p == j0_pt) & (kk_p == k0_pt)
+            ).astype(jnp.float32)
 
         @pl.when(i < n_slabs)
         def _():
@@ -722,6 +740,9 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             else:
                 p_new = p_old - dt_dx * piu_ref[...] * theta
                 orr[...] = r_ref[...]
+            if point:
+                sel = (sp == s_pt).astype(jnp.float32)
+                p_new = p_new + psrc_ref[0, 0] * sel * pmask
             op[...] = p_new
             opsi_vy_lo[...] = nvy_lo
             opsi_vy_hi[...] = nvy_hi
@@ -762,6 +783,7 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
         + [ghost_spec] * 4                            # gp_lo/hi, gv_lo/hi
         + [plane(), plane(), plane()]                 # src amp/cos/sin
         + [smem()]                                    # tsrc
+        + ([smem()] if point else [])                 # psrc
         + ([smem()] if with_dft else [])              # scal
         + [coef_y] * 4 + [coef_z] * 4                 # half profiles
         + [coef_y] * 4 + [coef_z] * 4                 # int profiles
@@ -793,8 +815,9 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     for a in range(8):
         aliases[9 + n_acc + a] = 5 + n_acc + a
     # inputs: 9 fields/coefs, n_acc accs, 8 psi y/z, 4 ghosts, 3 src planes,
-    # tsrc smem, (scal smem), 16 y/z profile constants -> first psix input
-    base_in = 9 + n_acc + 8 + 4 + 3 + 1 + (1 if with_dft else 0) + 16
+    # tsrc smem, (psrc), (scal), 16 y/z profile constants -> first psix input
+    base_in = (9 + n_acc + 8 + 4 + 3 + 1 + (1 if point else 0)
+               + (1 if with_dft else 0) + 16)
     aliases[base_in] = 13 + n_acc          # psixp_lo
     aliases[base_in + 1] = 14 + n_acc      # psixp_hi
     aliases[base_in + 6] = 15 + n_acc      # psixv_lo
@@ -832,7 +855,7 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
 
 
 def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
-                            interpret=False, with_dft=True):
+                            interpret=False, with_dft=True, edge_offset=0):
     """TWO timesteps per streaming sweep (temporal blocking).
 
     The single-step fused kernel is HBM-bound at ~15 volume-equivalents per
@@ -892,14 +915,19 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
     if n_slabs < kx + 3:
         raise ValueError(f"N1={N1} too small for the 2-step fused pipeline")
     px_planes = (kx + 1) * nb
+    h0 = int(edge_offset)
 
     def lo_of(lag):
-        return lambda i: (jnp.minimum(jnp.maximum(i - lag, 0), kx), 0, 0)
+        return lambda i: (jnp.minimum(jnp.maximum(i - lag - h0, 0), kx),
+                          0, 0)
 
     def hi_of(lag):
+        base = n_slabs - kx - h0
+
         def m(i):
             s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
-            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+            return (jnp.where((s >= base) & (s < n_slabs - h0), s - base,
+                              kx), 0, 0)
         return m
 
     psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
@@ -1467,16 +1495,19 @@ def _fluid_point_post(s, p_new, acc_c, acc_s, peak, grid, comm, n, omega,
 
 
 def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
-                              interpret, with_dft):
+                              interpret, with_dft, edge_offset=0,
+                              xcoef_scale=None):
     """Step closure for the single-sweep fused kernel (x axis unsharded;
     y-sharding still works — in-plane ghosting is handled by the y psi/CPML
     masks exactly as in the two-kernel path since y derivatives never cross
-    the kernel boundary here)."""
+    the kernel boundary here). ``edge_offset``/``xcoef_scale`` serve the
+    sharded overlap driver (x-PML shifted inward and masked to the global
+    edge shards)."""
     omega = 2.0 * np.pi * grid.frequency
 
     call, kcoefs = build_fluid_fused_step(
         grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
-        with_dft=with_dft,
+        with_dft=with_dft, edge_offset=edge_offset,
     )
     bxh_lo, axh_lo, bxh_hi, axh_hi = (
         jnp.asarray(c) for c in kcoefs["x_half_pack"]
@@ -1484,8 +1515,16 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
     bxi_lo, axi_lo, bxi_hi, axi_hi = (
         jnp.asarray(c) for c in kcoefs["x_int_pack"]
     )
+    if xcoef_scale is not None:
+        lo_s, hi_s = xcoef_scale
+        bxh_lo, axh_lo = bxh_lo * lo_s, axh_lo * lo_s
+        bxh_hi, axh_hi = bxh_hi * hi_s, axh_hi * hi_s
+        bxi_lo, axi_lo = bxi_lo * lo_s, axi_lo * lo_s
+        bxi_hi, axi_hi = bxi_hi * hi_s, axi_hi * hi_s
     N1, N2, N3 = grid.shape
     zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
+    ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+    point = grid.source_type == "stress_point"
 
     def step(carry, n):
         s = carry
@@ -1493,7 +1532,6 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
         pr = s["props"]
         t = n.astype(jnp.float32) * grid.dt
 
-        ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
         ramp = jnp.where(
             n < ramp_steps, 0.5 * (1.0 - jnp.cos(np.pi * n / ramp_steps)), 1.0
         ).astype(jnp.float32)
@@ -1501,6 +1539,12 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
         tsrc = jnp.stack(
             [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
         ).reshape(1, 2)
+        if point:
+            psrc_in = (_point_src_row(
+                s["src_amp_point"], n, grid, omega, ramp_steps
+            ).reshape(1, 2),)
+        else:
+            psrc_in = ()
         if with_dft:
             in_window = (n >= grid.sensor_start).astype(jnp.float32)
             cosw = jnp.cos(omega * t) * in_window
@@ -1510,7 +1554,6 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
             scal_in = (scal,)
         else:
             acc_in = scal_in = ()
-            in_window = cosw = sinw = None
 
         outs = call(
             f["p"], f["vx"], f["vy"], f["vz"], f["r"],
@@ -1520,6 +1563,7 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
             s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
             zero_ghost, zero_ghost, zero_ghost, zero_ghost,
             s["src_amp"], s["src_cph"], s["src_sph"], tsrc,
+            *psrc_in,
             *scal_in,
             *kcoefs["y_half"], *kcoefs["z_half"],
             *kcoefs["y_int"], *kcoefs["z_int"],
@@ -1539,11 +1583,6 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
          psix_p_lo, psix_p_hi, psix_v_lo, psix_v_hi) = (
             next(it) for _ in range(12)
         )
-        if grid.source_type == "stress_point":
-            s, p_new, acc_c, acc_s, peak = _fluid_point_post(
-                s, p_new, acc_c, acc_s, peak, grid, comm, n, omega, ramp,
-                in_window, cosw, sinw, with_dft,
-            )
         new_carry = dict(
             s,
             fields=dict(p=p_new, vx=vx, vy=vy, vz=vz, r=r_new),
@@ -1561,16 +1600,19 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
 
 
 def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
-                               interpret, with_dft):
+                               interpret, with_dft, edge_offset=0,
+                               xcoef_scale=None):
     """Two-timestep step closure (scan over step PAIRS; n is the first of
     the two step indices)."""
     omega = 2.0 * np.pi * grid.frequency
     call, kcoefs = build_fluid_fused2_step(
         grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
-        with_dft=with_dft,
+        with_dft=with_dft, edge_offset=edge_offset,
     )
     xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
     xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])
+    if xcoef_scale is not None:
+        xh, xi = _scale_xpacks(xh, xi, xcoef_scale)
     N1, N2, N3 = grid.shape
     zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
     ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
@@ -1664,8 +1706,16 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
 
 
 def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
-                            interpret=False, with_dft=False):
+                            interpret=False, with_dft=False, edge_offset=0):
     """K timesteps per streaming sweep (deep temporal blocking).
+
+    ``edge_offset`` (h0, in slabs) shifts the in-kernel x-CPML inward: the
+    lo PML covers slabs [h0, h0+kx] and the hi PML ends at slab
+    n_slabs-1-h0. This serves the sharded overlap-and-discard driver
+    (``simulate_fluid_pallas`` under an x mesh), whose extended local
+    domains carry h0 slabs of halo/dead planes on each side; slabs outside
+    the shifted windows park on the dummy coefficient block (zero b AND a,
+    so psi stays 0 and the correction is a no-op).
 
     With ``with_dft`` the final pressure stage also accumulates the
     carrier DFT cos/sin streams and the peak tracker for ALL K steps; the
@@ -1742,15 +1792,19 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
             f"N1={N1} too small for the {K}-step fused pipeline"
         )
     px_planes = (kx + 1) * nb
+    h0 = int(edge_offset)
 
     def lo_of(lag):
-        return lambda i: (jnp.minimum(jnp.maximum(i - lag, 0), kx), 0, 0)
+        return lambda i: (jnp.minimum(jnp.maximum(i - lag - h0, 0), kx),
+                          0, 0)
 
     def hi_of(lag):
+        base = n_slabs - kx - h0
+
         def m(i):
             s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
-            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx),
-                    0, 0)
+            return (jnp.where((s >= base) & (s < n_slabs - h0), s - base,
+                              kx), 0, 0)
         return m
 
     psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
@@ -2156,17 +2210,30 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     return call, coefs
 
 
+def _scale_xpacks(xh, xi, xcoef_scale):
+    """Scale (b_lo, a_lo, b_hi, a_hi) x-CPML packs by the edge masks so
+    only the shards owning a global x edge apply the PML (b AND a are
+    zeroed: psi stays 0 and the correction is a no-op elsewhere)."""
+    lo_s, hi_s = xcoef_scale
+    xh = (xh[0] * lo_s, xh[1] * lo_s, xh[2] * hi_s, xh[3] * hi_s)
+    xi = (xi[0] * lo_s, xi[1] * lo_s, xi[2] * hi_s, xi[3] * hi_s)
+    return xh, xi
+
+
 def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
-                               interpret, with_dft=False):
+                               interpret, with_dft=False, edge_offset=0,
+                               xcoef_scale=None):
     """K-timestep step closure (scan over step GROUPS of K; n is the
     first of the K step indices)."""
     omega = 2.0 * np.pi * grid.frequency
     call, kcoefs = build_fluid_fusedK_step(
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
-        with_dft=with_dft,
+        with_dft=with_dft, edge_offset=edge_offset,
     )
     xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
     xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])
+    if xcoef_scale is not None:
+        xh, xi = _scale_xpacks(xh, xi, xcoef_scale)
     N1, N2, N3 = grid.shape
     zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
     ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
@@ -2282,6 +2349,165 @@ def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024,
     return 0
 
 
+def _sharded_fusedK_plan(L, nb, npml, fuse_steps, grid, K_cap=6,
+                         auto_fn=None):
+    """Pick (K, H, h0) for the sharded overlap-and-discard fused driver.
+
+    H = halo/overlap width in planes (a multiple of nb, >= 4K: each fused
+    step widens the contaminated fringe by 4 planes — 2 per half-step).
+    ``auto_fn`` is the VMEM-budget K selector (fluid ``_fusedK_auto`` or
+    visco ``_viscoK_auto``). Returns None when no K >= 2 fits the shard
+    extent or VMEM.
+    """
+    import dataclasses as _dc
+
+    if auto_fn is None:
+        auto_fn = _fusedK_auto
+    ns = npml + 2
+    kx = -(-ns // nb)
+    cand = [int(fuse_steps)] if fuse_steps else list(range(K_cap, 1, -1))
+    for K in cand:
+        if K < 2:
+            return None
+        H = -((-4 * K) // nb) * nb
+        if H > L:
+            continue
+        N1e = L + 2 * H
+        ge = _dc.replace(grid, shape=(N1e,) + tuple(grid.shape[1:]))
+        if (N1e // nb) < kx + 2 * K - 1:
+            continue
+        if fuse_steps is None and (
+            auto_fn(ge, nb, K_cap=K) < K
+            or auto_fn(ge, nb, K_cap=K, with_dft=True) < K
+        ):
+            continue
+        return K, H, H // nb
+    return None
+
+
+def _simulate_fluid_pallas_sharded_fused(props, src_amp, src_phase, grid,
+                                         profiles_np, viscous, oz_scale, nb,
+                                         comm, interpret, K, H, h0):
+    """Fused K-step sweeps under x domain decomposition: overlap-and-discard.
+
+    Each shard's state lives on an EXTENDED local domain with H halo planes
+    per side. Once per K-step sweep the halos are refreshed from the
+    neighbors' interior boundary planes (2 ppermutes per state array over
+    ICI) and the unsharded fusedK kernel runs over the extended domain:
+    garbage from the array edge creeps inward 4 planes per step, so the
+    interior L planes stay BIT-EXACT vs the single-device kernel. The
+    in-kernel x-CPML is shifted inward by ``h0`` slabs (``edge_offset``)
+    so the global-edge shards' PML lands exactly on the physical edge
+    planes, and the coefficient packs are masked to zero on interior
+    shards. Dead zones beyond the global edges self-maintain zeros because
+    the extended material fields are zero there (rho_inv = pi_u = 0).
+
+    This is what makes multi-chip throughput track the single-chip fused
+    number instead of the 1-step ghost-exchange kernel (~4x slower) — the
+    deliverable SURVEY.md section 2.8 maps out.
+    """
+    import dataclasses as _dc
+
+    from jax import lax
+
+    L, N2, N3 = grid.shape
+    N1e = L + 2 * H
+    ge = _dc.replace(grid, shape=(N1e, N2, N3))
+    ns = grid.npml + 2
+    n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
+    px_planes = (-(-ns // nb) + 1) * nb
+
+    ax = comm.axis_name
+    fwd = [(i, i + 1) for i in range(comm.n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(comm.n_shards - 1)]
+    idx = lax.axis_index(ax)
+    is_first = (idx == 0).astype(jnp.float32)
+    is_last = (idx == comm.n_shards - 1).astype(jnp.float32)
+
+    def extend(f):
+        """(L, ...) -> (N1e, ...) with neighbor data (zeros at edges)."""
+        gl = lax.ppermute(f[L - H:], ax, fwd)
+        gr = lax.ppermute(f[:H], ax, bwd)
+        return jnp.concatenate([gl, f, gr], axis=0)
+
+    def refresh(f):
+        """Refill the H-plane halos of an extended array from neighbors."""
+        from_left = lax.ppermute(f[L:L + H], ax, fwd)
+        from_right = lax.ppermute(f[H:2 * H], ax, bwd)
+        f = lax.dynamic_update_slice(f, from_left, (0,) * f.ndim)
+        return lax.dynamic_update_slice(
+            f, from_right, (N1e - H,) + (0,) * (f.ndim - 1)
+        )
+
+    props_e = {k: extend(v) for k, v in props.items()}
+    amp_e = extend(src_amp)
+    ph_e = extend(src_phase)
+
+    z3 = lambda: jnp.zeros((N1e, N2, N3), jnp.float32)
+    zy = lambda: jnp.zeros((N1e, ns, N3), jnp.float32)
+    zz = lambda: jnp.zeros((N1e, N2, ns), jnp.float32)
+    zx = lambda: jnp.zeros((px_planes, N2, N3), jnp.float32)
+    carry = {
+        "fields": dict(p=z3(), vx=z3(), vy=z3(), vz=z3(), r=z3()),
+        "props": props_e,
+        "psi_py_lo": zy(), "psi_py_hi": zy(),
+        "psi_pz_lo": zz(), "psi_pz_hi": zz(),
+        "psi_vy_lo": zy(), "psi_vy_hi": zy(),
+        "psi_vz_lo": zz(), "psi_vz_hi": zz(),
+        "acc_cos": z3(), "acc_sin": z3(), "peak": z3(),
+        "psix_p_lo": zx(), "psix_p_hi": zx(),
+        "psix_v_lo": zx(), "psix_v_hi": zx(),
+        "src_amp": amp_e[:, :, None],
+        "src_cph": jnp.cos(ph_e)[:, :, None],
+        "src_sph": jnp.sin(ph_e)[:, :, None],
+    }
+
+    _STATE = ("p", "vx", "vy", "vz", "r")
+    _PSI = ("psi_py_lo", "psi_py_hi", "psi_pz_lo", "psi_pz_hi",
+            "psi_vy_lo", "psi_vy_hi", "psi_vz_lo", "psi_vz_hi")
+
+    def with_refresh(stepfn):
+        def step(carry, n):
+            f = dict(carry["fields"])
+            for k in _STATE:
+                f[k] = refresh(f[k])
+            c = dict(carry, fields=f)
+            for k in _PSI:
+                c[k] = refresh(c[k])
+            return stepfn(c, n)
+        return step
+
+    scale = (is_first, is_last)
+    mk = dict(edge_offset=h0, xcoef_scale=scale)
+
+    def run_phase(carry, n0, n1, with_dft):
+        count = n1 - n0
+        if count <= 0:
+            return carry
+        remK = n0
+        if count // K > 0:
+            stepK = with_refresh(_make_fluid_fusedK_step_fn(
+                ge, profiles_np, viscous, oz_scale, K, nb, interpret,
+                with_dft=with_dft, **mk,
+            ))
+            carry, _ = jax.lax.scan(
+                stepK, carry, n0 + K * jnp.arange(count // K)
+            )
+            remK = n0 + K * (count // K)
+        if remK < n1:
+            step1 = with_refresh(_make_fluid_fused_step_fn(
+                ge, profiles_np, viscous, oz_scale, nb, comm, interpret,
+                with_dft, **mk,
+            ))
+            carry, _ = jax.lax.scan(step1, carry, jnp.arange(remK, n1))
+        return carry
+
+    carry = run_phase(carry, 0, n_quiet, with_dft=False)
+    carry = run_phase(carry, n_quiet, grid.n_steps, with_dft=True)
+    sl = slice(H, H + L)
+    return (carry["acc_cos"][sl], carry["acc_sin"][sl], carry["peak"][sl])
+
+
 def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
                           grid, profiles_np, viscous,
                           oz_scale, nb=2, comm=None, interpret=False,
@@ -2294,8 +2520,21 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
     Two scan phases: steps before ``grid.sensor_start`` use the quiet
     kernels (no DFT/peak streaming — bit-identical because the window mask
     zeroes those updates anyway), the rest use the accumulating kernels.
+
+    Under x domain decomposition with a plane source, the sweep runs the
+    overlap-and-discard fused driver (``_simulate_fluid_pallas_sharded_fused``)
+    whenever a K >= 2 plan fits the shard extent, falling back to the
+    1-step ghost-exchange kernels otherwise.
     """
     N1, N2, N3 = grid.shape
+    if comm is not None and comm.sharded_x and not comm.sharded_y and \
+            grid.source_type == "velocity_plane":
+        plan = _sharded_fusedK_plan(N1, nb, grid.npml, fuse_steps, grid)
+        if plan is not None:
+            return _simulate_fluid_pallas_sharded_fused(
+                props, src_amp, src_phase, grid, profiles_np, viscous,
+                oz_scale, nb, comm, interpret, *plan,
+            )
     ns = grid.npml + 2
     n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
     px_planes = (-(-ns // nb) + 1) * nb  # in-kernel x-CPML block count
@@ -2872,7 +3111,7 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
 
 def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
-                           interpret=False, with_dft=True):
+                           interpret=False, with_dft=True, edge_offset=0):
     """Single-sweep fused viscoelastic step (velocity AND stress updates in
     one streaming pass; single-device x extent).
 
@@ -2886,6 +3125,10 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     N1, N2, N3 = grid.shape
     fuse_src = grid.source_type == "velocity_plane"
     zsrc = grid.source_plane_z
+    point = grid.source_type == "stress_point"
+    if point:
+        i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
+        s_pt, li_pt = divmod(i0_pt, nb)
     if N1 % nb or nb < 2:
         raise ValueError(f"N1={N1} must be divisible by slab size {nb} >= 2")
     ns = grid.npml + 2
@@ -2915,13 +3158,17 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     if n_slabs < kx + 1:
         raise ValueError(f"N1={N1} too small for the fused pipeline")
     px_planes = (kx + 1) * nb
-    lo1m = lambda i: (jnp.minimum(jnp.maximum(i - 1, 0), kx), 0, 0)
-    lo2m = lambda i: (jnp.minimum(jnp.maximum(i - 2, 0), kx), 0, 0)
+    h0 = int(edge_offset)
+    lo1m = lambda i: (jnp.minimum(jnp.maximum(i - 1 - h0, 0), kx), 0, 0)
+    lo2m = lambda i: (jnp.minimum(jnp.maximum(i - 2 - h0, 0), kx), 0, 0)
 
     def hi_of(lag):
+        base = n_slabs - kx - h0
+
         def m(i):
             s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
-            return (jnp.where(s >= n_slabs - kx, s - (n_slabs - kx), kx), 0, 0)
+            return (jnp.where((s >= base) & (s < n_slabs - h0), s - base,
+                              kx), 0, 0)
         return m
 
     psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
@@ -2958,6 +3205,8 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             amp_ref, cph_ref, sph_ref, tsrc_ref = (
                 next(it) for _ in range(4)
             )
+        if point:
+            psrc_ref = next(it)
         if with_dft:
             scal_ref = next(it)
         cyh = tuple(next(it) for _ in range(4))
@@ -3178,6 +3427,18 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             sxz_n, rxz_n = shear(ring_xz[sp % 3], rxz_ref[...], dvx_z + dvz_x)
             syz_n, ryz_n = shear(ring_yz[sp % 2], ryz_ref[...], dvy_z + dvz_y)
 
+            if point:
+                ii_p = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+                jj_p = jax.lax.broadcasted_iota(jnp.int32, (1, N2, 1), 1)
+                kk_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+                sel = (sp == s_pt).astype(jnp.float32)
+                inj = psrc_ref[0, 0] * sel * (
+                    (ii_p == li_pt) & (jj_p == j0_pt) & (kk_p == k0_pt)
+                ).astype(jnp.float32)
+                sxx_n = sxx_n + inj
+                syy_n = syy_n + inj
+                szz_n = szz_n + inj
+
             osxx[...] = sxx_n
             osyy[...] = syy_n
             oszz[...] = szz_n
@@ -3226,6 +3487,7 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
         + psi_s_specs
         + [ghost_spec]
         + ([plane(), plane(), plane(), smem2()] if fuse_src else [])
+        + ([smem2()] if point else [])                 # psrc
         + ([smem2()] if with_dft else [])
         + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
         + [psixb(lo1m), psixb(hi_of(1))] * 3           # psix sxx/sxy/sxz
@@ -3263,7 +3525,8 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     for a in range(24):                 # psi_v + psi_s
         aliases[psi_in0 + a] = 15 + n_acc + a
     psix_in0 = (
-        psi_in0 + 24 + 1 + n_src + (1 if with_dft else 0) + 16
+        psi_in0 + 24 + 1 + n_src + (1 if point else 0)
+        + (1 if with_dft else 0) + 16
     )
     for a in range(6):                  # psix stress (first block group)
         aliases[psix_in0 + a] = 39 + n_acc + a
@@ -3807,7 +4070,8 @@ def build_visco_fused2_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
 
 def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
-                              interpret, with_dft):
+                              interpret, with_dft, edge_offset=0,
+                              xcoef_scale=None):
     """Step closure for the fused single-sweep viscoelastic kernel."""
     N1, N2, N3 = grid.shape
     omega = 2.0 * np.pi * grid.frequency
@@ -3815,10 +4079,12 @@ def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
 
     call, kc = build_visco_fused_step(
         grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
-        with_dft=with_dft,
+        with_dft=with_dft, edge_offset=edge_offset,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
+    if xcoef_scale is not None:
+        bxh, bxi = _scale_xpacks(bxh, bxi, xcoef_scale)
     zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
     ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
 
@@ -3839,6 +4105,13 @@ def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
             src_args = (s["src_amp3"], s["src_cph"], s["src_sph"], tsrc)
         else:
             src_args = ()
+        if grid.source_type == "stress_point":
+            # visco point ADDS +amp*sin to the diagonal stresses
+            psrc_args = (-_point_src_row(
+                s["src_amp_point"], n, grid, omega, ramp_steps
+            ).reshape(1, 2),)
+        else:
+            psrc_args = ()
         if with_dft:
             in_window = (n >= grid.sensor_start).astype(jnp.float32)
             cosw = jnp.cos(omega * t) * in_window
@@ -3862,6 +4135,7 @@ def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
             *psi_s_in,
             zero_ghost,
             *src_args,
+            *psrc_args,
             *scal_args,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
             s["psi_sxxx_lo"], s["psi_sxxx_hi"],
@@ -3887,30 +4161,6 @@ def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
          n_sxzx_lo, n_sxzx_hi) = (next(it) for _ in range(6))
         (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
          n_vzx_lo, n_vzx_hi) = (next(it) for _ in range(6))
-
-        if grid.source_type == "stress_point":
-            # same post-kernel exact correction as the two-kernel step
-            i0, j0, k0 = grid.source_ijk
-            li = i0 - comm.local_x_offset(N1)
-            own = ((li >= 0) & (li < N1)).astype(jnp.float32)
-            lic = jnp.clip(li, 0, N1 - 1)
-            sval = s["src_amp_point"] * jnp.sin(omega * t) * ramp * own
-            sxx = sxx.at[lic, j0, k0].add(sval)
-            syy = syy.at[lic, j0, k0].add(sval)
-            szz = szz.at[lic, j0, k0].add(sval)
-            if with_dft:
-                acc_c = acc_c.at[lic, j0, k0].add(-sval * cosw)
-                acc_s = acc_s.at[lic, j0, k0].add(-sval * sinw)
-                p_post = -(
-                    sxx[lic, j0, k0] + syy[lic, j0, k0] + szz[lic, j0, k0]
-                ) * (1.0 / 3.0)
-                peak_src = jnp.maximum(
-                    s["peak_src"], jnp.abs(p_post) * in_window * own
-                )
-                peak = peak.at[lic, j0, k0].set(
-                    jnp.where(own > 0, peak_src, peak[lic, j0, k0])
-                )
-                s = dict(s, peak_src=peak_src)
 
         new_carry = dict(
             s,
@@ -4234,17 +4484,902 @@ def _make_visco_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
     return step
 
 
+_S6 = ("xx", "yy", "zz", "xy", "xz", "yz")
+
+
+def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
+                            interpret=False, with_dft=False, edge_offset=0):
+    """K viscoelastic timesteps per streaming sweep (deep temporal blocking).
+
+    Generalizes ``build_visco_fused2_step`` exactly the way
+    ``build_fluid_fusedK_step`` generalizes the fluid pair kernel: per grid
+    iteration i the pipeline runs stages V_k (velocity of step k, slab lag
+    2k-1) and S_k (stress of step k, slab lag 2k) for k = 1..K. All 15
+    fields live in VMEM rings between stages:
+
+      * per-step stress rings: xx/xy/xz depth 3 (x-windows at V_{k+1});
+        yy/zz/yz depth 3 (depth 2 for the incoming step 0); with ``with_dft``
+        the diagonal rings of intermediate steps deepen to 2K-2k+1 so S_K
+        can accumulate every step's carrier DFT;
+      * velocity rings: depth 3 ALL components (the stress stage x-derives
+        vx, vy AND vz, unlike the fluid system);
+      * memory-variable rings r_k: (6, 3) slots;
+      * material rings (rho + 5 moduli): depth 2K-2, stashed at the end of
+        the body on first HBM visit;
+      * CPML psi rings (12 y/z per half-step family + 6 x-psi maps per
+        family): shared rings of depth 2K-1.
+
+    HBM traffic per sweep stays at the 1-step fused kernel's ~35 volume
+    equivalents, i.e. ~35/K volumes per timestep. Bit-equal to K
+    applications of the single-step kernel. Supports velocity_plane and
+    stress_point sources (the point is injected in-kernel at each stress
+    stage). Requires n_slabs >= kx + 2K - 1. Label-mode is the default
+    non-CT clinical mode (`BabelIntegrationBASE.py:1357-1377`) — this
+    kernel is what keeps it on the fast path.
+    """
+    N1, N2, N3 = grid.shape
+    if N1 % nb or nb < 2:
+        raise ValueError(f"N1={N1} must be divisible by slab size {nb} >= 2")
+    if K < 2:
+        raise ValueError("K must be >= 2")
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    dt_dx = np.float32(grid.dt / grid.dx)
+    dt = np.float32(grid.dt)
+    inv_dx = np.float32(1.0 / grid.dx)
+    zsrc = grid.source_plane_z
+    plane_src = grid.source_type == "velocity_plane"
+    point = grid.source_type == "stress_point"
+    if point:
+        i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
+        s_pt, li_pt = divmod(i0_pt, nb)
+
+    cy_h = _make_profiles_const(profiles_np, 1, "half", ns)
+    cz_h = _make_profiles_const(profiles_np, 2, "half", ns)
+    cy_i = _make_profiles_const(profiles_np, 1, "int", ns)
+    cz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+
+    slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
+    slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx,
+                                      memory_space=pltpu.VMEM)
+    slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx,
+                                      memory_space=pltpu.VMEM)
+    coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    cur = lambda i: (jnp.minimum(i, n_slabs - 1), 0, 0)
+
+    def lagk(k):
+        return lambda i: (jnp.minimum(jnp.maximum(i - k, 0), n_slabs - 1),
+                          0, 0)
+
+    ghost_spec = pl.BlockSpec(
+        (2, N2, N3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kx = -(-ns // nb)
+    if n_slabs < kx + 2 * K - 1:
+        raise ValueError(f"N1={N1} too small for the {K}-step fused pipeline")
+    px_planes = (kx + 1) * nb
+    h0 = int(edge_offset)
+
+    def lo_of(lag):
+        return lambda i: (jnp.minimum(jnp.maximum(i - lag - h0, 0), kx),
+                          0, 0)
+
+    def hi_of(lag):
+        base = n_slabs - kx - h0
+
+        def m(i):
+            s = jnp.minimum(jnp.maximum(i - lag, 0), n_slabs - 1)
+            return (jnp.where((s >= base) & (s < n_slabs - h0), s - base,
+                              kx), 0, 0)
+        return m
+
+    psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
+    coefxb = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
+    smemK = lambda: pl.BlockSpec((K, 2), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+    plane_at = lambda lag: pl.BlockSpec((nb, N2, 1), lagk(lag),
+                                        memory_space=pltpu.VMEM)
+
+    Dm = 2 * K - 2
+    Dp = 2 * K - 1
+
+    def sdepth(k, c):
+        """Ring depth of stress component c after step k (0 = incoming)."""
+        if k == 0:
+            return 3 if c in ("xx", "xy", "xz") else 2
+        if with_dft and c in ("xx", "yy", "zz"):
+            return max(3, 2 * K - 2 * k + 1)
+        return 3
+
+    def dpx_w(w):
+        return _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
+            w[4 : 4 + nb] - w[1 : 1 + nb]
+        )
+
+    def dmx_w(w):
+        return _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
+            w[3 : 3 + nb] - w[0:nb]
+        )
+
+    # ---- declarative in/out/scratch orderings (indexed by name) ----
+    def vel_x_coef_specs(k):
+        lag = 2 * k - 1
+        return [(f"cxv{k}_{j}",
+                 coefxb((lo_of if j in (0, 1, 4, 5) else hi_of)(lag)))
+                for j in range(8)]
+
+    def str_x_coef_specs(k):
+        lag = 2 * k
+        return [(f"cxs{k}_{j}",
+                 coefxb((lo_of if j in (0, 1, 4, 5) else hi_of)(lag)))
+                for j in range(8)]
+
+    in_entries = (
+        [("sxx", slab(cur)), ("sxy", slab(cur)), ("sxz", slab(cur)),
+         ("syy", slab(lagk(1))), ("szz", slab(lagk(1))),
+         ("syz", slab(lagk(1))),
+         ("vx", slab(lagk(1))), ("vy", slab(lagk(1))), ("vz", slab(lagk(1))),
+         ("rho", slab(lagk(1)))]
+        + [(f"r_{c}", slab(lagk(2))) for c in _S6]
+        + [("piu", slab(lagk(2))), ("muu", slab(lagk(2))),
+           ("crp", slab(lagk(2))), ("crs", slab(lagk(2))),
+           ("br", slab(lagk(2)))]
+        + ([("acc_c", slab(lagk(2 * K))), ("acc_s", slab(lagk(2 * K))),
+            ("peak", slab(lagk(2 * K)))] if with_dft else [])
+        + [(f"psi_v{j}", (slab_y if j < 6 else slab_z)(lagk(1)))
+           for j in range(12)]
+        + [(f"psi_s{j}", (slab_y if j < 6 else slab_z)(lagk(2)))
+           for j in range(12)]
+        + [("ghost", ghost_spec)]
+        + ([(f"{nm}{k}", plane_at(2 * k - 1))
+            for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
+           if plane_src else [])
+        + [("tsrc", smemK())]
+        + ([("psrc", smemK())] if point else [])
+        + ([("scal", smemK())] if with_dft else [])
+        + [(f"cyh{j}", coef_y) for j in range(4)]
+        + [(f"czh{j}", coef_z) for j in range(4)]
+        + [(f"cyi{j}", coef_y) for j in range(4)]
+        + [(f"czi{j}", coef_z) for j in range(4)]
+        + [(f"pxs{j}", psixb((lo_of if j % 2 == 0 else hi_of)(1)))
+           for j in range(6)]
+        + [e for k in range(1, K + 1) for e in vel_x_coef_specs(k)]
+        + [(f"pxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2)))
+           for j in range(6)]
+        + [e for k in range(1, K + 1) for e in str_x_coef_specs(k)]
+    )
+    out_entries = (
+        [("ovx", slab(lagk(2 * K - 1))), ("ovy", slab(lagk(2 * K - 1))),
+         ("ovz", slab(lagk(2 * K - 1)))]
+        + [(f"os_{c}", slab(lagk(2 * K))) for c in _S6]
+        + [(f"or_{c}", slab(lagk(2 * K))) for c in _S6]
+        + ([("oacc_c", slab(lagk(2 * K))), ("oacc_s", slab(lagk(2 * K))),
+            ("opeak", slab(lagk(2 * K)))] if with_dft else [])
+        + [(f"opsi_v{j}", (slab_y if j < 6 else slab_z)(lagk(2 * K - 1)))
+           for j in range(12)]
+        + [(f"opsi_s{j}", (slab_y if j < 6 else slab_z)(lagk(2 * K)))
+           for j in range(12)]
+        + [(f"opxs{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2 * K - 1)))
+           for j in range(6)]
+        + [(f"opxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2 * K)))
+           for j in range(6)]
+    )
+    vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
+    shp_y = jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)
+    shp_z = jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)
+
+    def out_shape_of(nm):
+        if nm.startswith("opsi_"):
+            return shp_y if int(nm[6:]) < 6 else shp_z
+        if nm.startswith("opx"):
+            return psix_shape
+        return vol()
+
+    in_idx = {nm: j for j, (nm, _) in enumerate(in_entries)}
+    out_idx = {nm: j for j, (nm, _) in enumerate(out_entries)}
+    aliases = {
+        in_idx["vx"]: out_idx["ovx"], in_idx["vy"]: out_idx["ovy"],
+        in_idx["vz"]: out_idx["ovz"],
+    }
+    for c in _S6:
+        aliases[in_idx["s" + c]] = out_idx["os_" + c]
+        aliases[in_idx["r_" + c]] = out_idx["or_" + c]
+    if with_dft:
+        aliases[in_idx["acc_c"]] = out_idx["oacc_c"]
+        aliases[in_idx["acc_s"]] = out_idx["oacc_s"]
+        aliases[in_idx["peak"]] = out_idx["opeak"]
+    for j in range(12):
+        aliases[in_idx[f"psi_v{j}"]] = out_idx[f"opsi_v{j}"]
+        aliases[in_idx[f"psi_s{j}"]] = out_idx[f"opsi_s{j}"]
+    for j in range(6):
+        aliases[in_idx[f"pxs{j}"]] = out_idx[f"opxs{j}"]
+        aliases[in_idx[f"pxv{j}"]] = out_idx[f"opxv{j}"]
+
+    ring_slab = lambda d: pltpu.VMEM((d, nb, N2, N3), jnp.float32)
+    scratch_entries = (
+        [(f"s0_{c}", ring_slab(sdepth(0, c))) for c in _S6]
+        + [(f"s{k}_{c}", ring_slab(sdepth(k, c)))
+           for k in range(1, K) for c in _S6]
+        + [(f"r{k}", pltpu.VMEM((6, 3, nb, N2, N3), jnp.float32))
+           for k in range(1, K)]
+        + [(f"v{k}{c}", ring_slab(3))
+           for k in range(1, K + 1) for c in ("x", "y", "z")]
+        + [("rho_r", ring_slab(Dm)), ("piu_r", ring_slab(Dm)),
+           ("muu_r", ring_slab(Dm)), ("crp_r", ring_slab(Dm)),
+           ("crs_r", ring_slab(Dm)), ("br_r", ring_slab(Dm))]
+        + [("pv_y", pltpu.VMEM((6, Dp, nb, ns, N3), jnp.float32)),
+           ("pv_z", pltpu.VMEM((6, Dp, nb, N2, ns), jnp.float32)),
+           ("ps_y", pltpu.VMEM((6, Dp, nb, ns, N3), jnp.float32)),
+           ("ps_z", pltpu.VMEM((6, Dp, nb, N2, ns), jnp.float32))]
+        + [("pxs_r", pltpu.VMEM((6, Dp, nb, N2, N3), jnp.float32)),
+           ("pxv_r", pltpu.VMEM((6, Dp, nb, N2, N3), jnp.float32))]
+    )
+
+    def kernel(*refs):
+        n_in = len(in_entries)
+        n_out = len(out_entries)
+        R = {nm: refs[j] for j, (nm, _) in enumerate(in_entries)}
+        R.update({nm: refs[n_in + j] for j, (nm, _) in enumerate(out_entries)})
+        R.update({nm: refs[n_in + n_out + j]
+                  for j, (nm, _) in enumerate(scratch_entries)})
+
+        cyh = tuple(R[f"cyh{j}"] for j in range(4))
+        czh = tuple(R[f"czh{j}"] for j in range(4))
+        cyi = tuple(R[f"cyi{j}"] for j in range(4))
+        czi = tuple(R[f"czi{j}"] for j in range(4))
+
+        i = pl.program_id(0)
+        ghost = R["ghost"][...]
+
+        if point:
+            ii_p = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+            jj_p = jax.lax.broadcasted_iota(jnp.int32, (1, N2, 1), 1)
+            kk_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+            pmask = (
+                (ii_p == li_pt) & (jj_p == j0_pt) & (kk_p == k0_pt)
+            ).astype(jnp.float32)
+
+        @pl.when(i < n_slabs)
+        def _():
+            R["s0_xx"][i % 3] = R["sxx"][...]
+            R["s0_xy"][i % 3] = R["sxy"][...]
+            R["s0_xz"][i % 3] = R["sxz"][...]
+
+        def win(ring, s, D):
+            prev2 = jnp.where(s >= 1, ring[(s - 1) % D][nb - 2:], ghost)
+            nxt2 = jnp.where(s < n_slabs - 1, ring[(s + 1) % D][0:2], ghost)
+            return jnp.concatenate([prev2, ring[s % D], nxt2], axis=0)
+
+        def cpml_arr(d, lo, hi, coefs, axis):
+            return _apply_cpml_inplane(
+                d, lo, hi,
+                coefs[0][...], coefs[1][...], coefs[2][...], coefs[3][...],
+                axis=axis,
+            )
+
+        def vel_body(w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
+                     psi12, psix6, cx, src3, ts):
+            sxy = w_xy[2 : 2 + nb]
+            sxz = w_xz[2 : 2 + nb]
+            xh = (cx[0][...], cx[1][...], cx[2][...], cx[3][...])
+            xi = (cx[4][...], cx[5][...], cx[6][...], cx[7][...])
+            d = dpx_w(w_xx)
+            nlo = xh[0] * psix6[0] + xh[1] * d
+            nhi = xh[2] * psix6[1] + xh[3] * d
+            dsxx_x = d + nlo + nhi
+            npx = [nlo, nhi]
+            d = dmx_w(w_xy)
+            nlo = xi[0] * psix6[2] + xi[1] * d
+            nhi = xi[2] * psix6[3] + xi[3] * d
+            dsxy_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            d = dmx_w(w_xz)
+            nlo = xi[0] * psix6[4] + xi[1] * d
+            nhi = xi[2] * psix6[5] + xi[3] * d
+            dsxz_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            np12 = []
+            dsxy_y, n0, n1 = cpml_arr(_d_minus_y(sxy), psi12[0], psi12[1],
+                                      cyi, 1)
+            np12 += [n0, n1]
+            dsyy_y, n0, n1 = cpml_arr(_d_plus_y(syy), psi12[2], psi12[3],
+                                      cyh, 1)
+            np12 += [n0, n1]
+            dsyz_y, n0, n1 = cpml_arr(_d_minus_y(syz), psi12[4], psi12[5],
+                                      cyi, 1)
+            np12 += [n0, n1]
+            dsxz_z, n0, n1 = cpml_arr(_d_minus_z(sxz), psi12[6], psi12[7],
+                                      czi, 2)
+            np12 += [n0, n1]
+            dsyz_z, n0, n1 = cpml_arr(_d_minus_z(syz), psi12[8], psi12[9],
+                                      czi, 2)
+            np12 += [n0, n1]
+            dszz_z, n0, n1 = cpml_arr(_d_plus_z(szz), psi12[10], psi12[11],
+                                      czh, 2)
+            np12 += [n0, n1]
+            vx_n = v_in[0] + dt_dx * rho_inv * (dsxx_x + dsxy_y + dsxz_z)
+            vy_n = v_in[1] + dt_dx * rho_inv * (dsxy_x + dsyy_y + dsyz_z)
+            vz_n = v_in[2] + dt_dx * rho_inv * (dsxz_x + dsyz_y + dszz_z)
+            if plane_src:
+                amp, cph, sph = src3
+                sval = ts[0] * cph + ts[1] * sph
+                z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+                on_src = (z_iota == zsrc) & (amp > 0)
+                vz_n = jnp.where(on_src, sval * amp, vz_n)
+            return vx_n, vy_n, vz_n, np12, npx
+
+        def stress_body(w_x, w_y, w_z, s_old6, r_old6, props5,
+                        psi12, psix6, cx):
+            vx = w_x[2 : 2 + nb]
+            vy = w_y[2 : 2 + nb]
+            vz = w_z[2 : 2 + nb]
+            xh = (cx[0][...], cx[1][...], cx[2][...], cx[3][...])
+            xi = (cx[4][...], cx[5][...], cx[6][...], cx[7][...])
+            d = dmx_w(w_x)
+            nlo = xi[0] * psix6[0] + xi[1] * d
+            nhi = xi[2] * psix6[1] + xi[3] * d
+            dvx_x = d + nlo + nhi
+            npx = [nlo, nhi]
+            d = dpx_w(w_y)
+            nlo = xh[0] * psix6[2] + xh[1] * d
+            nhi = xh[2] * psix6[3] + xh[3] * d
+            dvy_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            d = dpx_w(w_z)
+            nlo = xh[0] * psix6[4] + xh[1] * d
+            nhi = xh[2] * psix6[5] + xh[3] * d
+            dvz_x = d + nlo + nhi
+            npx += [nlo, nhi]
+            np12 = []
+            dvy_y, n0, n1 = cpml_arr(_d_minus_y(vy), psi12[0], psi12[1],
+                                     cyi, 1)
+            np12 += [n0, n1]
+            dvx_y, n0, n1 = cpml_arr(_d_plus_y(vx), psi12[2], psi12[3],
+                                     cyh, 1)
+            np12 += [n0, n1]
+            dvz_y, n0, n1 = cpml_arr(_d_plus_y(vz), psi12[4], psi12[5],
+                                     cyh, 1)
+            np12 += [n0, n1]
+            dvz_z, n0, n1 = cpml_arr(_d_minus_z(vz), psi12[6], psi12[7],
+                                     czi, 2)
+            np12 += [n0, n1]
+            dvx_z, n0, n1 = cpml_arr(_d_plus_z(vx), psi12[8], psi12[9],
+                                     czh, 2)
+            np12 += [n0, n1]
+            dvy_z, n0, n1 = cpml_arr(_d_plus_z(vy), psi12[10], psi12[11],
+                                     czh, 2)
+            np12 += [n0, n1]
+            theta = dvx_x + dvy_y + dvz_z
+            pi_u, mu_u, c_rp, c_rs, b_r = props5
+
+            def diag(s_old, r_old, d_own):
+                if viscous:
+                    phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
+                    r_new = b_r * r_old - phi * inv_dx
+                    s_new = (
+                        s_old
+                        + dt_dx * (pi_u * theta - 2 * mu_u * (theta - d_own))
+                        + dt * 0.5 * (r_new + r_old)
+                    )
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * (
+                        pi_u * theta - 2 * mu_u * (theta - d_own)
+                    )
+                return s_new, r_new
+
+            def shear(s_old, r_old, e):
+                if viscous:
+                    r_new = b_r * r_old - c_rs * e * inv_dx
+                    s_new = (
+                        s_old + dt_dx * mu_u * e + dt * 0.5 * (r_new + r_old)
+                    )
+                else:
+                    r_new = r_old
+                    s_new = s_old + dt_dx * mu_u * e
+                return s_new, r_new
+
+            sxx_n, rxx_n = diag(s_old6[0], r_old6[0], dvx_x)
+            syy_n, ryy_n = diag(s_old6[1], r_old6[1], dvy_y)
+            szz_n, rzz_n = diag(s_old6[2], r_old6[2], dvz_z)
+            sxy_n, rxy_n = shear(s_old6[3], r_old6[3], dvx_y + dvy_x)
+            sxz_n, rxz_n = shear(s_old6[4], r_old6[4], dvx_z + dvz_x)
+            syz_n, ryz_n = shear(s_old6[5], r_old6[5], dvy_z + dvz_y)
+            return ((sxx_n, syy_n, szz_n, sxy_n, sxz_n, syz_n),
+                    (rxx_n, ryy_n, rzz_n, rxy_n, rxz_n, ryz_n), np12, npx)
+
+        def v_stage(k):
+            lag = 2 * k - 1
+
+            @pl.when((i >= lag) & (i <= n_slabs + lag - 1))
+            def _():
+                sv = i - lag
+                if k == 1:
+                    w_xx = win(R["s0_xx"], sv, 3)
+                    w_xy = win(R["s0_xy"], sv, 3)
+                    w_xz = win(R["s0_xz"], sv, 3)
+                    syy, szz, syz = R["syy"][...], R["szz"][...], R["syz"][...]
+                    v_in = (R["vx"][...], R["vy"][...], R["vz"][...])
+                    rho_inv = R["rho"][...]
+                    psi12 = [R[f"psi_v{j}"][...] for j in range(12)]
+                    psix6 = [R[f"pxs{j}"][...] for j in range(6)]
+                else:
+                    km = k - 1
+                    w_xx = win(R[f"s{km}_xx"], sv, sdepth(km, "xx"))
+                    w_xy = win(R[f"s{km}_xy"], sv, 3)
+                    w_xz = win(R[f"s{km}_xz"], sv, 3)
+                    syy = R[f"s{km}_yy"][sv % sdepth(km, "yy")]
+                    szz = R[f"s{km}_zz"][sv % sdepth(km, "zz")]
+                    syz = R[f"s{km}_yz"][sv % 3]
+                    v_in = (R[f"v{km}x"][sv % 3], R[f"v{km}y"][sv % 3],
+                            R[f"v{km}z"][sv % 3])
+                    rho_inv = R["rho_r"][sv % Dm]
+                    psi12 = [(R["pv_y"][j, sv % Dp] if j < 6
+                              else R["pv_z"][j - 6, sv % Dp])
+                             for j in range(12)]
+                    psix6 = [R["pxs_r"][j, sv % Dp] for j in range(6)]
+                src3 = ((R[f"amp{k}"][...], R[f"cph{k}"][...],
+                         R[f"sph{k}"][...]) if plane_src else None)
+                vx_n, vy_n, vz_n, np12, npx = vel_body(
+                    w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
+                    psi12, psix6,
+                    [R[f"cxv{k}_{j}"] for j in range(8)],
+                    src3, (R["tsrc"][k - 1, 0], R["tsrc"][k - 1, 1]),
+                )
+                R[f"v{k}x"][sv % 3] = vx_n
+                R[f"v{k}y"][sv % 3] = vy_n
+                R[f"v{k}z"][sv % 3] = vz_n
+                if k == 1:
+                    # hold syy/szz/syz(t) for S1 next iteration
+                    R["s0_yy"][sv % 2] = syy
+                    R["s0_zz"][sv % 2] = szz
+                    R["s0_yz"][sv % 2] = syz
+                if k == K:
+                    R["ovx"][...] = vx_n
+                    R["ovy"][...] = vy_n
+                    R["ovz"][...] = vz_n
+                    for j in range(12):
+                        R[f"opsi_v{j}"][...] = np12[j]
+                    for j in range(6):
+                        R[f"opxs{j}"][...] = npx[j]
+                else:
+                    for j in range(12):
+                        if j < 6:
+                            R["pv_y"][j, sv % Dp] = np12[j]
+                        else:
+                            R["pv_z"][j - 6, sv % Dp] = np12[j]
+                    for j in range(6):
+                        R["pxs_r"][j, sv % Dp] = npx[j]
+
+        def s_stage(k):
+            lag = 2 * k
+
+            @pl.when((i >= lag) & (i <= n_slabs + lag - 1))
+            def _():
+                sp = i - lag
+                w_x = win(R[f"v{k}x"], sp, 3)
+                w_y = win(R[f"v{k}y"], sp, 3)
+                w_z = win(R[f"v{k}z"], sp, 3)
+                if k == 1:
+                    s_old6 = (R["s0_xx"][sp % 3], R["s0_yy"][sp % 2],
+                              R["s0_zz"][sp % 2], R["s0_xy"][sp % 3],
+                              R["s0_xz"][sp % 3], R["s0_yz"][sp % 2])
+                    r_old6 = [R[f"r_{c}"][...] for c in _S6]
+                    props5 = (R["piu"][...], R["muu"][...], R["crp"][...],
+                              R["crs"][...], R["br"][...])
+                    psi12 = [R[f"psi_s{j}"][...] for j in range(12)]
+                    psix6 = [R[f"pxv{j}"][...] for j in range(6)]
+                else:
+                    km = k - 1
+                    s_old6 = tuple(
+                        R[f"s{km}_{c}"][sp % sdepth(km, c)] for c in _S6
+                    )
+                    r_old6 = [R[f"r{km}"][j, sp % 3] for j in range(6)]
+                    props5 = (R["piu_r"][sp % Dm], R["muu_r"][sp % Dm],
+                              R["crp_r"][sp % Dm], R["crs_r"][sp % Dm],
+                              R["br_r"][sp % Dm])
+                    psi12 = [(R["ps_y"][j, sp % Dp] if j < 6
+                              else R["ps_z"][j - 6, sp % Dp])
+                             for j in range(12)]
+                    psix6 = [R["pxv_r"][j, sp % Dp] for j in range(6)]
+                s6, r6, np12, npx = stress_body(
+                    w_x, w_y, w_z, s_old6, r_old6, props5, psi12, psix6,
+                    [R[f"cxs{k}_{j}"] for j in range(8)],
+                )
+                if point:
+                    sel = (sp == s_pt).astype(jnp.float32)
+                    inj = R["psrc"][k - 1, 0] * sel * pmask
+                    s6 = (s6[0] + inj, s6[1] + inj, s6[2] + inj,
+                          s6[3], s6[4], s6[5])
+                if k == K:
+                    for j, c in enumerate(_S6):
+                        R[f"os_{c}"][...] = s6[j]
+                        R[f"or_{c}"][...] = r6[j]
+                    for j in range(12):
+                        R[f"opsi_s{j}"][...] = np12[j]
+                    for j in range(6):
+                        R[f"opxv{j}"][...] = npx[j]
+                    if with_dft:
+                        acc_c = R["acc_c"][...]
+                        acc_s = R["acc_s"][...]
+                        pk = R["peak"][...]
+                        for j in range(1, K + 1):
+                            if j == K:
+                                pj = -(s6[0] + s6[1] + s6[2]) * (1.0 / 3.0)
+                            else:
+                                pj = -(
+                                    R[f"s{j}_xx"][sp % sdepth(j, "xx")]
+                                    + R[f"s{j}_yy"][sp % sdepth(j, "yy")]
+                                    + R[f"s{j}_zz"][sp % sdepth(j, "zz")]
+                                ) * (1.0 / 3.0)
+                            cj = R["scal"][j - 1, 0]
+                            sj = R["scal"][j - 1, 1]
+                            acc_c = acc_c + pj * cj
+                            acc_s = acc_s + pj * sj
+                            pk = jnp.maximum(
+                                pk, jnp.abs(pj) * (cj * cj + sj * sj > 0)
+                            )
+                        R["oacc_c"][...] = acc_c
+                        R["oacc_s"][...] = acc_s
+                        R["opeak"][...] = pk
+                else:
+                    for j, c in enumerate(_S6):
+                        R[f"s{k}_{c}"][sp % sdepth(k, c)] = s6[j]
+                        R[f"r{k}"][j, sp % 3] = r6[j]
+                    for j in range(12):
+                        if j < 6:
+                            R["ps_y"][j, sp % Dp] = np12[j]
+                        else:
+                            R["ps_z"][j - 6, sp % Dp] = np12[j]
+                    for j in range(6):
+                        R["pxv_r"][j, sp % Dp] = npx[j]
+
+        for k in range(1, K + 1):
+            v_stage(k)
+            s_stage(k)
+
+        # end-of-body material stashes (first HBM visit -> ring)
+        @pl.when((i >= 1) & (i <= n_slabs))
+        def _():
+            R["rho_r"][(i - 1) % Dm] = R["rho"][...]
+
+        @pl.when((i >= 2) & (i <= n_slabs + 1))
+        def _():
+            R["piu_r"][(i - 2) % Dm] = R["piu"][...]
+            R["muu_r"][(i - 2) % Dm] = R["muu"][...]
+            R["crp_r"][(i - 2) % Dm] = R["crp"][...]
+            R["crs_r"][(i - 2) % Dm] = R["crs"][...]
+            R["br_r"][(i - 2) % Dm] = R["br"][...]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_slabs + 2 * K,),
+        in_specs=[spec for _, spec in in_entries],
+        out_specs=[spec for _, spec in out_entries],
+        out_shape=[out_shape_of(nm) for nm, _ in out_entries],
+        scratch_shapes=[s for _, s in scratch_entries],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    kc = {
+        "y_half": tuple(jnp.asarray(c) for c in cy_h),
+        "z_half": tuple(jnp.asarray(c) for c in cz_h),
+        "y_int": tuple(jnp.asarray(c) for c in cy_i),
+        "z_int": tuple(jnp.asarray(c) for c in cz_i),
+        "x_half_pack": _pack_x_coefs(profiles_np, "half", ns, nb, kx),
+        "x_int_pack": _pack_x_coefs(profiles_np, "int", ns, nb, kx),
+        "px_planes": px_planes,
+    }
+    return call, kc
+
+
+def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
+                               interpret, with_dft, edge_offset=0,
+                               xcoef_scale=None):
+    """K-timestep visco step closure (scan over step groups of K)."""
+    omega = 2.0 * np.pi * grid.frequency
+    call, kc = build_visco_fusedK_step(
+        grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
+        with_dft=with_dft, edge_offset=edge_offset,
+    )
+    bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
+    bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
+    if xcoef_scale is not None:
+        bxh, bxi = _scale_xpacks(bxh, bxi, xcoef_scale)
+    N1, N2, N3 = grid.shape
+    zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
+    ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+    plane_src = grid.source_type == "velocity_plane"
+    point = grid.source_type == "stress_point"
+
+    def step(carry, n):
+        s = carry
+        f = s["fields"]
+        pr = s["props"]
+
+        def src_row(nk):
+            t = nk.astype(jnp.float32) * grid.dt
+            ramp = jnp.where(
+                nk < ramp_steps,
+                0.5 * (1.0 - jnp.cos(np.pi * nk / ramp_steps)), 1.0,
+            ).astype(jnp.float32)
+            sc = ramp * oz_scale
+            return jnp.stack([jnp.sin(omega * t) * sc,
+                              jnp.cos(omega * t) * sc])
+
+        tsrc = jnp.stack([src_row(n + j) for j in range(K)])
+        if plane_src:
+            src_planes = tuple(
+                p for _ in range(K)
+                for p in (s["src_amp3"], s["src_cph"], s["src_sph"])
+            )
+        else:
+            src_planes = ()
+        if point:
+            # visco point source ADDS +amp*sin to the diagonal stresses
+            # (`ops/fdtd.py` stress_point contract), so negate the fluid row
+            psrc_in = (-jnp.stack(
+                [_point_src_row(s["src_amp_point"], n + j, grid, omega,
+                                ramp_steps) for j in range(K)]
+            ),)
+        else:
+            psrc_in = ()
+        if with_dft:
+            def scal_row(nk):
+                t = nk.astype(jnp.float32) * grid.dt
+                m = (nk >= grid.sensor_start).astype(jnp.float32)
+                return jnp.stack([jnp.cos(omega * t) * m,
+                                  jnp.sin(omega * t) * m])
+
+            scal_in = (jnp.stack([scal_row(n + j) for j in range(K)]),)
+            acc_in = (s["acc_cos"], s["acc_sin"], s["peak"])
+        else:
+            acc_in = scal_in = ()
+
+        psi_v_in = [s[k] for k in _V_PSI_KEYS]
+        psi_s_in = [s[k] for k in _S_PSI_KEYS]
+        outs = call(
+            f["sxx"], f["sxy"], f["sxz"],
+            f["syy"], f["szz"], f["syz"],
+            f["vx"], f["vy"], f["vz"], pr["rho_inv"],
+            f["rxx"], f["ryy"], f["rzz"], f["rxy"], f["rxz"], f["ryz"],
+            pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"], pr["b_r"],
+            *acc_in,
+            *psi_v_in,
+            *psi_s_in,
+            zero_ghost,
+            *src_planes,
+            tsrc,
+            *psrc_in,
+            *scal_in,
+            *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
+            s["psi_sxxx_lo"], s["psi_sxxx_hi"],
+            s["psi_sxyx_lo"], s["psi_sxyx_hi"],
+            s["psi_sxzx_lo"], s["psi_sxzx_hi"],
+            *(c for _ in range(K) for c in (*bxh, *bxi)),
+            s["psi_vxx_lo"], s["psi_vxx_hi"],
+            s["psi_vyx_lo"], s["psi_vyx_hi"],
+            s["psi_vzx_lo"], s["psi_vzx_hi"],
+            *(c for _ in range(K) for c in (*bxh, *bxi)),
+        )
+        it = iter(outs)
+        vx, vy, vz = (next(it) for _ in range(3))
+        sxx, syy, szz, sxy, sxz, syz = (next(it) for _ in range(6))
+        rxx, ryy, rzz, rxy, rxz, ryz = (next(it) for _ in range(6))
+        if with_dft:
+            acc_c, acc_s, peak = (next(it) for _ in range(3))
+        else:
+            acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
+        psi_v_out = [next(it) for _ in range(12)]
+        psi_s_out = [next(it) for _ in range(12)]
+        (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
+         n_sxzx_lo, n_sxzx_hi) = (next(it) for _ in range(6))
+        (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+         n_vzx_lo, n_vzx_hi) = (next(it) for _ in range(6))
+        new_carry = dict(
+            s,
+            fields=dict(
+                vx=vx, vy=vy, vz=vz, sxx=sxx, syy=syy, szz=szz,
+                sxy=sxy, sxz=sxz, syz=syz,
+                rxx=rxx, ryy=ryy, rzz=rzz, rxy=rxy, rxz=rxz, ryz=ryz,
+            ),
+            acc_cos=acc_c, acc_sin=acc_s, peak=peak,
+            psi_sxxx_lo=n_sxxx_lo, psi_sxxx_hi=n_sxxx_hi,
+            psi_sxyx_lo=n_sxyx_lo, psi_sxyx_hi=n_sxyx_hi,
+            psi_sxzx_lo=n_sxzx_lo, psi_sxzx_hi=n_sxzx_hi,
+            psi_vxx_lo=n_vxx_lo, psi_vxx_hi=n_vxx_hi,
+            psi_vyx_lo=n_vyx_lo, psi_vyx_hi=n_vyx_hi,
+            psi_vzx_lo=n_vzx_lo, psi_vzx_hi=n_vzx_hi,
+            **dict(zip(_V_PSI_KEYS, psi_v_out)),
+            **dict(zip(_S_PSI_KEYS, psi_s_out)),
+        )
+        return new_carry, None
+
+    return step
+
+
+def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=110 * 1024 * 1024,
+                 with_dft=False):
+    """Deepest K whose visco-fusedK VMEM footprint fits; 0/1 = no fusedK.
+
+    Counts the ring slabs declared by ``build_visco_fusedK_step`` plus the
+    double-buffered block streams (~66 full slabs x2) and the small y/z psi
+    rings."""
+    N1, N2, N3 = grid.shape
+    if N1 % nb:
+        return 0
+    ns = grid.npml + 2
+    n_slabs = N1 // nb
+    kx = -(-ns // nb)
+    slab_b = nb * N2 * N3 * 4
+    y_b = nb * ns * N3 * 4
+    z_b = nb * N2 * ns * 4
+    for K in range(K_cap, 1, -1):
+        if n_slabs < kx + 2 * K - 1:
+            continue
+        Dp = 2 * K - 1
+
+        def sdepth(k, c):
+            if k == 0:
+                return 3 if c in ("xx", "xy", "xz") else 2
+            if with_dft and c in ("xx", "yy", "zz"):
+                return max(3, 2 * K - 2 * k + 1)
+            return 3
+
+        rings = sum(sdepth(0, c) for c in _S6)
+        rings += sum(sdepth(k, c) for k in range(1, K) for c in _S6)
+        rings += (K - 1) * 18          # r rings
+        rings += K * 9                 # velocity rings
+        rings += 6 * (2 * K - 2)       # material rings
+        rings += 12 * Dp               # psix rings
+        n_io = (21 + 12) + (15 + 12) + (6 if with_dft else 0)
+        bufs = 2 * n_io
+        est = (rings + bufs) * slab_b \
+            + 24 * (Dp + 4) * (y_b + z_b) // 2 \
+            + 6 * 1024 * 1024
+        if est <= budget_bytes:
+            return K
+    return 0
+
+
+def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
+                                         profiles_np, viscous, oz_scale, nb,
+                                         comm, interpret, K, H, h0):
+    """Visco overlap-and-discard fused sweeps under x decomposition.
+
+    Same scheme as ``_simulate_fluid_pallas_sharded_fused``: extended local
+    domains with H halo planes per side, refreshed once per K-step sweep
+    (fields + y/z psi memories), x-CPML shifted inward by h0 slabs and
+    masked to the global-edge shards. Interior planes are bit-exact vs the
+    single-device kernels."""
+    import dataclasses as _dc
+
+    from jax import lax
+
+    L, N2, N3 = grid.shape
+    N1e = L + 2 * H
+    ge = _dc.replace(grid, shape=(N1e, N2, N3))
+    ns = grid.npml + 2
+    n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
+    px_planes = (-(-ns // nb) + 1) * nb
+
+    ax = comm.axis_name
+    fwd = [(i, i + 1) for i in range(comm.n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(comm.n_shards - 1)]
+    idx = lax.axis_index(ax)
+    is_first = (idx == 0).astype(jnp.float32)
+    is_last = (idx == comm.n_shards - 1).astype(jnp.float32)
+
+    def extend(f):
+        gl = lax.ppermute(f[L - H:], ax, fwd)
+        gr = lax.ppermute(f[:H], ax, bwd)
+        return jnp.concatenate([gl, f, gr], axis=0)
+
+    def refresh(f):
+        from_left = lax.ppermute(f[L:L + H], ax, fwd)
+        from_right = lax.ppermute(f[H:2 * H], ax, bwd)
+        f = lax.dynamic_update_slice(f, from_left, (0,) * f.ndim)
+        return lax.dynamic_update_slice(
+            f, from_right, (N1e - H,) + (0,) * (f.ndim - 1)
+        )
+
+    props_e = {k: extend(v) for k, v in props.items()}
+    amp_e = extend(src_amp)
+    ph_e = extend(src_phase)
+
+    z3 = lambda: jnp.zeros((N1e, N2, N3), jnp.float32)
+    zy = lambda: jnp.zeros((N1e, ns, N3), jnp.float32)
+    zz = lambda: jnp.zeros((N1e, N2, ns), jnp.float32)
+    zx = lambda: jnp.zeros((px_planes, N2, N3), jnp.float32)
+    _F15 = ("vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz",
+            "rxx", "ryy", "rzz", "rxy", "rxz", "ryz")
+    carry = {
+        "fields": {k: z3() for k in _F15},
+        "props": props_e,
+        "acc_cos": z3(), "acc_sin": z3(), "peak": z3(),
+        "src_amp3": amp_e[:, :, None],
+        "src_cph": jnp.cos(ph_e)[:, :, None],
+        "src_sph": jnp.sin(ph_e)[:, :, None],
+        "psi_sxxx_lo": zx(), "psi_sxxx_hi": zx(),
+        "psi_sxyx_lo": zx(), "psi_sxyx_hi": zx(),
+        "psi_sxzx_lo": zx(), "psi_sxzx_hi": zx(),
+        "psi_vxx_lo": zx(), "psi_vxx_hi": zx(),
+        "psi_vyx_lo": zx(), "psi_vyx_hi": zx(),
+        "psi_vzx_lo": zx(), "psi_vzx_hi": zx(),
+    }
+    for k in _V_PSI_KEYS + _S_PSI_KEYS:
+        axis_y = k[:-3].endswith("y")
+        carry[k] = zy() if axis_y else zz()
+
+    def with_refresh(stepfn):
+        def step(carry, n):
+            f = {k: refresh(v) for k, v in carry["fields"].items()}
+            c = dict(carry, fields=f)
+            for k in _V_PSI_KEYS + _S_PSI_KEYS:
+                c[k] = refresh(c[k])
+            return stepfn(c, n)
+        return step
+
+    mk = dict(edge_offset=h0, xcoef_scale=(is_first, is_last))
+
+    def run_phase(carry, n0, n1, with_dft):
+        count = n1 - n0
+        if count <= 0:
+            return carry
+        remK = n0
+        if count // K > 0:
+            stepK = with_refresh(_make_visco_fusedK_step_fn(
+                ge, profiles_np, viscous, oz_scale, K, nb, interpret,
+                with_dft=with_dft, **mk,
+            ))
+            carry, _ = jax.lax.scan(
+                stepK, carry, n0 + K * jnp.arange(count // K)
+            )
+            remK = n0 + K * (count // K)
+        if remK < n1:
+            step1 = with_refresh(_make_visco_fused_step_fn(
+                ge, profiles_np, viscous, oz_scale, nb, comm, interpret,
+                with_dft, **mk,
+            ))
+            carry, _ = jax.lax.scan(step1, carry, jnp.arange(remK, n1))
+        return carry
+
+    carry = run_phase(carry, 0, n_quiet, with_dft=False)
+    carry = run_phase(carry, n_quiet, grid.n_steps, with_dft=True)
+    sl = slice(H, H + L)
+    return (carry["acc_cos"][sl], carry["acc_sin"][sl], carry["peak"][sl])
+
+
 def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
                           profiles_np, viscous, oz_scale, nb=2,
-                          comm=None, interpret=False):
+                          comm=None, interpret=False, fuse_steps=None):
     """Scan driver for the viscoelastic pallas path (optionally sharded).
 
     Two scan phases like the fluid driver: quiet kernels before
     ``grid.sensor_start``, accumulating kernels inside the window. On an
-    unsharded x extent with a velocity_plane source, steps run in pairs
-    through the two-timestep fused kernel with a 1-step fused tail.
+    unsharded x extent steps run through the deepest K-step temporally
+    blocked kernel that fits VMEM (``_viscoK_auto``), then the two-step
+    fused kernel, then a 1-step fused tail. Under x decomposition with a
+    plane source, the overlap-and-discard fused driver runs whenever a
+    K >= 2 plan fits the shard extent.
     """
     N1, N2, N3 = grid.shape
+    if comm is not None and comm.sharded_x and not comm.sharded_y and \
+            grid.source_type == "velocity_plane":
+        plan = _sharded_fusedK_plan(N1, nb, grid.npml, fuse_steps, grid,
+                                    K_cap=4, auto_fn=_viscoK_auto)
+        if plan is not None:
+            return _simulate_visco_pallas_sharded_fused(
+                props, src_amp, src_phase, grid, profiles_np, viscous,
+                oz_scale, nb, comm, interpret, *plan,
+            )
     ns = grid.npml + 2
     n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
     z3 = lambda: jnp.zeros((N1, N2, N3), jnp.float32)
@@ -4286,23 +5421,52 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
 
         comm = DomainComm()
     kx = -(-ns // nb)
+    unsharded = not (comm.sharded_x or comm.sharded_y)
     use_fused2 = (
-        not (comm.sharded_x or comm.sharded_y)
+        unsharded
         and grid.source_type == "velocity_plane"
         and N1 // nb >= kx + 3
     )
+    fusable_src = grid.source_type in ("velocity_plane", "stress_point")
+    if fuse_steps is None:
+        K = _viscoK_auto(grid, nb) if (unsharded and fusable_src) else 0
+        K_dft = (_viscoK_auto(grid, nb, with_dft=True)
+                 if (unsharded and fusable_src) else 0)
+    else:
+        K = int(fuse_steps)
+        if K >= 2 and (not (unsharded and fusable_src)
+                       or N1 // nb < kx + 2 * K - 1):
+            raise ValueError(
+                f"fuse_steps={K} needs an unsharded x-extent with "
+                f"N1/nb >= {kx + 2 * K - 1}"
+            )
+        K_dft = K
+    use_fusedK = K >= 2
 
     def run_phase(carry, n0, n1, with_dft):
         count = n1 - n0
         if count <= 0:
             return carry
-        n_pairs = count // 2 if use_fused2 else 0
+        remK = n0
+        Kp = K_dft if with_dft else K
+        if use_fusedK and Kp >= 2 and count // Kp > 0:
+            stepK = _make_visco_fusedK_step_fn(
+                grid, profiles_np, viscous, oz_scale, Kp, nb, interpret,
+                with_dft=with_dft,
+            )
+            carry, _ = jax.lax.scan(
+                stepK, carry, n0 + Kp * jnp.arange(count // Kp)
+            )
+            remK = n0 + Kp * (count // Kp)
+        n_pairs = (n1 - remK) // 2 if use_fused2 else 0
         if n_pairs > 0:
             step2 = _make_visco_fused2_step_fn(
                 grid, profiles_np, viscous, oz_scale, nb, interpret, with_dft
             )
-            carry, _ = jax.lax.scan(step2, carry, n0 + 2 * jnp.arange(n_pairs))
-        rem0 = n0 + 2 * n_pairs
+            carry, _ = jax.lax.scan(
+                step2, carry, remK + 2 * jnp.arange(n_pairs)
+            )
+        rem0 = remK + 2 * n_pairs
         if rem0 < n1:
             step1 = make_visco_pallas_step(
                 grid, profiles_np, viscous, oz_scale, nb, comm=comm,

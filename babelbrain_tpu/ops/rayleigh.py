@@ -104,6 +104,7 @@ def rayleigh_field(
     *,
     point_block: int = 8192,
     elem_block: int = 2048,
+    mesh=None,
 ):
     """Evaluate the Rayleigh integral at ``points``.
 
@@ -115,6 +116,11 @@ def rayleigh_field(
     areas : (M,) patch areas (m^2).
     u0 : (M,) complex surface pressure amplitudes (Pa).
     points : (P, 3) field points (m).
+    mesh : optional 1-D ``jax.sharding.Mesh``: the field-point axis is
+        sharded over its devices (each device integrates ALL sources over
+        its point block — embarrassingly parallel, no collectives; SURVEY.md
+        section 2.8 row 4 maps this as the S2 hot loop's sharding axis for
+        dome/phased arrays where M x P ~ 1e5 x 1e7).
 
     Returns
     -------
@@ -138,17 +144,48 @@ def rayleigh_field(
     # fold the (i k / 2 pi) prefactor and area weights into the source term
     pref = 1j * (kr + 1j * ki) / (2.0 * np.pi)
     w = u0 * areas * pref
-    out = _rayleigh_blocks(
-        kr,
-        ki,
-        jnp.asarray(centers, jnp.float32),
-        jnp.asarray(np.real(w), jnp.float32),
-        jnp.asarray(np.imag(w), jnp.float32),
-        jnp.asarray(points, jnp.float32),
-        point_block,
-        elem_block,
-    )
     P = points.shape[0]
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        axis = mesh.axis_names[0]
+        n_dev = int(mesh.devices.size)
+        p_pad = -(-P // n_dev) * n_dev
+        pts = np.zeros((p_pad, 3), np.float32)
+        pts[:P] = points
+        local_block = min(point_block, p_pad // n_dev)
+        fn = jax.jit(
+            jax.shard_map(
+                functools.partial(
+                    _rayleigh_blocks,
+                    point_block=local_block,
+                    elem_block=elem_block,
+                ),
+                mesh=mesh,
+                in_specs=(PS(), PS(), PS(), PS(), PS(), PS(axis, None)),
+                out_specs=PS(axis, None),
+                # the blocked scan carry starts unvarying; skip vma typing
+                check_vma=False,
+            )
+        )
+        out = fn(
+            kr, ki,
+            jnp.asarray(centers, jnp.float32),
+            jnp.asarray(np.real(w), jnp.float32),
+            jnp.asarray(np.imag(w), jnp.float32),
+            jnp.asarray(pts),
+        )
+    else:
+        out = _rayleigh_blocks(
+            kr,
+            ki,
+            jnp.asarray(centers, jnp.float32),
+            jnp.asarray(np.real(w), jnp.float32),
+            jnp.asarray(np.imag(w), jnp.float32),
+            jnp.asarray(points, jnp.float32),
+            point_block,
+            elem_block,
+        )
     # NOTE: assembled on host — some TPU runtimes (axon) cannot transfer
     # complex dtypes device->host, so the device side stays real-paired.
     out = np.asarray(out[:P])

@@ -256,6 +256,8 @@ def build_domain(
     pad_cone_cells: tuple = (0, 0),
     water_only: bool = False,
     extra_steps_cycles: float = 0.0,
+    offsets: tuple | None = None,
+    shrink_cells: tuple | None = None,
 ) -> Domain:
     """Assemble the simulation domain from a Step-1 mask volume.
 
@@ -264,10 +266,27 @@ def build_domain(
     here, exactly as the reference does (`:1844`).
 
     ``pad_cone_cells`` = extra (x,y) halo so a wide Rayleigh incident cone
-    fits inside the non-PML region (the reference grows offsets iteratively,
-    `:2029-2055`; callers compute the need from the transducer geometry).
+    fits inside the non-PML region. ``offsets``/``shrink_cells`` (each
+    per-side 6-tuples, sim orientation) override it with the output of
+    ``fit_domain_offsets`` — the reference's grow/tight-beam-shrink loop
+    (`BabelIntegrationBASE.py:1874-2068`): the mask is cropped by the
+    shrinks before padding, so narrow beams get matching (smaller) grids.
     """
     mask = np.flip(np.asarray(mask_nifti_data), axis=2).astype(np.uint32)
+    shrinks = tuple(int(v) for v in (shrink_cells or (0,) * 6))
+
+    def _crop_shrink(vol):
+        xs_l, xs_r, ys_l, ys_r, zs_l, zs_r = shrinks
+        sl = tuple(
+            slice(lo, vol.shape[d] - hi if hi else None)
+            for d, (lo, hi) in enumerate(
+                ((xs_l, xs_r), (ys_l, ys_r), (zs_l, zs_r))
+            )
+        )
+        return vol[sl]
+
+    if any(shrinks):
+        mask = _crop_shrink(mask)
     segmented = bool((mask > 5).any())
     if materials is None:
         materials = build_label_materials(frequency, segmented)
@@ -275,12 +294,15 @@ def build_domain(
         materials, frequency, ppw, alpha_cfl
     )
 
-    px, py = pad_cone_cells
-    xl = xr = npml + int(px)
-    yl = yr = npml + int(py)
+    if offsets is not None:
+        xl, xr, yl, yr, zl, zr = (int(v) for v in offsets)
+    else:
+        px, py = pad_cone_cells
+        xl = xr = npml + int(px)
+        yl = yr = npml + int(py)
+        zl = npml
+        zr = npml
     z_into_pix = int(np.round(z_into_skin_m / dx))
-    zl = npml
-    zr = npml
     src_z = npml + z_into_pix + 1
 
     shape = (
@@ -294,6 +316,8 @@ def build_domain(
         ct = None
         if ct_index_map is not None:
             ct = np.flip(np.asarray(ct_index_map), axis=2).astype(np.uint32)
+            if any(shrinks):
+                ct = _crop_shrink(ct)
         remapped = remap_labels(ids, ct, segmented)
         mat_map[xl:-xr, yl:-yr, zl:-zr] = remapped
         # remove tissue layers at/below the source plane (water instead)
@@ -302,6 +326,8 @@ def build_domain(
     reflector = None
     if air_mask is not None:
         am = np.flip(np.asarray(air_mask).astype(bool), axis=2)
+        if any(shrinks):
+            am = _crop_shrink(am)
         reflector = np.zeros(shape, bool)
         reflector[xl:-xr, yl:-yr, zl:-zr] = am
         reflector[:, :, : src_z + 1] = False
@@ -356,8 +382,142 @@ def build_domain(
             "adjusted_cfl": adj_cfl,
             "segmented": segmented,
             "reflector_mask": reflector,
+            "shrinks": shrinks,
         },
     )
+
+
+def fit_domain_offsets(
+    mask: np.ndarray,
+    dx: float,
+    aperture: float,
+    focal_length: float,
+    *,
+    npml: int = 12,
+    tx_mech_adjust: tuple = (0.0, 0.0, 0.0),
+    extra_depth: float = 0.0,
+    extra_adjust_xy: tuple = (),
+    tight_narrow_beam: bool = False,
+    z_beyond_focal_m: float = 0.0225,
+):
+    """Reference grow/tight-beam-shrink domain fit
+    (`BabelIntegrationBASE.py:1874-2068`).
+
+    Grows the per-side offsets until the incident-beam cylinder (radius
+    ``RadiusFace`` around the steered/mechanical axis) clears the PML, and —
+    with ``tight_narrow_beam`` — shrinks x/y to the beam's support and
+    truncates z to ``z_beyond_focal_m`` past the focus (the reference's
+    ``zLengthBeyonFocalPointWhenNarrow``). The update arithmetic mirrors the
+    reference's integer cell math so grid dimensions are comparable.
+
+    ``mask`` is the Step-1 volume in SIM orientation (z already flipped).
+    Returns ``(offsets, shrinks)`` with offsets = (xl, xr, yl, yr, zl, zr)
+    and shrinks = (xs_l, xs_r, ys_l, ys_r, zs_l, zs_r).
+    """
+    mask = np.asarray(mask)
+    mech_x, mech_y, mech_z = tx_mech_adjust
+    XL = XR = YL = YR = ZL = ZR = npml
+    XsL = XsR = YsL = YsR = ZsL = ZsR = 0
+    focal = np.argwhere(mask == LABEL_TARGET)
+    focal0 = (focal[0] if len(focal) else np.array(mask.shape) // 2)
+    tissue_z = np.nonzero(mask.any(axis=(0, 1)))[0]
+    first_tissue_mask_z = int(tissue_z.min()) if len(tissue_z) else 0
+
+    done_for_shrinking = False
+    for _ in range(8):  # the reference converges in one grow pass + recompute
+        N1 = mask.shape[0] + XL + XR - XsL - XsR
+        N2 = mask.shape[1] + YL + YR - YsL - YsR
+        N3 = mask.shape[2] + ZL + ZR - ZsL - ZsR
+        fx = focal0[0] + XL - XsL
+        fy = focal0[1] + YL - YsL
+        fz = focal0[2] + ZL - ZsL
+        xfield = (np.arange(N1) - fx) * dx
+        yfield = (np.arange(N2) - fy) * dx
+        zfield = (np.arange(N3) - fz) * dx + focal_length
+        top_z = zfield[npml]
+        first_tz = max(first_tissue_mask_z - ZsL, 0) + ZL
+
+        if focal_length != 0:
+            alpha = np.arcsin(
+                min(aperture / 2 / (focal_length + extra_depth), 1.0)
+            )
+            dist_to_focus = focal_length - top_z + mech_z + extra_depth
+            radius = dist_to_focus * np.tan(alpha)
+            radius = min(radius, aperture / 2) * 1.1
+            z_rezero = -focal_length - mech_z - extra_depth
+            z_cone_limit = -dist_to_focus
+        else:
+            radius = aperture / 2 * 1.1
+            z_rezero = 0.0
+            z_cone_limit = top_z - mech_z
+
+        xf2 = (xfield - mech_x) / radius
+        yf2 = (yfield - mech_y) / radius
+        zf2 = (zfield + z_rezero) / z_cone_limit
+        offs = [(0.0, 0.0)] + [tuple(e) for e in extra_adjust_xy]
+        x_abs = np.min(
+            [np.abs(xf2 - ex / radius) for ex, _ in offs], axis=0
+        )
+        y_abs = np.min(
+            [np.abs(yf2 - ey / radius) for _, ey in offs], axis=0
+        )
+        # the incident region is a product set: |x|,|y| within the face
+        # radius, z between the transducer plane and the first tissue plane
+        x_in = x_abs <= 1.0
+        y_in = y_abs <= 1.0
+        z_in = (zf2 >= 0.0) & (zf2 <= 1.0) & (zf2 <= zf2[first_tz])
+        if done_for_shrinking:
+            break
+        changed = False
+        ind_x = np.nonzero(x_in)[0]
+        ind_y = np.nonzero(y_in)[0]
+        ind_z = np.nonzero(z_in)[0]
+        if not (len(ind_x) and len(ind_y) and len(ind_z)):
+            break
+        step_x = abs(float(np.mean(np.diff(xf2))))
+        step_y = abs(float(np.mean(np.diff(yf2))))
+        step_z = abs(float(np.mean(np.diff(zf2))))
+
+        def fit_axis(ind, edge, lo, hi, s_lo, s_hi, step, n, grow_hi=True):
+            nonlocal changed
+            if ind.min() < npml:
+                lo += int(np.ceil((1.0 - edge[npml]) / step))
+                changed = True
+            elif tight_narrow_beam and lo == npml:
+                d = ind.min() - lo
+                if d > 0:
+                    s_lo += d
+                    changed = True
+            if np.any(ind >= n - npml) and grow_hi:
+                hi += int(np.ceil((1.0 - edge[-npml]) / step))
+                changed = True
+            elif tight_narrow_beam and grow_hi and hi == npml:
+                d = n - hi - ind.max() - 1
+                if d > 0:
+                    s_hi += d
+                    changed = True
+            return lo, hi, s_lo, s_hi
+
+        XL, XR, XsL, XsR = fit_axis(ind_x, x_abs, XL, XR, XsL, XsR,
+                                    step_x, N1)
+        YL, YR, YsL, YsR = fit_axis(ind_y, y_abs, YL, YR, YsL, YsR,
+                                    step_y, N2)
+        # z: the high side grows only when not in tight mode
+        # (`fgen` condition: "Z" skips the upper grow when tight)
+        ZL, ZR, ZsL, _ = fit_axis(
+            ind_z, np.abs(zf2), ZL, ZR, ZsL, 0, step_z, N3,
+            grow_hi=not tight_narrow_beam,
+        )
+        if tight_narrow_beam:
+            n_beyond = int(z_beyond_focal_m / dx)
+            new_zsr = max(0, N3 - (fz + n_beyond) - ZR)
+            if new_zsr != ZsR:
+                ZsR = new_zsr
+                changed = True
+        done_for_shrinking = True
+        if not changed:
+            break
+    return (XL, XR, YL, YR, ZL, ZR), (XsL, XsR, YsL, YsR, ZsL, ZsR)
 
 
 def cone_padding_cells(

@@ -148,8 +148,42 @@ def save_nifti(path: str, data: np.ndarray, affine: np.ndarray, descrip: bytes =
 # ---------------------------------------------------------------------------
 
 
+_BLOSC_FILTER_ID = 32001
+
+
+def _write_blosc_dataset(group, name, arr):
+    """Create a dataset carrying HDF5 filter 32001 and write one
+    pre-compressed BLOSC1/LZ4 chunk directly (the filter pipeline is
+    bypassed via ``write_direct_chunk``, so no blosc plugin is needed to
+    WRITE; stock c-blosc/hdf5plugin readers — the reference's driving
+    systems, `InformationForDrivingSystems.md:12-16` — decode it)."""
+    from ..native import blosc_compress
+
+    arr = np.ascontiguousarray(arr)
+    chunk = blosc_compress(arr.tobytes(), typesize=arr.dtype.itemsize)
+    space = h5py.h5s.create_simple(arr.shape)
+    dcpl = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
+    dcpl.set_chunk(arr.shape)
+    # cd_values per the blosc HDF5 filter convention:
+    # (filter rev, blosc version, typesize, chunk bytes, clevel, shuffle,
+    #  compressor code 1 = LZ4)
+    dcpl.set_filter(
+        _BLOSC_FILTER_ID, h5py.h5z.FLAG_OPTIONAL,
+        (2, 2, arr.dtype.itemsize, arr.nbytes, 5, 1, 1),
+    )
+    dset_id = h5py.h5d.create(
+        group.id, name.encode(), h5py.h5t.py_create(arr.dtype, logical=True),
+        space, dcpl,
+    )
+    dset_id.write_direct_chunk((0,) * arr.ndim, chunk, filter_mask=0)
+
+
 def save_dict_h5(data: dict, path: str, compression="gzip"):
-    """SaveToH5py equivalent: nested dicts -> groups, values -> datasets."""
+    """SaveToH5py equivalent: nested dicts -> groups, values -> datasets.
+
+    ``compression='blosc'`` writes arrays with the reference's BLOSC1/LZ4
+    filter (id 32001) for driving-system interop; 'gzip' (default) uses
+    the stock HDF5 deflate filter."""
 
     def write(group, d):
         for k, v in d.items():
@@ -168,8 +202,11 @@ def save_dict_h5(data: dict, path: str, compression="gzip"):
                 group.attrs[str(k)] = "__none__"
             else:
                 arr = np.asarray(v)
+                if compression == "blosc" and arr.size > 128:
+                    _write_blosc_dataset(group, str(k), arr)
+                    continue
                 kw = {}
-                if compression and arr.size > 128:
+                if compression and compression != "blosc" and arr.size > 128:
                     kw = dict(compression=compression)
                 group.create_dataset(str(k), data=arr, **kw)
 

@@ -208,6 +208,125 @@ TRANSDUCER_REGISTRY = {
 }
 
 
+def tpo_to_z_steering(spec: TransducerSpec, tpo_m: float) -> float:
+    """TPO focal distance -> Z steering for annular/ring systems.
+
+    The reference programs ring phases from a TPO distance against the
+    natural out-plane distance: ``ZSteering = TPO - NaturalOutPlaneDistance``
+    (`_Babel_RingTx/Babel_RingTx.py:97,226`), with the TPO spinbox clamped
+    to the per-device ``Minimal/MaximalTPODistance``
+    (`Babel_CTX500/default.yaml`). Raises on out-of-range TPO.
+    """
+    rng = spec.steering_range
+    if "tpo_min" not in rng:
+        raise ValueError(f"{spec.name}: no TPO range (not a ring system)")
+    if not (rng["tpo_min"] <= tpo_m <= rng["tpo_max"]):
+        raise ValueError(
+            f"{spec.name}: TPO {tpo_m * 1e3:.1f} mm outside "
+            f"[{rng['tpo_min'] * 1e3:.1f}, {rng['tpo_max'] * 1e3:.1f}] mm"
+        )
+    return tpo_m - spec.meta["natural_outplane"]
+
+
+def z_steering_to_tpo(spec: TransducerSpec, z_steering: float) -> float:
+    """Inverse of ``tpo_to_z_steering`` (the distance to program in the
+    TPO device, `Babel_RingTx.py:129,214-226`)."""
+    tpo = z_steering + spec.meta["natural_outplane"]
+    rng = spec.steering_range
+    if not (rng["tpo_min"] <= tpo <= rng["tpo_max"]):
+        raise ValueError(
+            f"{spec.name}: ZSteering {z_steering * 1e3:.1f} mm maps to TPO "
+            f"{tpo * 1e3:.1f} mm outside the device range"
+        )
+    return tpo
+
+
+def validate_steering(spec: TransducerSpec, steering) -> None:
+    """Enforce the per-device steering limits (`Babel_<Tx>/default.yaml`
+    Minimal/Maximal{X,Y,Z}Steering and TPO ranges). Raises ValueError."""
+    sx, sy, sz = (float(v) for v in steering)
+    rng = spec.steering_range
+    if not rng:
+        if any(abs(v) > 0 for v in (sx, sy, sz)):
+            raise ValueError(f"{spec.name}: fixed-focus device cannot steer")
+        return
+    if "tpo_min" in rng:
+        if sx or sy:
+            raise ValueError(
+                f"{spec.name}: annular arrays steer along z only"
+            )
+        if sz:
+            z_steering_to_tpo(spec, sz)  # raises when out of TPO range
+        return
+    for axis, v in zip("xyz", (sx, sy, sz)):
+        lo, hi = rng.get(axis, (0.0, 0.0))
+        if not (lo <= v <= hi):
+            raise ValueError(
+                f"{spec.name}: {axis}-steering {v * 1e3:.1f} mm outside "
+                f"[{lo * 1e3:.1f}, {hi * 1e3:.1f}] mm"
+            )
+
+
+def cone_to_focus_adjust(
+    spec: TransducerSpec,
+    skin_to_target_m: float,
+    distance_cone_to_focus: float | None = None,
+    z_steering: float = 0.0,
+) -> tuple[float, float]:
+    """Concave-array mechanical-Z auto-adjust from the device cone.
+
+    The reference positions the Tx so the holder cone's focus distance
+    matches the skin-to-target depth: ``TxMechanicalAdjustmentZ =
+    DistanceConeToFocus - Distance``; positive Z steering adds extra cone
+    depth (`BabelIntegrationCONCAVE_PHASEDARRAY.py:140-152`). The cone
+    distance defaults to / is clamped against the per-device
+    (min, max, default) triple (`Babel_H317/default.yaml`).
+
+    Returns ``(tx_mechanical_adjustment_z, extra_depth_adjust)``.
+    """
+    lo, hi, default = spec.meta["cone_to_focus"]
+    d = default if distance_cone_to_focus is None else distance_cone_to_focus
+    if not (lo <= d <= hi):
+        raise ValueError(
+            f"{spec.name}: DistanceConeToFocus {d * 1e3:.1f} mm outside "
+            f"[{lo * 1e3:.1f}, {hi * 1e3:.1f}] mm"
+        )
+    mech_z = d - skin_to_target_m
+    extra_depth = z_steering if z_steering > 0 else 0.0
+    return mech_z, extra_depth
+
+
+def amplitude_for_1w(spec: TransducerSpec, frequency: float | None = None,
+                     ppw: int | None = None, solver: str = "Visco") -> float:
+    """Calibrated source amplitude for 1 W of acoustic power.
+
+    DomeTx ships measured per-frequency/PPW calibration factors
+    (`Babel_DomeTx/default.yaml` Amplitude1W); ``solver='Rayleigh'`` returns
+    the Rayleigh particle-velocity factor, ``'Visco'`` the per-(frequency,
+    PPW) FDTD pressure amplitude in Pa.
+    """
+    table = spec.meta.get("amplitude_1w")
+    if table is None:
+        raise ValueError(f"{spec.name}: no 1 W calibration table")
+    if solver == "Rayleigh":
+        return float(table["Rayleigh"])
+    by_freq = table["Visco"]
+    fkey = int(frequency)
+    if fkey not in by_freq:
+        raise ValueError(
+            f"{spec.name}: no 1 W calibration at {frequency} Hz "
+            f"(available: {sorted(by_freq)})"
+        )
+    by_ppw = by_freq[fkey]
+    pkey = int(ppw)
+    if pkey not in by_ppw:
+        raise ValueError(
+            f"{spec.name}: no 1 W calibration at PPW {ppw} "
+            f"(available: {sorted(by_ppw)})"
+        )
+    return float(by_ppw[pkey])
+
+
 def build_transducer(
     spec: TransducerSpec,
     frequency: float,

@@ -22,9 +22,15 @@ from .domain import (
     build_ct_materials,
     build_domain,
     build_label_materials,
-    cone_padding_cells,
+    fit_domain_offsets,
 )
-from .profiles import TRANSDUCER_REGISTRY, build_transducer
+from .profiles import (
+    TRANSDUCER_REGISTRY,
+    build_transducer,
+    cone_to_focus_adjust,
+    tpo_to_z_steering,
+    validate_steering,
+)
 from .step1 import Step1Result, generate_mask
 from .thermal import SonicationParams, run_sonication
 from ..materials.ct_mapping import map_hu_to_properties
@@ -43,6 +49,62 @@ def case_hash(**kwargs) -> str:
         else:
             h.update(repr(v).encode())
     return h.hexdigest()
+
+
+def verify_precursor(nifti_path: str, expected_hash: str) -> bool:
+    """Check a written NIfTI's embedded precursor hash.
+
+    The reference chains blake2s precursor hashes through the NIfTI
+    ``descrip`` header and skips recomputation only when the stored chain
+    matches (`FileManager.py:163-293`); a user-replaced or corrupted
+    intermediate file therefore invalidates everything downstream.
+    """
+    if not os.path.isfile(nifti_path):
+        return False
+    try:
+        descrip = pio.load_nifti(nifti_path).descrip
+    except Exception:
+        return False
+    return descrip == f"hash:{expected_hash}".encode()
+
+
+def _advanced_params_snapshot(cfg: "CaseConfig") -> dict:
+    """Physics-relevant advanced parameters, the reference's per-dataset
+    ``-AdvancedParams.yaml`` contract (`BabelBrain.py:1547-1583`): a diff
+    against the stored file forces full recalculation."""
+    return {
+        "MappingMethod": cfg.mapping_method,
+        "CTType": cfg.ct_type,
+        "ZTERange": list(cfg.zte_range),
+        "HUThreshold": float(cfg.hu_threshold),
+        "DensityThreshold": float(cfg.density_threshold),
+        "TightNarrowBeamDomain": bool(cfg.tight_narrow_beam),
+        "zLengthBeyonFocalPointWhenNarrow": float(cfg.z_beyond_focal_m),
+        "SegmentBrain": bool(cfg.segment_brain),
+        "BoneRimCorrection": bool(cfg.bone_rim_correction),
+        "DistanceConeToFocus": cfg.distance_cone_to_focus,
+        "TPODistance": cfg.tpo_distance,
+    }
+
+
+def check_advanced_params(out_base: str, cfg: "CaseConfig") -> bool:
+    """True when the stored AdvancedParams file differs from the current
+    config (-> force full recalculation, `BabelBrain.py:1547-1583`);
+    writes/refreshes the file either way."""
+    import yaml
+
+    path = out_base + "-AdvancedParams.yaml"
+    cur = _advanced_params_snapshot(cfg)
+    force = False
+    if os.path.isfile(path):
+        try:
+            with open(path) as f:
+                force = yaml.safe_load(f) != cur
+        except Exception:
+            force = True
+    with open(path, "w") as f:
+        yaml.safe_dump(cur, f)
+    return force
 
 
 @dataclass
@@ -64,6 +126,17 @@ class CaseConfig:
     coregister: bool = False  # rigid-register CT/ZTE/PETRA to T1 first
     rotation_z: float = 0.0  # array rotation about the beam axis (degrees)
     do_refocus: bool = False
+    # the reference's TightNarrowBeamDomain advanced option: shrink x/y to
+    # the incident-beam support and truncate z past the focus
+    # (`BabelIntegrationBASE.py:2024-2068`)
+    tight_narrow_beam: bool = False
+    z_beyond_focal_m: float = 0.0225
+    # ring systems: program Z steering from a TPO focal distance against the
+    # device's natural out-plane (`_Babel_RingTx/Babel_RingTx.py:97,226`)
+    tpo_distance: float | None = None
+    # concave arrays: holder-cone distance for the mechanical-Z auto-adjust
+    # (`BabelIntegrationCONCAVE_PHASEDARRAY.py:140-152`); None = device default
+    distance_cone_to_focus: float | None = None
     segment_brain: bool = False
     bone_rim_correction: bool = False
     elem_centers: np.ndarray | None = None
@@ -105,40 +178,74 @@ def run_case(
         f"{cfg.prefix}_{cfg.tx_system}_{int(cfg.frequency/1e3)}kHz_{int(cfg.ppw)}PPW",
     )
     os.makedirs(cfg.output_dir, exist_ok=True)
+    # per-dataset AdvancedParams diff forces full recalculation
+    # (`BabelBrain.py:1547-1583`)
+    force_recalc = force_recalc or check_advanced_params(out_base, cfg)
 
     ct_type = cfg.ct_type.upper().replace("REAL ", "")
     if ct_data is not None and ct_type in ("ZTE", "PETRA"):
         # MRI -> pseudo-CT conversion in the imaging grid, mirroring Step 1's
         # CTZTEProcessing branch (`BabelDatasetPreps.py:843-851`,
-        # `CTZTEProcessing.py:501-628`)
+        # `CTZTEProcessing.py:501-628`). The product is target-independent,
+        # so it is cached by CONTENT hash in the output dir and reused
+        # across targets/prefixes — the reference's cross-target reuse via
+        # filename substitution (`FileManager.py:270-283`).
         from ..materials.pseudo_ct import mri_to_pseudo_ct
         from ..ops import imaging as im
 
-        if cfg.coregister and t1_data is not None:
-            # rigid MRI->T1 registration, the elastix-equivalent step
-            # (`CTZTEProcessing.py:111,289`): resample onto the T1 grid,
-            # estimate the transform, apply it
-            from .coreg import register_rigid
+        pct_hash = case_hash(
+            ct=np.asarray(ct_data),
+            t1=np.asarray(t1_data) if t1_data is not None else "none",
+            labels=np.asarray(labels_data),
+            ct_type=ct_type,
+            zte_range=tuple(cfg.zte_range),
+            coreg=cfg.coregister,
+        )
+        pct_cache = os.path.join(cfg.output_dir, f"pseudoCT_{pct_hash}.h5")
+        pct = None
+        if not force_recalc and os.path.isfile(pct_cache):
+            try:
+                pct = pio.load_dict_h5(pct_cache)
+            except OSError:
+                pct = None
+        if pct is not None:
+            ct_data = np.asarray(pct["pct"])
+            ct_affine = np.asarray(pct["affine"])
+        else:
+            if cfg.coregister and t1_data is not None:
+                # rigid MRI->T1 registration, the elastix-equivalent step
+                # (`CTZTEProcessing.py:111,289`): resample onto the T1 grid,
+                # estimate the transform, apply it
+                from .coreg import register_rigid
 
-            t1 = np.asarray(t1_data, np.float32)
-            mv = im.resample_from_to(
-                np.asarray(ct_data, np.float32), ct_affine,
-                t1_affine, t1.shape, order=1,
-            )
-            _, mat = register_rigid(t1, mv)
-            ct_data = im.resample_affine(mv, mat, t1.shape, order=1)
-            ct_affine = t1_affine
-        head = im.resample_from_to(
-            (np.asarray(labels_data) > 0).astype(np.float32),
-            labels_affine,
-            ct_affine if ct_affine is not None else labels_affine,
-            np.asarray(ct_data).shape,
-            order=0,
-        ) > 0.5
-        with stage_timer(f"{ct_type} to pseudo-CT", level=1, step=1):
-            ct_data = mri_to_pseudo_ct(
-                np.asarray(ct_data, np.float64), head, ct_type,
-                norm_range=tuple(cfg.zte_range),
+                t1 = np.asarray(t1_data, np.float32)
+                mv = im.resample_from_to(
+                    np.asarray(ct_data, np.float32), ct_affine,
+                    t1_affine, t1.shape, order=1,
+                )
+                _, mat = register_rigid(t1, mv)
+                ct_data = im.resample_affine(mv, mat, t1.shape, order=1)
+                ct_affine = t1_affine
+            head = im.resample_from_to(
+                (np.asarray(labels_data) > 0).astype(np.float32),
+                labels_affine,
+                ct_affine if ct_affine is not None else labels_affine,
+                np.asarray(ct_data).shape,
+                order=0,
+            ) > 0.5
+            with stage_timer(f"{ct_type} to pseudo-CT", level=1, step=1):
+                ct_data = mri_to_pseudo_ct(
+                    np.asarray(ct_data, np.float64), head, ct_type,
+                    norm_range=tuple(cfg.zte_range),
+                )
+            pio.save_dict_h5(
+                {
+                    "pct": np.asarray(ct_data),
+                    "affine": np.asarray(
+                        ct_affine if ct_affine is not None else np.eye(4)
+                    ),
+                },
+                pct_cache,
             )
     bone_threshold = (
         cfg.density_threshold if ct_type == "DENSITY" else cfg.hu_threshold
@@ -170,6 +277,9 @@ def run_case(
             os.environ.get("BBT_PAPER_CONDITIONS", ""),
             os.environ.get("BBT_AVOID_PHASE_PROGRAMMING", ""),
         ),
+        tight=(cfg.tight_narrow_beam, cfg.z_beyond_focal_m),
+        tpo=cfg.tpo_distance,
+        cone=cfg.distance_cone_to_focus,
     )
     hash_file = out_base + ".hash"
     h5_path_probe = out_base + "_DataForSim.h5"
@@ -214,7 +324,14 @@ def run_case(
     )
     s1_cache = out_base + "_Step1.h5"
     s1 = None
-    if not force_recalc and os.path.isfile(s1_cache):
+    # precursor chain check: the written NIfTI must carry the matching hash
+    # in its descrip header (`FileManager.py:163-293`); a replaced or
+    # corrupted intermediate invalidates the Step-1 reuse
+    if (
+        not force_recalc
+        and os.path.isfile(s1_cache)
+        and verify_precursor(out_base + "_BabelViscoInput.nii.gz", s1_hash)
+    ):
         try:
             blob = pio.load_dict_h5(s1_cache)
             if str(np.asarray(blob["hash"]).item()) in (s1_hash, repr(s1_hash)):
@@ -248,11 +365,15 @@ def run_case(
                 hu_threshold=bone_threshold,
                 bone_rim_correction=cfg.bone_rim_correction,
             )
+            descrip = f"hash:{s1_hash}".encode()
             pio.save_nifti(
-                out_base + "_BabelViscoInput.nii.gz", s1.mask, s1.affine
+                out_base + "_BabelViscoInput.nii.gz", s1.mask, s1.affine,
+                descrip,
             )
             if s1.ct_index is not None:
-                pio.save_nifti(out_base + "_CT.nii.gz", s1.ct_index, s1.affine)
+                pio.save_nifti(
+                    out_base + "_CT.nii.gz", s1.ct_index, s1.affine, descrip
+                )
                 np.savez(out_base + "_CT-cal.npz", UniqueHU=s1.unique_hu)
             blob = {
                 "hash": s1_hash,
@@ -290,9 +411,36 @@ def run_case(
             )
         else:
             materials = build_label_materials(cfg.frequency, cfg.segment_brain)
-        pad = cone_padding_cells(
-            spec.diameter, spec.focal_length or 0.0, s1.dx_mm * 1e-3,
-            s1.mask.shape[:2],
+        # registry steering semantics: TPO -> ZSteering for ring systems,
+        # per-device range enforcement, concave holder-cone mechanical-Z
+        steering = np.asarray(cfg.steering, float)
+        if cfg.tpo_distance is not None:
+            steering = steering.copy()
+            steering[2] = tpo_to_z_steering(spec, cfg.tpo_distance)
+        validate_steering(spec, steering)
+        mech_z = 0.0
+        extra_depth = 0.0
+        if spec.kind == "concave" and "cone_to_focus" in spec.meta:
+            sim_mask = np.flip(s1.mask, axis=2)
+            ti, tj, tk = (int(v) for v in np.argwhere(sim_mask == 5)[0])
+            line = np.nonzero(sim_mask[ti, tj, :])[0]
+            skin_to_target = (tk - int(line[0])) * s1.dx_mm * 1e-3
+            mech_z, extra_depth = cone_to_focus_adjust(
+                spec, skin_to_target, cfg.distance_cone_to_focus,
+                z_steering=float(steering[2]),
+            )
+        # reference grow/tight-beam-shrink fit (`BabelIntegrationBASE.py:
+        # 1874-2068`): offsets grown so the incident cone clears the PML,
+        # x/y shrunk to the beam support in tight mode
+        offsets, shrinks = fit_domain_offsets(
+            np.flip(s1.mask, axis=2),
+            s1.dx_mm * 1e-3,
+            spec.diameter,
+            spec.focal_length or 0.0,
+            tx_mech_adjust=(0.0, 0.0, mech_z),
+            extra_depth=extra_depth,
+            tight_narrow_beam=cfg.tight_narrow_beam,
+            z_beyond_focal_m=cfg.z_beyond_focal_m,
         )
         dom = build_domain(
             s1.mask,
@@ -303,16 +451,17 @@ def run_case(
             air_mask=s1.air_mask
             if (ct_mode and s1.air_mask is not None and s1.air_mask.any())
             else None,
-            pad_cone_cells=pad,
+            offsets=offsets,
+            shrink_cells=shrinks,
         )
         tx = build_transducer(
             spec, cfg.frequency, elem_centers=cfg.elem_centers,
             rotation_z=cfg.rotation_z,
         )
         tx, mech_adjust = position_transducer(
-            tx, dom, spec.focal_length or 0.0, return_adjustment=True
+            tx, dom, spec.focal_length or 0.0, extra_z=mech_z,
+            return_adjustment=True,
         )
-        steering = np.asarray(cfg.steering)
         result = run_acoustic_sim(
             dom,
             tx,
@@ -324,7 +473,7 @@ def run_case(
         data = dict(result.data_for_sim)
         data["TxSystem"] = cfg.tx_system
         data["Frequency"] = cfg.frequency
-        for k, v in zip(("XSteering", "YSteering", "ZSteering"), cfg.steering):
+        for k, v in zip(("XSteering", "YSteering", "ZSteering"), steering):
             data[k] = v
         # mechanical z correction applied to fit the bowl below the source
         # plane, reported along the trajectory direction in RAS (the
@@ -338,7 +487,9 @@ def run_case(
             hu_vol = s1.unique_hu[s1.ct_index]
             skull = np.isin(s1.mask, (2, 3)) & (hu_vol > 300.0)
             data["SDR"] = compute_sdr(hu_vol, skull, spacing_mm=s1.dx_mm)
-        pio.save_dict_h5(data, h5_path)
+        # BLOSC per the driving-system interop contract
+        # (`InformationForDrivingSystems.md:12-16`)
+        pio.save_dict_h5(data, h5_path, compression="blosc")
 
     if os.environ.get("BBT_FORCE_ERROR_STEP2") == "1":
         # error-path test hook (the reference's TEST_FORCE_ERROR_BABEL_STEP2,
@@ -402,7 +553,8 @@ def run_case(
                 "dt": 0.01,
             }
             tdict.update(thermal.metrics)
-            pio.save_dict_h5(tdict, out_base + "_ThermalField.h5")
+            pio.save_dict_h5(tdict, out_base + "_ThermalField.h5",
+                             compression="blosc")
 
     with open(hash_file, "w") as f:
         f.write(chash)

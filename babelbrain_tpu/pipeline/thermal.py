@@ -360,7 +360,7 @@ def run_all_combinations(
                 PressureRatio=res.pressure_ratio,
                 dt=dt,
             )
-            pio.save_dict_h5(per, name + ".h5")
+            pio.save_dict_h5(per, name + ".h5", compression="blosc")
 
     consolidated = {
         "AllData": {str(i): c for i, c in enumerate(all_cases)},
@@ -372,7 +372,8 @@ def run_all_combinations(
     if extra_data:
         consolidated.update(extra_data)
     if out_base is not None:
-        pio.save_dict_h5(consolidated, out_base + "_AllCombinations.h5")
+        pio.save_dict_h5(consolidated, out_base + "_AllCombinations.h5",
+                     compression="blosc")
         # .mat twin: AllData as a cell array of structs (digit field names
         # are invalid in MATLAB)
         mat_dict = dict(consolidated)

@@ -338,6 +338,7 @@ class TestCaseCache:
         r3 = run_case(cfg, labels2, aff, **kw)
         assert not r3["cached"]
 
+    @pytest.mark.slow
     def test_step1_reused_across_steering(self, tmp_path, monkeypatch):
         """Steering changes must reuse the Step-1 cache (the FileManager
         per-step hash-chain behavior): generate_mask is not called again."""
@@ -504,3 +505,167 @@ class TestTargetMask:
         save_nifti(src, np.zeros((8, 8, 8), np.float32), np.eye(4))
         with pytest.raises(ValueError):
             create_target_mask(src, (100.0, 0.0, 0.0))
+
+
+class TestDomainFit:
+    """Reference grow/tight-beam-shrink loop
+    (`BabelIntegrationBASE.py:1874-2068`)."""
+
+    def _mask(self):
+        mask = np.zeros((60, 60, 80), np.uint8)
+        mask[:, :, 30:36] = 2
+        mask[30, 30, 55] = 5
+        return mask
+
+    def test_wide_cone_grows_offsets(self):
+        from babelbrain_tpu.pipeline.domain import fit_domain_offsets
+
+        off, shr = fit_domain_offsets(
+            self._mask(), 0.5e-3, 64e-3, 63.2e-3, npml=12
+        )
+        # incident cylinder (RadiusFace ~ 17.8 mm = 35.5 cells around the
+        # focus at x=30+12) enters the x/y PML -> offsets grow by ceil 6
+        assert off[0] == off[1] == off[2] == off[3] == 18
+        assert off[4] == off[5] == 12
+        assert shr == (0, 0, 0, 0, 0, 0)
+
+    def test_tight_narrow_beam_shrinks(self):
+        from babelbrain_tpu.pipeline.domain import fit_domain_offsets
+
+        off, shr = fit_domain_offsets(
+            self._mask(), 0.5e-3, 10e-3, 63.2e-3, npml=12,
+            tight_narrow_beam=True, z_beyond_focal_m=0.0225,
+        )
+        assert off == (12, 12, 12, 12, 12, 12)
+        # x/y hug the ~2.4 mm beam radius; z-low crops the water standoff
+        # down to the first tissue plane; z-high truncates past the focus
+        assert shr[0] > 20 and shr[2] > 20
+        assert shr[4] == 30  # water gap: first tissue at mask z=30
+        assert shr[5] == 0   # focus at z=55 + 45 cells > mask extent
+
+    def test_build_domain_with_shrinks(self):
+        from babelbrain_tpu.pipeline.domain import (
+            build_domain,
+            fit_domain_offsets,
+        )
+
+        mask = self._mask()
+        off, shr = fit_domain_offsets(
+            mask, 0.5e-3, 10e-3, 63.2e-3, npml=12, tight_narrow_beam=True
+        )
+        dom = build_domain(
+            np.flip(mask, 2), 500e3, 6.0, offsets=off, shrink_cells=shr
+        )
+        exp = tuple(
+            mask.shape[d] + off[2 * d] + off[2 * d + 1]
+            - shr[2 * d] - shr[2 * d + 1]
+            for d in range(3)
+        )
+        assert dom.material_map.shape == exp
+        # target survives the crop and stays a brain-material voxel
+        assert dom.material_map[tuple(dom.focal_idx)] == 4
+        assert dom.crop(dom.material_map).shape == dom.mask_shape
+
+
+class TestCalibrationIngestion:
+    """Hydrophone-profile ingestion + per-location ring fitting
+    (`Calibration/TxCalibration.py` workflow)."""
+
+    def test_csv_profile_round_trip(self, tmp_path):
+        from babelbrain_tpu.pipeline.calibration import (
+            load_hydrophone_profiles,
+        )
+
+        z = np.arange(30.0, 80.0, 2.0)
+        locs = np.array([40.0, 55.0, 70.0])
+        vals = np.outer(np.hanning(len(z)), [1.0, 1.2, 0.8]) * 1e5
+        rows = [",".join(["z_mm"] + [f"{v}" for v in locs])]
+        for i, zz in enumerate(z):
+            rows.append(",".join([f"{zz}"] + [f"{v}" for v in vals[i]]))
+        # numeric header row: genfromtxt turns 'z_mm' into nan, ignored
+        p = tmp_path / "profiles.csv"
+        p.write_text("\n".join(rows))
+        z2, l2, v2 = load_hydrophone_profiles(p)
+        np.testing.assert_allclose(z2, z)
+        np.testing.assert_allclose(l2, locs)
+        np.testing.assert_allclose(v2, vals)
+
+    @pytest.mark.slow
+    def test_calibration_recovers_ring_weights(self, tmp_path):
+        """Synthetic hydrophone scan generated with KNOWN per-ring weight
+        errors -> the YAML-driven workflow recovers them."""
+        import yaml
+
+        from babelbrain_tpu.ops.rayleigh import (
+            rayleigh_field,
+            steering_phases,
+        )
+        from babelbrain_tpu.pipeline import load_dict_h5
+        from babelbrain_tpu.pipeline.calibration import (
+            _expand_ring_weights,
+            _ring_centers,
+            run_calibration,
+        )
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            build_transducer,
+        )
+
+        spec = TRANSDUCER_REGISTRY["CTX_500"]
+        F0 = 500e3
+        k = 2 * np.pi * F0 / 1500.0
+        tx = build_transducer(spec, F0, sos_water=1500.0)
+        outplane = spec.meta["natural_outplane"]
+        w_true = np.array(
+            [1.15, 0.85 * np.exp(0.25j), 1.05 * np.exp(-0.2j), 0.9],
+            np.complex64,
+        )
+        z_mm = np.arange(35.0, 75.0, 1.0)
+        locs = [45.0, 60.0]
+        amp_cols, ph_cols = [], []
+        for loc in locs:
+            w_steer = steering_phases(
+                k, _ring_centers(tx), [0.0, 0.0, loc * 1e-3 - outplane]
+            )
+            u0 = _expand_ring_weights(tx, w_steer * w_true)
+            pts = np.zeros((len(z_mm), 3), np.float32)
+            pts[:, 2] = z_mm * 1e-3 - outplane
+            f = np.asarray(rayleigh_field(k, tx.centers, tx.areas, u0, pts))
+            amp_cols.append(np.abs(f))
+            ph_cols.append(np.angle(f))
+
+        def write_csv(path, cols):
+            rows = [",".join(["0"] + [f"{v}" for v in locs])]
+            for i, zz in enumerate(z_mm):
+                rows.append(
+                    ",".join([f"{zz}"] + [f"{c[i]}" for c in cols])
+                )
+            path.write_text("\n".join(rows))
+
+        write_csv(tmp_path / "amp.csv", amp_cols)
+        write_csv(tmp_path / "phase.csv", ph_cols)
+        cfgp = tmp_path / "calib.yaml"
+        cfgp.write_text(yaml.safe_dump({
+            "TxSystem": "CTX_500",
+            "Frequency": F0,
+            "ExcelFileProfiles": str(tmp_path / "amp.csv"),
+            "ExcelFilePhase": str(tmp_path / "phase.csv"),
+            "Lambda": 1e-6,
+            "OutputResultsPath": str(tmp_path / "out"),
+        }))
+        written = run_calibration(str(cfgp))
+        assert len(written) == 2
+        for path, loc in zip(sorted(written), locs):
+            fit = load_dict_h5(path)
+            w = np.asarray(fit["Amplitudes"]) * np.exp(
+                1j * np.asarray(fit["Phases"])
+            )
+            # global phase is unobservable: align on ring 0
+            w = w * np.exp(-1j * np.angle(w[0])) * np.exp(
+                1j * np.angle(w_true[0])
+            )
+            np.testing.assert_allclose(np.abs(w), np.abs(w_true), rtol=0.05)
+            np.testing.assert_allclose(
+                np.angle(w / w_true), 0.0, atol=0.08
+            )
+            assert fit["Residual"] < 0.05

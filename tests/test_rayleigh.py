@@ -200,3 +200,25 @@ class TestRayleigh:
         p = np.abs(np.asarray(rayleigh_field(K0, tx.centers, tx.areas, u0, pts)))
         loc = pts[np.argmax(p)]
         np.testing.assert_allclose(loc, target, atol=1.5e-3)
+
+
+class TestShardedRayleigh:
+    def test_point_sharded_matches_single_device(self):
+        """Field-point sharding over the mesh (SURVEY.md section 2.8 row 4):
+        each device integrates all sources over its point block, so the
+        sharded result must match the single-device evaluation to f32
+        matmul-reassociation noise (block shapes differ per device)."""
+        from babelbrain_tpu.parallel.halo import make_mesh
+
+        F, D = 63.2e-3, 64e-3
+        tx = make_focused_bowl(F0, F, D, C0)
+        rng = np.random.default_rng(7)
+        u0 = (rng.uniform(0.5, 1, tx.num_subelements)
+              * np.exp(1j * rng.uniform(-3, 3, tx.num_subelements))
+              ).astype(np.complex64) * 60e3
+        pts = rng.uniform(-30e-3, 30e-3, (1001, 3)).astype(np.float32)
+        p1 = np.asarray(rayleigh_field(K0, tx.centers, tx.areas, u0, pts))
+        p8 = np.asarray(rayleigh_field(K0, tx.centers, tx.areas, u0, pts,
+                                       mesh=make_mesh(8)))
+        scale = np.abs(p1).max()
+        np.testing.assert_allclose(p8 / scale, p1 / scale, atol=2e-5)

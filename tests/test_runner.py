@@ -333,3 +333,76 @@ def test_density_case(phantom, mini_tx, tmp_path):
     # in the bone-density band (not HU-like numbers)
     assert 1500.0 < mats[:, 0].max() <= 1900.0
     assert mats[:, 0].min() >= 998.0  # water/soft floor
+
+
+class TestFileManagerContract:
+    """FileManager fidelity (`BabelBrain/FileManager.py:163-293`,
+    `BabelBrain.py:1547-1583`): precursor hashes in NIfTI headers,
+    cross-target reuse of target-independent products, AdvancedParams
+    config-diff invalidation."""
+
+    def test_advanced_params_diff_forces_recalc(self, tmp_path):
+        from babelbrain_tpu.pipeline.runner import check_advanced_params
+
+        base = str(tmp_path / "case")
+        cfg = CaseConfig(output_dir=str(tmp_path))
+        assert check_advanced_params(base, cfg) is False  # first write
+        assert check_advanced_params(base, cfg) is False  # unchanged
+        cfg2 = CaseConfig(output_dir=str(tmp_path), mapping_method="Aubry")
+        assert check_advanced_params(base, cfg2) is True  # physics diff
+        assert check_advanced_params(base, cfg2) is False  # re-stored
+
+    def test_verify_precursor(self, tmp_path):
+        from babelbrain_tpu.pipeline import save_nifti
+        from babelbrain_tpu.pipeline.runner import verify_precursor
+
+        p = str(tmp_path / "x.nii.gz")
+        save_nifti(p, np.zeros((4, 4, 4), np.float32), np.eye(4),
+                   b"hash:abc123")
+        assert verify_precursor(p, "abc123")
+        assert not verify_precursor(p, "zzz")
+        assert not verify_precursor(str(tmp_path / "missing.nii.gz"), "abc")
+        # a replaced (hash-less) file breaks the chain
+        save_nifti(p, np.zeros((4, 4, 4), np.float32), np.eye(4))
+        assert not verify_precursor(p, "abc123")
+
+    @pytest.mark.slow
+    def test_pseudo_ct_reused_across_targets(self, phantom, mini_tx,
+                                             tmp_path, monkeypatch):
+        """Second target on the same anatomy must reuse the pseudo-CT
+        conversion (the reference's cross-target filename substitution,
+        `FileManager.py:270-283`)."""
+        import babelbrain_tpu.materials.pseudo_ct as pct_mod
+        from babelbrain_tpu.pipeline import runner as runner_mod
+
+        calls = {"n": 0}
+        real = pct_mod.mri_to_pseudo_ct
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(pct_mod, "mri_to_pseudo_ct", counting)
+        labels, aff = phantom
+        rng = np.random.default_rng(0)
+        zte = np.full(labels.shape, 30.0)
+        zte[labels > 0] = 1000.0
+        zte[labels == 2] = 350.0
+        zte += rng.normal(0, 5, labels.shape)
+        common = dict(ct_data=zte, ct_affine=aff, mask_shape=(64, 64, 104))
+        cfg1 = CaseConfig(tx_system="MiniTest", ct_type="ZTE",
+                          output_dir=str(tmp_path), prefix="tgtA")
+        run_case(cfg1, labels, aff, target_ras=[0, 0, 25],
+                 direction_ras=[0, 0, -1], **common)
+        assert calls["n"] == 1
+        cfg2 = CaseConfig(tx_system="MiniTest", ct_type="ZTE",
+                          output_dir=str(tmp_path), prefix="tgtB")
+        run_case(cfg2, labels, aff, target_ras=[0, 4, 25],
+                 direction_ras=[0, 0, -1], **common)
+        # different target, same anatomy: pseudo-CT conversion NOT re-run
+        assert calls["n"] == 1
+        # the Step-1 NIfTI carries its precursor hash chain
+        from babelbrain_tpu.pipeline import load_nifti as _ln
+        import glob
+        nif = sorted(glob.glob(str(tmp_path / "tgtA*_BabelViscoInput.nii.gz")))
+        assert nif and _ln(nif[0]).descrip.startswith(b"hash:")

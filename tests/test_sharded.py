@@ -254,3 +254,136 @@ class TestGraftEntry:
 
         ge = importlib.import_module("__graft_entry__")
         ge.dryrun_multichip(8)
+
+
+class TestShardedFusedOverlap:
+    """The overlap-and-discard fused sharded driver
+    (`_simulate_fluid_pallas_sharded_fused`): K-step temporally blocked
+    sweeps under x decomposition must be BIT-EXACT vs the unsharded fusedK
+    kernel (interior planes never see the contaminated fringe)."""
+
+    def test_sharded_fusedK_bit_parity_vs_unsharded_pallas(self):
+        import jax.numpy as jnp
+
+        from babelbrain_tpu.ops.fdtd import (
+            _build_cpml_profiles_np,
+            _material_fields,
+            sls_coefficients,
+        )
+        from babelbrain_tpu.ops import fdtd_pallas as fp
+        from babelbrain_tpu.parallel.halo import DomainComm
+        import functools
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        shape = (128, 32, 48)
+        grid = _grid(shape, 4, npml=12)
+        mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        rng = np.random.default_rng(3)
+        amp = np.zeros(shape[:2], np.float32)
+        amp[10:-10, 10:22] = 60e3 * rng.uniform(0.5, 1, (108, 12)).astype(
+            np.float32
+        )
+        ph = rng.uniform(-2, 2, shape[:2]).astype(np.float32)
+        coefs = sls_coefficients(mats, F0, grid.dt)
+        props_np = _material_fields(idx, coefs, has_shear=False)
+        prof = _build_cpml_profiles_np(shape, 12, grid.dx, grid.dt, C, 1e-5)
+        oz = 1.0 / (1000.0 * C)
+
+        props = {k: jnp.asarray(v) for k, v in props_np.items()}
+        ref = fp.simulate_fluid_pallas(
+            props, jnp.asarray(amp), jnp.asarray(ph),
+            grid=grid, profiles_np=prof, viscous=True, oz_scale=oz,
+            nb=2, interpret=True, fuse_steps=3,
+        )
+        ref = [np.asarray(o) for o in ref]
+
+        mesh = make_mesh(4)
+        import dataclasses
+        grid_local = dataclasses.replace(grid, shape=(32, 32, 48))
+        comm = DomainComm("x", 4)
+        spec3 = P("x", None, None)
+        spec2 = P("x", None)
+        fn = jax.jit(
+            jax.shard_map(
+                functools.partial(
+                    fp.simulate_fluid_pallas,
+                    grid=grid_local, profiles_np=prof, viscous=True,
+                    oz_scale=oz, nb=2, comm=comm, interpret=True,
+                    fuse_steps=3,
+                ),
+                mesh=mesh,
+                in_specs=({k: spec3 for k in props}, spec2, spec2),
+                out_specs=(spec3, spec3, spec3),
+                check_vma=False,
+            )
+        )
+        out = fn(props, jnp.asarray(amp), jnp.asarray(ph))
+        for o, r in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(o), r)
+
+    def test_sharded_viscoK_bit_parity_vs_unsharded_pallas(self):
+        import jax.numpy as jnp
+
+        from babelbrain_tpu.ops.fdtd import (
+            _build_cpml_profiles_np,
+            _material_fields,
+            sls_coefficients,
+        )
+        from babelbrain_tpu.ops import fdtd_pallas as fp
+        from babelbrain_tpu.parallel.halo import DomainComm
+        import functools
+        import dataclasses
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        shape = (128, 32, 48)
+        grid = _grid(shape, 3, npml=12)
+        mats = np.array(
+            [[1000.0, C, 0, 20.0, 0], [1896.5, 2494.0, 1594.0, 106.0, 214.0]]
+        )
+        idx = np.zeros(shape, np.uint8)
+        idx[:, :, 28:36] = 1
+        rng = np.random.default_rng(5)
+        amp = np.zeros(shape[:2], np.float32)
+        amp[10:-10, 10:22] = 60e3 * rng.uniform(0.5, 1, (108, 12)).astype(
+            np.float32
+        )
+        ph = rng.uniform(-2, 2, shape[:2]).astype(np.float32)
+        coefs = sls_coefficients(mats, F0, grid.dt)
+        props_np = _material_fields(idx, coefs, has_shear=True)
+        prof = _build_cpml_profiles_np(shape, 12, grid.dx, grid.dt, 2494.0,
+                                       1e-5)
+        oz = 1.0 / (1000.0 * C)
+
+        props = {k: jnp.asarray(v) for k, v in props_np.items()}
+        z0 = jnp.float32(0.0)
+        ref = fp.simulate_visco_pallas(
+            props, jnp.asarray(amp), jnp.asarray(ph), z0, grid, prof, True,
+            oz, nb=2, interpret=True, fuse_steps=2,
+        )
+        ref = [np.asarray(o) for o in ref]
+
+        mesh = make_mesh(4)
+        grid_local = dataclasses.replace(grid, shape=(32, 32, 48))
+        comm = DomainComm("x", 4)
+        spec3 = P("x", None, None)
+        spec2 = P("x", None)
+        fn = jax.jit(
+            jax.shard_map(
+                functools.partial(
+                    fp.simulate_visco_pallas,
+                    grid=grid_local, profiles_np=prof, viscous=True,
+                    oz_scale=oz, nb=2, comm=comm, interpret=True,
+                    fuse_steps=2,
+                ),
+                mesh=mesh,
+                in_specs=({k: spec3 for k in props}, spec2, spec2, P()),
+                out_specs=(spec3, spec3, spec3),
+                check_vma=False,
+            )
+        )
+        out = fn(props, jnp.asarray(amp), jnp.asarray(ph), z0)
+        for o, r in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(o), r)

@@ -143,3 +143,82 @@ def test_density_input_path_uses_hu_models():
     np.testing.assert_allclose(d, density)
     hu = cm.density_to_hu_bony(density)
     np.testing.assert_allclose(sos, cm.hu_to_long_sos_webb(hu))
+
+
+class TestRegistrySemantics:
+    """The per-device registry metadata must drive behavior: TPO <-> Z
+    steering, steering-range enforcement, cone-to-focus mechanical-Z,
+    1 W amplitude calibration."""
+
+    def test_tpo_round_trip(self):
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            tpo_to_z_steering,
+            z_steering_to_tpo,
+        )
+
+        spec = TRANSDUCER_REGISTRY["CTX_500"]
+        # ZSteering = TPO - NaturalOutPlaneDistance (`Babel_RingTx.py:97`)
+        z = tpo_to_z_steering(spec, 60e-3)
+        assert z == pytest.approx(60e-3 - 52.38e-3)
+        assert z_steering_to_tpo(spec, z) == pytest.approx(60e-3)
+        with pytest.raises(ValueError):
+            tpo_to_z_steering(spec, 90e-3)  # > MaximalTPODistance 82.5
+        with pytest.raises(ValueError):
+            tpo_to_z_steering(spec, 20e-3)  # < MinimalTPODistance 33.6
+
+    def test_steering_range_enforced(self):
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            validate_steering,
+        )
+
+        h317 = TRANSDUCER_REGISTRY["H317"]
+        validate_steering(h317, (10e-3, -10e-3, 40e-3))
+        with pytest.raises(ValueError):
+            validate_steering(h317, (25e-3, 0, 0))  # x beyond 20 mm
+        with pytest.raises(ValueError):
+            validate_steering(h317, (0, 0, 60e-3))  # z beyond 50 mm
+        ctx = TRANSDUCER_REGISTRY["CTX_500"]
+        validate_steering(ctx, (0, 0, 10e-3))
+        with pytest.raises(ValueError):
+            validate_steering(ctx, (5e-3, 0, 0))  # annular: z only
+        with pytest.raises(ValueError):
+            validate_steering(ctx, (0, 0, 50e-3))  # maps past TPO max
+        single = TRANSDUCER_REGISTRY["Single"]
+        with pytest.raises(ValueError):
+            validate_steering(single, (0, 0, 5e-3))
+
+    def test_cone_to_focus_adjust(self):
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            cone_to_focus_adjust,
+        )
+
+        spec = TRANSDUCER_REGISTRY["H317"]
+        # default cone 25 mm, skin-to-target 40 mm -> push Tx back 15 mm
+        mech, extra = cone_to_focus_adjust(spec, 40e-3)
+        assert mech == pytest.approx(25e-3 - 40e-3)
+        assert extra == 0.0
+        mech, extra = cone_to_focus_adjust(spec, 40e-3, 50e-3,
+                                           z_steering=10e-3)
+        assert mech == pytest.approx(10e-3)
+        assert extra == pytest.approx(10e-3)
+        with pytest.raises(ValueError):
+            cone_to_focus_adjust(spec, 40e-3, 100e-3)  # > max 95.5 mm
+
+    def test_amplitude_1w(self):
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            amplitude_for_1w,
+        )
+
+        dome = TRANSDUCER_REGISTRY["DomeTx"]
+        assert amplitude_for_1w(dome, 220e3, 6) == pytest.approx(74065.04)
+        assert amplitude_for_1w(dome, solver="Rayleigh") == pytest.approx(
+            0.14475482330468514
+        )
+        with pytest.raises(ValueError):
+            amplitude_for_1w(dome, 500e3, 6)
+        with pytest.raises(ValueError):
+            amplitude_for_1w(TRANSDUCER_REGISTRY["Single"], 500e3, 6)
