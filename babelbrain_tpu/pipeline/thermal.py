@@ -62,12 +62,21 @@ def analyze_losses(
     *,
     brain_mask,
     single_point_ratio: bool = False,
+    segmented: bool = False,
+    fixed_acoustic_power: float = 0.0,
 ):
-    """Return (pressure_ratio, ratio_losses) — `AnalyzeLosses` equivalent.
+    """Return (pressure_ratio, ratio_losses) — `AnalyzeLosses` equivalent
+    (`CalculateTemperatureEffects.py:94-256`).
 
     pressure_ratio scales the simulated field so the focal-spot intensity
     equals ``isppa_w_cm2``; ratio_losses compares tissue vs water plane
-    energies at the water-peak plane (used to program device power).
+    energies at the tissue-peak plane, swapped for the water-peak-plane
+    ratio when it exceeds it by the reference's +0.2 guard (`:236-238`).
+    ``single_point_ratio`` is the DomeTx peak-ratio branch (`:201-203`);
+    ``fixed_acoustic_power`` (W) overrides the losses with the benchmark
+    power normalization (`:241-245,252-254`). PressureRatio uses the
+    acoustic properties at the requested target voxel, or at the tissue
+    peak when ``segmented`` (`:246-256`).
     """
     mm = np.asarray(material_map)
     rho = np.asarray(mats.density)[mm]
@@ -80,6 +89,7 @@ def analyze_losses(
     pw[~brain_mask] = 0.0
     czw = np.unravel_index(np.argmax(pw), pw.shape)
 
+    e_w_at_t = None
     if single_point_ratio:
         ratio_losses = float(p_tissue.max() ** 2 / pw.max() ** 2)
     else:
@@ -97,8 +107,16 @@ def analyze_losses(
         ratio_loc = e_t_at_w / max(e_w, 1e-30)
         if ratio_losses > ratio_loc + 0.2:
             ratio_losses = ratio_loc
+        if fixed_acoustic_power > 0.0:
+            ratio_losses = fixed_acoustic_power / max(e_w_at_t, 1e-30)
 
-    i, j, k = czr
+    if fixed_acoustic_power > 0.0 and not single_point_ratio:
+        return float(np.sqrt(ratio_losses)), ratio_losses
+
+    if segmented or target_ijk is None:
+        i, j, k = czr
+    else:
+        i, j, k = (int(v) for v in target_ijk)
     p_target = np.sqrt(isppa_w_cm2 * 1e4 * 2.0 * sos[i, j, k] * rho[i, j, k])
     pressure_ratio = float(p_target / max(p_tissue.max(), 1e-30))
     return pressure_ratio, ratio_losses
@@ -168,6 +186,7 @@ def run_sonication(
         params.isppa,
         brain_mask=brain,
         single_point_ratio=tx_is_dome,
+        segmented=segmented,
     )
     p = np.asarray(p_amp) * pressure_ratio
 

@@ -244,3 +244,105 @@ class TestThermalExports:
         p = np.ones((2, 2, 2))
         out = rescale_isppa(res, p, new_isppa=20.0, old_isppa=5.0)
         np.testing.assert_allclose(out, 2.0 * 2.0)  # ratio * sqrt(4)
+
+
+class TestAnalyzeLossesReferenceParity:
+    """Pin analyze_losses against the reference's `AnalyzeLosses` formulas
+    (`CalculateTemperatureEffects.py:94-256`) evaluated by hand on a shared
+    synthetic field (VERDICT weak item: no cross-check existed)."""
+
+    def _setup(self):
+        from babelbrain_tpu.materials import (
+            build_thermal_material_list,
+            material_array,
+        )
+        from babelbrain_tpu.pipeline.thermal import tissue_region_masks
+
+        F0 = 500e3
+        shape = (24, 24, 40)
+        acoustic = material_array(
+            F0, tissues=("Water", "Skin", "Cortical", "Trabecular", "Brain")
+        )
+        mats = build_thermal_material_list(
+            acoustic, ct_mode=False, segmented_brain=False
+        )
+        mm = np.zeros(shape, np.uint8)
+        mm[:, :, 10:14] = 1
+        mm[:, :, 14:20] = 2
+        mm[:, :, 20:] = 4
+        rng = np.random.default_rng(2)
+        zz = np.arange(shape[2])
+        env = np.exp(-0.5 * ((zz - 28) / 4.0) ** 2)
+        p = rng.uniform(0.3, 1.0, shape) * env[None, None, :] * 5e5
+        pw = rng.uniform(0.3, 1.0, shape) * np.exp(
+            -0.5 * ((zz - 26) / 4.0) ** 2
+        )[None, None, :] * 8e5
+        _, _, brain = tissue_region_masks(mm, ct_mode=False, segmented=False)
+        return mats, mm, p, pw, brain
+
+    def test_plane_integral_formulas(self):
+        from babelbrain_tpu.pipeline.thermal import (
+            analyze_losses,
+            plane_energy,
+        )
+
+        mats, mm, p, pw, brain = self._setup()
+        dx = 5e-4
+        isppa = 5.0
+        target = (12, 12, 28)
+        pr, rl = analyze_losses(
+            p, pw, mm, mats, target, dx, isppa, brain_mask=brain
+        )
+        # hand evaluation of the reference formulas
+        rho = np.asarray(mats.density)[mm]
+        sos = np.asarray(mats.sos)[mm]
+        pt = np.where(brain, p, 0.0)
+        pww = np.where(brain, pw, 0.0)
+        czr = np.unravel_index(np.argmax(pt), pt.shape)[2]
+        czw = np.unravel_index(np.argmax(pww), pww.shape)[2]
+        rho0, sos0 = float(mats.density[0]), float(mats.sos[0])
+        e_t = plane_energy(pt[:, :, czr], rho[:, :, czr], sos[:, :, czr], dx)
+        e_w_at_t = plane_energy(pww[:, :, czr], rho0, sos0, dx)
+        e_t_at_w = plane_energy(pt[:, :, czw], rho[:, :, czw], sos[:, :, czw], dx)
+        e_w = plane_energy(pww[:, :, czw], rho0, sos0, dx)
+        expect = e_t / e_w_at_t
+        if expect > e_t_at_w / e_w + 0.2:
+            expect = e_t_at_w / e_w
+        assert rl == pytest.approx(expect, rel=1e-12)
+        # PressureRatio from the TARGET voxel's properties (non-segmented,
+        # `CalculateTemperatureEffects.py:246-256`)
+        i, j, k = target
+        p_adj = np.sqrt(isppa * 1e4 * 2.0 * sos[i, j, k] * rho[i, j, k])
+        assert pr == pytest.approx(p_adj / pt.max(), rel=1e-12)
+
+    def test_fixed_acoustic_power_override(self):
+        from babelbrain_tpu.pipeline.thermal import (
+            analyze_losses,
+            plane_energy,
+        )
+
+        mats, mm, p, pw, brain = self._setup()
+        dx = 5e-4
+        pr, rl = analyze_losses(
+            p, pw, mm, mats, (12, 12, 28), dx, 5.0, brain_mask=brain,
+            fixed_acoustic_power=2.5,
+        )
+        pt = np.where(brain, p, 0.0)
+        pww = np.where(brain, pw, 0.0)
+        czr = np.unravel_index(np.argmax(pt), pt.shape)[2]
+        rho0, sos0 = float(mats.density[0]), float(mats.sos[0])
+        e_w_at_t = plane_energy(pww[:, :, czr], rho0, sos0, dx)
+        assert rl == pytest.approx(2.5 / e_w_at_t, rel=1e-12)
+        assert pr == pytest.approx(np.sqrt(rl), rel=1e-12)
+
+    def test_dome_single_point_branch(self):
+        from babelbrain_tpu.pipeline.thermal import analyze_losses
+
+        mats, mm, p, pw, brain = self._setup()
+        _, rl = analyze_losses(
+            p, pw, mm, mats, (12, 12, 28), 5e-4, 5.0, brain_mask=brain,
+            single_point_ratio=True,
+        )
+        pt = np.where(brain, p, 0.0)
+        pww = np.where(brain, pw, 0.0)
+        assert rl == pytest.approx((pt.max() / pww.max()) ** 2, rel=1e-12)
