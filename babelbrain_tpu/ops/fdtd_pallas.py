@@ -2358,6 +2358,12 @@ def _sharded_fusedK_plan(L, nb, npml, fuse_steps, grid, K_cap=6,
     ``auto_fn`` is the VMEM-budget K selector (fluid ``_fusedK_auto`` or
     visco ``_viscoK_auto``). Returns None when no K >= 2 fits the shard
     extent or VMEM.
+
+    H must also satisfy ``H <= L - (npml + 2)``: a halo that reaches into a
+    global-edge neighbor's x-PML slab would evolve WITHOUT the PML
+    correction during the sweep (interior shards carry zeroed x coefs),
+    corrupting planes that the contamination-width argument assumes valid.
+    Thin shards fall back to the 1-step ghost-exchange path.
     """
     import dataclasses as _dc
 
@@ -2370,7 +2376,7 @@ def _sharded_fusedK_plan(L, nb, npml, fuse_steps, grid, K_cap=6,
         if K < 2:
             return None
         H = -((-4 * K) // nb) * nb
-        if H > L:
+        if H > L - ns:
             continue
         N1e = L + 2 * H
         ge = _dc.replace(grid, shape=(N1e,) + tuple(grid.shape[1:]))

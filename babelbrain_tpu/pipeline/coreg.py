@@ -8,11 +8,11 @@ parameters with a differentiable resampler: JAX autodiff through
 multi-resolution Adam loop converges in a few hundred steps — no external
 binaries, runs on any JAX backend.
 
-Metric: negative local-mean-removed normalized cross-correlation (robust to
-the CT/MR intensity relationship being non-identity monotone is NOT assumed
-— for multi-modal CT<->T1 the reference's elastix config uses Mattes mutual
-information; here NCC on gradient-magnitude images approximates it and an
-optional histogram-binned MI metric is provided).
+Metrics: normalized cross-correlation on gradient-magnitude images
+(edge alignment, insensitive to the CT<->MR intensity relationship) or
+Parzen-window mutual information (``metric='mi'``) — the multi-modal
+metric class of the reference's elastix config (Mattes MI,
+`ExternalBin/elastix/rigid.txt`).
 """
 
 from __future__ import annotations
@@ -55,6 +55,33 @@ def _ncc(a, b):
     return jnp.sum(a * b) / jnp.sqrt(jnp.sum(a * a) * jnp.sum(b * b) + 1e-12)
 
 
+def _mutual_information(a, b, bins: int = 32):
+    """Differentiable Parzen-window (soft-binned) mutual information.
+
+    The multi-modal metric class the reference's elastix config uses
+    (Mattes MI, `ExternalBin/elastix/rigid.txt`): invariant to any
+    intensity relationship between the modalities, not just affine ones.
+    Inputs are min-max normalized into [0, 1]; a Gaussian window one bin
+    wide keeps the joint histogram smooth so autodiff gradients exist.
+    """
+    av = a.ravel()
+    bv = b.ravel()
+    av = (av - av.min()) / (av.max() - av.min() + 1e-9)
+    bv = (bv - bv.min()) / (bv.max() - bv.min() + 1e-9)
+    centers = jnp.linspace(0.0, 1.0, bins)
+    sig = 1.0 / bins
+    wa = jnp.exp(-0.5 * ((av[:, None] - centers[None, :]) / sig) ** 2)
+    wb = jnp.exp(-0.5 * ((bv[:, None] - centers[None, :]) / sig) ** 2)
+    wa = wa / (wa.sum(axis=1, keepdims=True) + 1e-12)
+    wb = wb / (wb.sum(axis=1, keepdims=True) + 1e-12)
+    pab = (wa.T @ wb) / av.shape[0]
+    pa = pab.sum(axis=1)
+    pb = pab.sum(axis=0)
+    return jnp.sum(
+        pab * (jnp.log(pab + 1e-12) - jnp.log(pa[:, None] * pb[None, :] + 1e-12))
+    )
+
+
 def _grad_mag(v):
     gx = jnp.gradient(v, axis=0)
     gy = jnp.gradient(v, axis=1)
@@ -81,6 +108,8 @@ def register_rigid(
     lr=0.5,
     use_gradient_images=True,
     init_params=None,
+    metric: str = "ncc",
+    return_quality: bool = False,
 ):
     """Estimate the rigid transform aligning ``moving`` to ``fixed``.
 
@@ -88,6 +117,13 @@ def register_rigid(
     ``imaging.resample_from_to`` if needed). Returns (params[6], matrix4x4)
     where the matrix maps fixed-voxel -> moving-voxel homogeneous
     coordinates (the convention ``imaging.resample_affine`` consumes).
+
+    ``metric``: 'ncc' (on gradient-magnitude images by default — edge
+    alignment is modality-insensitive) or 'mi' (Parzen mutual information,
+    the multi-modal metric class of the reference's elastix config).
+    ``return_quality`` additionally returns the final similarity value at
+    the finest level (NCC in [-1, 1] or MI in nats) so callers can DETECT
+    a failed registration instead of silently consuming garbage.
     """
     import optax
 
@@ -96,11 +132,14 @@ def register_rigid(
     params = jnp.asarray(
         init_params if init_params is not None else np.zeros(6), jnp.float32
     )
+    if metric not in ("ncc", "mi"):
+        raise ValueError("metric must be 'ncc' or 'mi'")
+    quality = None
 
     for f in levels:
         fx = jnp.asarray(_downsample(fixed, f))
         mv = jnp.asarray(_downsample(moving, f))
-        if use_gradient_images:
+        if use_gradient_images and metric == "ncc":
             fx = _grad_mag(fx)
             mv = _grad_mag(mv)
         fx = (fx - fx.mean()) / (fx.std() + 1e-6)
@@ -112,6 +151,8 @@ def register_rigid(
             # voxels and divided by the pyramid factor at this level
             p_level = jnp.concatenate([p[:3], p[3:] / f])
             warped = _resample_rigid(mv, p_level, fx.shape, center)
+            if metric == "mi":
+                return -_mutual_information(warped, fx)
             return -_ncc(warped, fx)
 
         opt = optax.adam(lr * (0.02 if f == 1 else 0.05))
@@ -121,6 +162,7 @@ def register_rigid(
             val, g = grad_fn(params)
             updates, state = opt.update(g, state)
             params = optax.apply_updates(params, updates)
+        quality = -float(val)
 
     p = np.asarray(params)
     R = np.asarray(euler_matrix(p[0], p[1], p[2]))
@@ -128,4 +170,6 @@ def register_rigid(
     m = np.eye(4)
     m[:3, :3] = R
     m[:3, 3] = c - R @ c + p[3:6]
+    if return_quality:
+        return p, m, quality
     return p, m

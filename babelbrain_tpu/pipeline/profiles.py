@@ -335,6 +335,9 @@ def build_transducer(
     elem_centers=None,
     rotation_z: float = 0.0,
     sector: str = "Total",
+    factor_enlarge: float = 1.0,
+    diameter: float | None = None,
+    focal_length: float | None = None,
 ):
     """Instantiate geometry for a registry entry (focus at origin).
 
@@ -342,6 +345,12 @@ def build_transducer(
     the reference's RotationZ parameter (`I12378.py:55-70` et al.).
     ``sector`` selects the REMOPD half-array configs ('Total' | 'Sector1' =
     elements 0-127 | 'Sector2' = 128-255, `BabelIntegrationREMOPD.py:100-118`).
+    ``factor_enlarge`` scales a single-element bowl's aperture AND focal
+    length together (same F-number) — the reference's FactorEnlarge trick
+    that feeds the FDTD a more coherent incident field
+    (`BabelIntegrationSingle.py:224-238`); the focus stays at the origin.
+    ``diameter``/``focal_length`` override the registry values for the
+    user-adjustable Single system (`Babel_SingleTx` Foc/Diam spinboxes).
     """
     from ..tx import (
         TABLE_DEVICES,
@@ -356,8 +365,11 @@ def build_transducer(
     )
 
     if spec.kind == "single":
+        foc = focal_length if focal_length is not None else spec.focal_length
+        diam = diameter if diameter is not None else spec.diameter
         return make_focused_bowl(
-            frequency, spec.focal_length, spec.diameter, sos_water, ppw_surface
+            frequency, foc * factor_enlarge, diam * factor_enlarge,
+            sos_water, ppw_surface,
         )
     if spec.kind == "annular":
         if not spec.in_diameters:

@@ -137,6 +137,12 @@ class CaseConfig:
     # concave arrays: holder-cone distance for the mechanical-Z auto-adjust
     # (`BabelIntegrationCONCAVE_PHASEDARRAY.py:140-152`); None = device default
     distance_cone_to_focus: float | None = None
+    # single-element bowls: same-F-number virtual enlargement for a more
+    # coherent FDTD input field (`BabelIntegrationSingle.py:224-238`), and
+    # the user-adjustable Foc/Diam overrides of the Single system
+    factor_enlarge: float = 1.0
+    tx_diameter: float | None = None
+    tx_focal_length: float | None = None
     segment_brain: bool = False
     bone_rim_correction: bool = False
     elem_centers: np.ndarray | None = None
@@ -280,6 +286,7 @@ def run_case(
         tight=(cfg.tight_narrow_beam, cfg.z_beyond_focal_m),
         tpo=cfg.tpo_distance,
         cone=cfg.distance_cone_to_focus,
+        enlarge=(cfg.factor_enlarge, cfg.tx_diameter, cfg.tx_focal_length),
     )
     hash_file = out_base + ".hash"
     h5_path_probe = out_base + "_DataForSim.h5"
@@ -432,11 +439,17 @@ def run_case(
         # reference grow/tight-beam-shrink fit (`BabelIntegrationBASE.py:
         # 1874-2068`): offsets grown so the incident cone clears the PML,
         # x/y shrunk to the beam support in tight mode
+        eff_diam = (cfg.tx_diameter or spec.diameter) * cfg.factor_enlarge
+        eff_focal = (
+            cfg.tx_focal_length
+            if cfg.tx_focal_length is not None
+            else (spec.focal_length or 0.0)
+        ) * cfg.factor_enlarge
         offsets, shrinks = fit_domain_offsets(
             np.flip(s1.mask, axis=2),
             s1.dx_mm * 1e-3,
-            spec.diameter,
-            spec.focal_length or 0.0,
+            eff_diam,
+            eff_focal,
             tx_mech_adjust=(0.0, 0.0, mech_z),
             extra_depth=extra_depth,
             tight_narrow_beam=cfg.tight_narrow_beam,
@@ -456,10 +469,11 @@ def run_case(
         )
         tx = build_transducer(
             spec, cfg.frequency, elem_centers=cfg.elem_centers,
-            rotation_z=cfg.rotation_z,
+            rotation_z=cfg.rotation_z, factor_enlarge=cfg.factor_enlarge,
+            diameter=cfg.tx_diameter, focal_length=cfg.tx_focal_length,
         )
         tx, mech_adjust = position_transducer(
-            tx, dom, spec.focal_length or 0.0, extra_z=mech_z,
+            tx, dom, eff_focal, extra_z=mech_z,
             return_adjustment=True,
         )
         result = run_acoustic_sim(
@@ -558,6 +572,21 @@ def run_case(
 
     with open(hash_file, "w") as f:
         f.write(chash)
+    # session-level telemetry event (the reference posts per-run CTS events
+    # with Tx/frequency metadata, `Telemetry/Telemetry.py:10-109`)
+    try:
+        from ..utils.telemetry import get_telemetry
+
+        tel = get_telemetry()
+        tel.event(
+            "CTS:L0: case complete",
+            tx=cfg.tx_system, frequency=cfg.frequency, ppw=cfg.ppw,
+            ct_type=cfg.ct_type if ct_data is not None else "none",
+            refocus=cfg.do_refocus,
+        )
+        tel.flush()
+    except Exception:
+        pass
     return {
         "step1": s1,
         "domain": dom,

@@ -65,6 +65,14 @@ def _child(queue, result_queue, fn, args, kwargs):
         print(ERROR_SENTINEL)
         print(traceback.format_exc())
         result_queue.put(("error", traceback.format_exc()))
+        try:
+            from ..utils.telemetry import get_telemetry
+
+            tel = get_telemetry()
+            tel.event("CTS:L0: step error")
+            tel.flush()
+        except Exception:
+            pass
     finally:
         sys.stdout.flush()
 

