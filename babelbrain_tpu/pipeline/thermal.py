@@ -141,10 +141,13 @@ class ThermalResult:
     temperature_end: np.ndarray
     temperature_peak: np.ndarray
     dose: np.ndarray  # CEM43 seconds
-    monitor: np.ndarray  # (4, n_steps)
+    monitor: np.ndarray  # (4, n_samples)
     metrics: dict = field(default_factory=dict)
     pressure_ratio: float = 1.0
     ratio_losses: float = 1.0
+    # step index of each monitor sample (per-step for the XLA BHTE path,
+    # once per fused sweep for the Pallas path)
+    monitor_steps: np.ndarray | None = None
 
 
 def run_sonication(
@@ -279,6 +282,7 @@ def run_sonication(
         metrics=metrics,
         pressure_ratio=pressure_ratio,
         ratio_losses=ratio_losses,
+        monitor_steps=res.monitor_steps,
     )
 
 
@@ -343,9 +347,14 @@ def run_all_combinations(
         if concatenate:
             init_t, init_d = res.temperature_end, res.dose
         n_mon = res.monitor.shape[-1]
+        mon_steps = (
+            res.monitor_steps
+            if res.monitor_steps is not None
+            else np.arange(n_mon)
+        )
         sub = {
             "TempProfileTarget": res.monitor[-1],
-            "TimeProfileTarget": np.arange(n_mon) * dt,
+            "TimeProfileTarget": np.asarray(mon_steps) * dt,
             "p_map": np.asarray(p_amp)[p_amp.shape[0] // 2] * res.pressure_ratio,
             "DurationUS": params.duration_on,
             "DurationOff": params.duration_off,

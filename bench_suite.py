@@ -268,11 +268,78 @@ def bench_bhte():
     _emit("bhte_mcells_per_s", mcups, "Mcells/s", None)
 
 
+def bench_bhte_pallas():
+    """Fused K-step Pallas BHTE (`ops.bhte_pallas`): one streaming sweep
+    advances K timesteps with the coefficient maps stashed in VMEM."""
+    import jax
+    import jax.numpy as jnp
+
+    from babelbrain_tpu.materials import (
+        build_thermal_material_list,
+        material_array,
+    )
+    from babelbrain_tpu.ops import bhte as B
+    from babelbrain_tpu.ops.bhte_pallas import (
+        _bhteK_auto,
+        bhte_segment_pallas,
+    )
+
+    shape = (192, 192, 192)
+    acoustic = material_array(
+        F0, tissues=("Water", "Skin", "Cortical", "Trabecular", "Brain")
+    )
+    mats = build_thermal_material_list(
+        acoustic, ct_mode=False, segmented_brain=False
+    )
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 60:70] = 1
+    idx[:, :, 70:88] = 2
+    idx[:, :, 88:] = 4
+    p = np.zeros(shape, np.float32)
+    p[80:110, 80:110, 110:150] = 1e6
+    dt, dx = 0.01, 1482.3 / F0 / PPW
+    Q = jnp.asarray(B.absorption_heating(p, idx, mats, 0.3))
+    coeff = {k: jnp.asarray(v)
+             for k, v in B._build_coeff_maps(idx, mats, dx, dt).items()}
+    km = coeff["k"]
+    hm, sh = B._harmonic_mean, B._shift
+    i2 = coeff["inv_dx2"]
+    c6 = [hm(km, sh(km, 1, 0)) * i2, hm(km, sh(km, -1, 0)) * i2,
+          hm(km, sh(km, 1, 1)) * i2, hm(km, sh(km, -1, 1)) * i2,
+          hm(km, sh(km, 1, 2)) * i2, hm(km, sh(km, -1, 2)) * i2,
+          coeff["inv_rho_cp_dt"], coeff["perf_dt"]]
+    c6 = [jax.device_put(c) for c in c6]
+    t0f = np.asarray(mats.init_temperature, np.float64)[idx]
+    T0 = jax.device_put(jnp.asarray(t0f, jnp.float32))
+    dose0 = jax.device_put(jnp.zeros(shape, jnp.float32))
+    peak0 = jax.device_put(jnp.full(shape, -1e9, jnp.float32))
+    mon = jnp.zeros(1, jnp.int32)
+    K = _bhteK_auto(shape, 4)
+
+    def run(n):
+        out = bhte_segment_pallas(
+            T0, dose0, peak0, Q, c6, n, 37.0, mon, nb=4, fuse_steps=K,
+        )
+        return float(np.asarray(out[0][0, 0, :2])[0])
+
+    n1, n2 = 5 * K, 45 * K
+    run(n1); run(n2)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time(); run(n1); ta = time.time() - t0
+        t0 = time.time(); run(n2); tb = time.time() - t0
+        best = min(best, (tb - ta) / (n2 - n1))
+    mcups = np.prod(shape) / best / 1e6
+    # baseline: this repo's measured XLA BHTE scan, ~9.6 Gcells/s
+    _emit("bhte_pallas_mcells_per_s", mcups, "Mcells/s", 9600.0)
+
+
 ALL = {
     "fdtd_fluid_ct": bench_fluid_ct,
     "fdtd_visco_label": bench_visco_label,
     "rayleigh": bench_rayleigh,
     "bhte": bench_bhte,
+    "bhte_pallas": bench_bhte_pallas,
 }
 
 

@@ -346,3 +346,55 @@ class TestAnalyzeLossesReferenceParity:
         pt = np.where(brain, p, 0.0)
         pww = np.where(brain, pw, 0.0)
         assert rl == pytest.approx((pt.max() / pww.max()) ** 2, rel=1e-12)
+
+
+class TestBHTEPallas:
+    """Temporally-blocked Pallas BHTE (`ops.bhte_pallas`): K fused
+    timesteps per streaming sweep must reproduce the XLA scan."""
+
+    def _setup(self):
+        from babelbrain_tpu.materials import (
+            build_thermal_material_list,
+            material_array,
+        )
+
+        shape = (32, 32, 40)
+        acoustic = material_array(
+            500e3, tissues=("Water", "Skin", "Cortical", "Trabecular",
+                            "Brain")
+        )
+        mats = build_thermal_material_list(
+            acoustic, ct_mode=False, segmented_brain=False
+        )
+        idx = np.zeros(shape, np.uint8)
+        idx[:, :, 10:14] = 1
+        idx[:, :, 14:20] = 2
+        idx[:, :, 20:] = 4
+        p = np.zeros(shape, np.float32)
+        p[12:20, 12:20, 24:32] = 2e6
+        return shape, mats, idx, p
+
+    def test_matches_xla_schedule(self):
+        """On/off schedule with a tail not divisible by K: T/dose/peak and
+        the sweep-cadence monitors must match the per-step XLA path."""
+        from babelbrain_tpu.ops.bhte import bhte_run
+
+        shape, mats, idx, p = self._setup()
+        sched = [(0, 13, True), (0, 8, False), (0, 5, True)]
+        common = dict(
+            dt=0.01, duty_cycle=0.3, monitor_points=[(16, 16, 28)],
+            arterial_temperature=37.0,
+        )
+        rx = bhte_run(p, idx, mats, 5e-4, sched, backend="xla", **common)
+        rp = bhte_run(p, idx, mats, 5e-4, sched, backend="pallas", **common)
+        np.testing.assert_allclose(rp.temperature, rx.temperature,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(rp.dose, rx.dose, rtol=1e-6)
+        np.testing.assert_allclose(rp.peak_temperature, rx.peak_temperature,
+                                   rtol=0, atol=1e-5)
+        # monitors: pallas samples once per sweep at the recorded steps
+        assert rp.monitor_steps is not None
+        np.testing.assert_allclose(
+            rp.monitor[0], rx.monitor[0][rp.monitor_steps],
+            rtol=0, atol=1e-5,
+        )
