@@ -103,6 +103,16 @@ def _cmd_run(args):
         segment_brain=args.segment_brain,
         bone_rim_correction=args.bone_rim_correction,
         elem_centers=elem_centers,
+        tight_narrow_beam=args.tight_narrow_beam,
+        tpo_distance=args.tpo_distance * 1e-3 if args.tpo_distance else None,
+        distance_cone_to_focus=(
+            args.cone_to_focus * 1e-3 if args.cone_to_focus else None
+        ),
+        factor_enlarge=args.factor_enlarge,
+        tx_diameter=args.tx_diameter * 1e-3 if args.tx_diameter else None,
+        tx_focal_length=(
+            args.tx_focal_length * 1e-3 if args.tx_focal_length else None
+        ),
         output_dir=args.out,
         prefix=args.prefix,
         export_meshes=args.export_meshes,
@@ -230,6 +240,21 @@ def main(argv=None):
     r.add_argument("--mapping", default="Webb-Marsac",
                    help="CT mapping method (7 supported)")
     r.add_argument("--steering", default="0,0,0", help="steering offsets (m)")
+    r.add_argument("--tpo-distance", type=float, default=0.0,
+                   help="ring systems: TPO focal distance (mm); converted to "
+                        "Z steering against the device's natural out-plane")
+    r.add_argument("--cone-to-focus", type=float, default=0.0,
+                   help="concave arrays: holder-cone distance (mm) for the "
+                        "mechanical-Z auto-adjust (0 = device default)")
+    r.add_argument("--tight-narrow-beam", action="store_true",
+                   help="shrink the domain to the incident-beam support "
+                        "(the reference's TightNarrowBeamDomain option)")
+    r.add_argument("--factor-enlarge", type=float, default=1.0,
+                   help="single bowls: same-F-number virtual enlargement")
+    r.add_argument("--tx-diameter", type=float, default=0.0,
+                   help="single bowls: override aperture (mm)")
+    r.add_argument("--tx-focal-length", type=float, default=0.0,
+                   help="single bowls: override focal length (mm)")
     r.add_argument("--refocus", action="store_true")
     r.add_argument(
         "--export-meshes",

@@ -334,9 +334,75 @@ def bench_bhte_pallas():
     _emit("bhte_pallas_mcells_per_s", mcups, "Mcells/s", 9600.0)
 
 
+def bench_visco_narrow():
+    """Label-mode viscoelastic FDTD on a tight-narrow-beam grid
+    (192x128x192): the plane cross-section is small enough for the K=4
+    fused visco kernel to fit VMEM (the 192x240 headline shape caps at
+    K=2 — the chip's 128 MB VMEM bounds the 15-field ring set)."""
+    import jax
+    import jax.numpy as jnp
+
+    from babelbrain_tpu.materials import material_array
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _material_fields,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops.fdtd_pallas import simulate_visco_pallas
+
+    shape = (192, 128, 192)
+    mats = material_array(F0)
+    cmax = mats[:, 1:3].max()
+    dx = 1482.3 / F0 / PPW
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, cmax, cfl=0.5)))
+    dt = 1 / F0 / ppp
+    n_steps = 42 * ppp
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
+        sensor_start=n_steps - 2 * ppp, source_plane_z=13,
+    )
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, cmax, 1e-5)
+    idx = np.zeros(shape, np.uint16)
+    idx[:, :, 60:70] = 3
+    idx[:, :, 70:78] = 1
+    idx[:, :, 78:84] = 2
+    idx[:, :, 84:88] = 1
+    idx[:, :, 88:] = 4
+    coefs = sls_coefficients(mats, F0, grid.dt)
+    props = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in _material_fields(idx, coefs, has_shear=True).items()
+    }
+    amp = jax.device_put(
+        jnp.zeros(shape[:2], jnp.float32).at[16:-16, 16:-16].set(60e3)
+    )
+    ph = jax.device_put(jnp.zeros(shape[:2], jnp.float32))
+    fn = jax.jit(
+        functools.partial(
+            simulate_visco_pallas,
+            grid=grid, profiles_np=prof, viscous=True,
+            oz_scale=1.0 / (1000.0 * 1500.0), nb=2,
+        )
+    )
+    sync = lambda out: float(np.asarray(out[0][0, 0, :2])[0])
+    pa = jnp.float32(0.0)
+    sync(fn(props, amp, ph, pa))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        sync(fn(props, amp, ph, pa))
+        best = min(best, time.time() - t0)
+    mcups = np.prod(shape) / (best / grid.n_steps) / 1e6
+    # baseline: this repo's measured XLA viscoelastic path, ~0.6 Gcells/s
+    _emit("fdtd_visco_narrow_mcells_per_s", mcups, "Mcells/s", 600.0)
+
+
 ALL = {
     "fdtd_fluid_ct": bench_fluid_ct,
     "fdtd_visco_label": bench_visco_label,
+    "fdtd_visco_narrow": bench_visco_narrow,
     "rayleigh": bench_rayleigh,
     "bhte": bench_bhte,
     "bhte_pallas": bench_bhte_pallas,

@@ -460,3 +460,39 @@ class TestSelMapsAndSensors:
             run_fdtd(idx, mats, grid, sel_maps=("Bogus_rms",))
         with pytest.raises(ValueError, match="XLA path"):
             run_fdtd(idx, mats, grid, backend="pallas", sel_maps=("Pressure_rms",))
+
+
+class TestPointSourceSphericalSpreading:
+    """Analytic anchor for the stress_point source (refocus backprop): a CW
+    monopole in attenuating water must decay as e^(-alpha r)/r — an
+    independent closed-form check that no golden file can drift with."""
+
+    def test_inverse_r_and_attenuation(self):
+        F0, C = 500e3, 1500.0
+        alpha = 30.0  # Np/m
+        shape = (72, 72, 72)
+        dx = C / F0 / 9
+        ppp = int(np.ceil(1 / F0 / stable_dt(dx, C, 0.9)))
+        dt = 1 / F0 / ppp
+        ns = ppp * 8
+        grid = FDTDGrid(
+            shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+            sensor_start=ns - 2 * ppp, source_type="stress_point",
+            source_ijk=(36, 36, 36),
+        )
+        mats = np.array([[1000.0, C, 0.0, alpha, 0.0]])
+        out = run_fdtd(np.zeros(shape, np.uint8), mats, grid,
+                       point_amp=50e3, backend="xla")
+        amp = out["p_amp"]
+        # radial samples along +z, away from the source's near field and
+        # clear of the PML (r in [6, 18] cells)
+        rs = np.arange(6, 19)
+        vals = amp[36, 36, 36 + rs]
+        r_m = rs * dx
+        # fit log(p * r) ~ -alpha * r: slope recovers the attenuation and
+        # the flatness of p*r*e^{alpha r} verifies 1/r spreading
+        y = np.log(vals * r_m)
+        slope = np.polyfit(r_m, y, 1)[0]
+        assert slope == pytest.approx(-alpha, abs=0.25 * alpha)
+        comp = vals * r_m * np.exp(alpha * r_m)
+        assert comp.std() / comp.mean() < 0.05
