@@ -588,10 +588,32 @@ def _make_step_fn(grid: FDTDGrid, profiles, viscous, has_shear, oz_scale, comm,
             )
         y = None
         if monitor_idx is not None:
-            y = pressure.reshape(-1)[monitor_idx]
+            y = _monitor_gather(pressure, monitor_idx, comm)
         return new_carry, y
 
     return step, init_cpml_state
+
+
+def _monitor_gather(pressure, monitor_idx, comm):
+    """Sensor-point gather in GLOBAL (i, j, k) coordinates.
+
+    Under domain decomposition each shard gathers the points it owns and a
+    psum replicates the series (zeros elsewhere); single device reduces to
+    a plain gather.
+    """
+    mi, mj, mk = monitor_idx
+    i_loc = mi - comm.local_x_offset(pressure.shape[0])
+    j_loc = mj - comm.local_y_offset(pressure.shape[1])
+    own = (
+        (i_loc >= 0) & (i_loc < pressure.shape[0])
+        & (j_loc >= 0) & (j_loc < pressure.shape[1])
+    ).astype(pressure.dtype)
+    vals = pressure[
+        jnp.clip(i_loc, 0, pressure.shape[0] - 1),
+        jnp.clip(j_loc, 0, pressure.shape[1] - 1),
+        mk,
+    ]
+    return comm.psum(vals * own)
 
 
 
@@ -750,7 +772,7 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm,
             )
         y = None
         if monitor_idx is not None:
-            y = p.reshape(-1)[monitor_idx]
+            y = _monitor_gather(p, monitor_idx, comm)
         return new_carry, y
 
     return step, init_cpml_state
@@ -879,7 +901,9 @@ def run_fdtd(
     sensor_subsampling : cadence for the monitor series (the reference's
         ``SensorSubSampling``); samples start at ``grid.sensor_start``.
 
-    ``sel_maps``/``monitor_ijk`` run on the single-device XLA path.
+    ``sel_maps``/``monitor_ijk`` run on the XLA path (single-device or
+    sharded: extra maps shard like the volume, monitor series are psum'd
+    to a replicated vector).
 
     Returns
     -------
@@ -901,10 +925,6 @@ def run_fdtd(
         raise ValueError(f"unknown sel_maps entries: {sorted(bad)}")
     want_extras = bool(sel_maps) or monitor_ijk is not None
     if want_extras:
-        if mesh is not None:
-            raise NotImplementedError(
-                "sel_maps/monitor_ijk require a single-device run"
-            )
         if backend == "pallas":
             raise ValueError(
                 "sel_maps/monitor_ijk are served by the XLA path; the pallas "
@@ -1098,9 +1118,7 @@ def run_fdtd(
     monitor_idx = None
     if monitor_ijk is not None:
         mi = np.asarray(monitor_ijk, np.int64).reshape(-1, 3)
-        monitor_idx = jnp.asarray(
-            np.ravel_multi_index((mi[:, 0], mi[:, 1], mi[:, 2]), grid.shape)
-        )
+        monitor_idx = tuple(jnp.asarray(mi[:, d]) for d in range(3))
     if mesh is None:
         comm = DomainComm()
         fn = jax.jit(
@@ -1133,6 +1151,14 @@ def run_fdtd(
         comm = DomainComm(ax_x, mesh_nx, axis_name_y=ax_y, n_shards_y=mesh_ny)
         spec3 = P(ax_x, ax_y, None)
         spec2 = P(ax_x, ax_y)
+        out_specs = (spec3, spec3, spec3)
+        if want_extras:
+            # extras shard like the volume; the monitor series is psum'd
+            # to a replicated per-step vector inside the step fn
+            out_specs = out_specs + (
+                {name: spec3 for name in sel_maps},
+                None if monitor_idx is None else P(),
+            )
         fn = jax.jit(
             jax.shard_map(
                 functools.partial(
@@ -1143,10 +1169,12 @@ def run_fdtd(
                     has_shear=has_shear,
                     oz_scale=oz_scale,
                     comm=comm,
+                    extras=sel_maps,
+                    monitor_idx=monitor_idx,
                 ),
                 mesh=mesh,
                 in_specs=({k: spec3 for k in props_np}, spec2, spec2, P()),
-                out_specs=(spec3, spec3, spec3),
+                out_specs=out_specs,
             )
         )
 

@@ -314,7 +314,7 @@ def bench_bhte_pallas():
     dose0 = jax.device_put(jnp.zeros(shape, jnp.float32))
     peak0 = jax.device_put(jnp.full(shape, -1e9, jnp.float32))
     mon = jnp.zeros(1, jnp.int32)
-    K = _bhteK_auto(shape, 4)
+    K = min(_bhteK_auto(shape, 4), 5)
 
     def run(n):
         out = bhte_segment_pallas(

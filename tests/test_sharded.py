@@ -402,3 +402,30 @@ class TestShardedFusedOverlap:
         assert plan is not None and plan[0] <= 4
         K, H, h0 = plan
         assert H <= 32 - 14 and H >= 4 * K and h0 == H // 2
+
+
+class TestShardedExtras:
+    def test_sel_maps_and_monitor_match_single_device(self):
+        """SelMapsRMSPeakList maps + SensorOutput monitor series under
+        domain decomposition must equal the single-device values (maps
+        shard like the volume; the monitor gather psums ownership)."""
+        shape = (64, 32, 48)
+        grid = _grid(shape, 3, npml=12)
+        mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        amp = np.zeros(shape[:2], np.float32)
+        amp[10:-10, 10:22] = 60e3
+        mon = np.array([[13, 15, 30], [40, 16, 36], [60, 20, 26]])
+        kw = dict(
+            source_amp=amp,
+            sel_maps=("Pressure_rms", "Vz_peak"),
+            monitor_ijk=mon,
+            sensor_subsampling=2,
+        )
+        o1 = run_fdtd(idx, mats, grid, **kw)
+        o4 = run_fdtd(idx, mats, grid, mesh=make_mesh(4), **kw)
+        np.testing.assert_array_equal(o4["Pressure_rms"], o1["Pressure_rms"])
+        np.testing.assert_array_equal(o4["Vz_peak"], o1["Vz_peak"])
+        np.testing.assert_array_equal(o4["sensor_series"],
+                                      o1["sensor_series"])
+        np.testing.assert_array_equal(o4["sensor_times"], o1["sensor_times"])
