@@ -219,6 +219,44 @@ def _bhteK_auto(shape, nb, K_cap=8, budget_bytes=100 * 1024 * 1024,
     return 0
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "K", "nb", "interpret", "with_q")
+)
+def _segment_scan(T0, dose0, peak0, Q_seg, coeffs, scal, monitor_idx, *,
+                  n_steps, K, nb, interpret, with_q):
+    shape = T0.shape
+    mons = []
+
+    def sweep_fn(Kk):
+        call = build_bhte_fusedK_step(shape, Kk, nb, interpret, with_q)
+
+        def body(carry, _):
+            T, dose, peak = carry
+            args = [T, dose, peak] + list(coeffs) \
+                + ([Q_seg] if with_q else []) + [scal]
+            T, dose, peak = call(*args)
+            return (T, dose, peak), T.reshape(-1)[monitor_idx]
+
+        return body
+
+    carry = (T0, dose0, peak0)
+    done = 0
+    if K >= 2 and n_steps // K > 0:
+        carry, ys = jax.lax.scan(sweep_fn(K), carry, None,
+                                 length=n_steps // K)
+        mons.append(ys)
+        done = K * (n_steps // K)
+    if done < n_steps:
+        carry, ys = jax.lax.scan(sweep_fn(1), carry, None,
+                                 length=n_steps - done)
+        mons.append(ys)
+    T, dose, peak = carry
+    mons = jnp.concatenate(mons, axis=0) if mons else jnp.zeros(
+        (0, np.size(monitor_idx)), jnp.float32
+    )
+    return T, dose, peak, mons
+
+
 def bhte_segment_pallas(T0, dose0, peak0, Q_seg, coeff6, n_steps, t_arterial,
                         monitor_idx, *, nb=4, interpret=False,
                         fuse_steps=None):
@@ -226,47 +264,24 @@ def bhte_segment_pallas(T0, dose0, peak0, Q_seg, coeff6, n_steps, t_arterial,
 
     ``Q_seg`` is the segment's heat map ALREADY scaled by the on-flag (None
     for off segments). Returns (T, dose, peak, monitors, monitor_steps):
-    monitors are gathered once per sweep (and once for the tail), with the
-    global step index of each sample in ``monitor_steps``.
+    monitors are gathered once per sweep (and once per tail step), with the
+    global step index of each sample in ``monitor_steps``. The scan body is
+    jitted (cached on (n_steps, K) so repeated schedule segments don't
+    re-trace).
     """
     shape = T0.shape
     with_q = Q_seg is not None
     K = fuse_steps if fuse_steps is not None else _bhteK_auto(
         shape, nb, with_q=with_q
     )
+    K = max(int(K), 1)
     scal = jnp.asarray([[t_arterial, 0.0]], jnp.float32)
-    coeffs = list(coeff6)
-
-    mons = []
-    mon_steps = []
-    done = 0
-
-    def sweep_fn(Kk):
-        call = build_bhte_fusedK_step(shape, Kk, nb, interpret, with_q)
-
-        def body(carry, _):
-            T, dose, peak = carry
-            args = [T, dose, peak] + coeffs + ([Q_seg] if with_q else []) \
-                + [scal]
-            T, dose, peak = call(*args)
-            return (T, dose, peak), T.reshape(-1)[monitor_idx]
-
-        return body
-
-    carry = (T0, dose0, peak0)
-    if K >= 2 and n_steps // K > 0:
-        body = sweep_fn(K)
-        carry, ys = jax.lax.scan(body, carry, None, length=n_steps // K)
-        mons.append(ys)
-        done = K * (n_steps // K)
-        mon_steps.extend(range(K - 1, done, K))
-    if done < n_steps:
-        body1 = sweep_fn(1)
-        carry, ys = jax.lax.scan(body1, carry, None, length=n_steps - done)
-        mons.append(ys)
-        mon_steps.extend(range(done, n_steps))
-    T, dose, peak = carry
-    mons = jnp.concatenate(mons, axis=0) if mons else jnp.zeros(
-        (0, np.size(monitor_idx)), jnp.float32
+    q_arg = Q_seg if with_q else T0  # dummy, unused when with_q=False
+    T, dose, peak, mons = _segment_scan(
+        T0, dose0, peak0, q_arg, tuple(coeff6), scal, monitor_idx,
+        n_steps=int(n_steps), K=K, nb=nb, interpret=interpret,
+        with_q=with_q,
     )
+    done = K * (n_steps // K) if K >= 2 else 0
+    mon_steps = list(range(K - 1, done, K)) + list(range(done, n_steps))
     return T, dose, peak, mons, np.asarray(mon_steps, np.int64)
