@@ -2319,7 +2319,20 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
     return step
 
 
-def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024,
+def _tile_padded_bytes(shape):
+    """f32 bytes of a VMEM buffer after Mosaic (8, 128) tiling of the last
+    two dims — z-type psi slabs (..., N2, ns=14) pad their last dim to 128,
+    a ~9x blowup the budget estimators must account for."""
+    s = list(shape)
+    s[-1] = -(-s[-1] // 128) * 128
+    s[-2] = -(-s[-2] // 8) * 8
+    out = 4
+    for v in s:
+        out *= int(v)
+    return out
+
+
+def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=118 * 1024 * 1024,
                  with_dft=False):
     """Pick the deepest K whose VMEM footprint (rings + double-buffered
     block streams) fits the budget; 0/1 means 'no fusedK'.
@@ -2333,7 +2346,9 @@ def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024,
     ns = grid.npml + 2
     n_slabs = N1 // nb
     kx = -(-ns // nb)
-    slab_b = nb * N2 * N3 * 4
+    slab_b = _tile_padded_bytes((nb, N2, N3))
+    y_b = _tile_padded_bytes((nb, ns, N3))
+    z_b = _tile_padded_bytes((nb, N2, ns))
     for K in range(K_cap, 1, -1):
         if n_slabs < kx + 2 * K - 1:
             continue
@@ -2342,8 +2357,9 @@ def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=100 * 1024 * 1024,
         if with_dft:
             ring_slabs += (K - 1) * (K - 2)
             buf_slabs += 12
-        est = (ring_slabs + buf_slabs) * slab_b + 8 * (2 * K - 1) * nb * ns \
-            * max(N2, N3) * 4 + 4 * 1024 * 1024
+        est = (ring_slabs + buf_slabs) * slab_b \
+            + (4 * (2 * K - 1) + 16) * (y_b + z_b) \
+            + 4 * 1024 * 1024
         if est <= budget_bytes:
             return K
     return 0
@@ -5211,7 +5227,7 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
     return step
 
 
-def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=110 * 1024 * 1024,
+def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=118 * 1024 * 1024,
                  with_dft=False):
     """Deepest K whose visco-fusedK VMEM footprint fits; 0/1 = no fusedK.
 
@@ -5224,9 +5240,9 @@ def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=110 * 1024 * 1024,
     ns = grid.npml + 2
     n_slabs = N1 // nb
     kx = -(-ns // nb)
-    slab_b = nb * N2 * N3 * 4
-    y_b = nb * ns * N3 * 4
-    z_b = nb * N2 * ns * 4
+    slab_b = _tile_padded_bytes((nb, N2, N3))
+    y_b = _tile_padded_bytes((nb, ns, N3))
+    z_b = _tile_padded_bytes((nb, N2, ns))
     for K in range(K_cap, 1, -1):
         if n_slabs < kx + 2 * K - 1:
             continue
@@ -5248,7 +5264,7 @@ def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=110 * 1024 * 1024,
         n_io = (21 + 12) + (15 + 12) + (6 if with_dft else 0)
         bufs = 2 * n_io
         est = (rings + bufs) * slab_b \
-            + 24 * (Dp + 4) * (y_b + z_b) // 2 \
+            + (12 * Dp + 48) * (y_b + z_b) \
             + 6 * 1024 * 1024
         if est <= budget_bytes:
             return K
