@@ -974,12 +974,22 @@ def run_fdtd(
 
     use_pallas = False
     pallas_src_ok = grid.source_type in ("velocity_plane", "stress_point")
+    mesh_on_tpu = (
+        mesh is not None
+        and next(iter(mesh.devices.flat)).platform == "tpu"
+    )
     pallas_sharded = (
         mesh is not None
-        and backend == "pallas"
+        and (backend == "pallas" or (backend == "auto" and mesh_on_tpu))
         and mesh_ny == 1  # pallas ghost-plane kernels decompose x only
         and pallas_src_ok
     )
+    if pallas_sharded and backend == "auto":
+        # auto mode falls back to the XLA sharded path when the pallas
+        # constraints (even local extent) don't hold, instead of raising
+        n1_local, rem = divmod(grid.shape[0], max(mesh_nx, 1))
+        if rem or n1_local % 2 or n1_local < grid.npml + 2:
+            pallas_sharded = False
     pallas_ok = mesh is None and pallas_src_ok
     if backend in ("auto", "pallas") and pallas_ok:
         plat = jax.devices()[0].platform
