@@ -954,13 +954,14 @@ def run_fdtd(
         np.float32,
     )
 
+    vol_src_np = None
     if volume_source is not None:
-        for k in ("amp", "phase", "ox", "oy", "oz"):
-            props_np["src_" + (k + "3d" if k in ("amp", "phase") else k)] = (
-                np.asarray(volume_source[k], np.float32)
-            )
-        if backend == "auto":
-            backend = "xla"  # volumetric sources not in the pallas kernels
+        vol_src_np = {
+            k: np.asarray(volume_source[k], np.float32)
+            for k in ("amp", "phase", "ox", "oy", "oz")
+        }
+        if backend == "auto" and not has_shear:
+            backend = "xla"  # fluid volumetric sources stay on XLA
 
     if reflector_mask is not None:
         _fold_reflector(props_np, reflector_mask, has_shear)
@@ -990,7 +991,11 @@ def run_fdtd(
         n1_local, rem = divmod(grid.shape[0], max(mesh_nx, 1))
         if rem or n1_local % 2 or n1_local < grid.npml + 2:
             pallas_sharded = False
-    pallas_ok = mesh is None and pallas_src_ok
+    # dome volumetric sources run fused on the (unsharded) visco kernel only
+    pallas_ok = mesh is None and (
+        pallas_src_ok
+        or (grid.source_type == "velocity_volume" and has_shear)
+    )
     if backend in ("auto", "pallas") and pallas_ok:
         plat = jax.devices()[0].platform
         use_pallas = backend == "pallas" or plat != "cpu"
@@ -1091,11 +1096,17 @@ def run_fdtd(
         # off-TPU (explicit backend='pallas' on CPU) run the interpreter
         interpret = jax.devices()[0].platform == "cpu"
         if has_shear:
+            vol_kw = {}
+            if vol_src_np is not None:
+                vol_kw["volume_source"] = {
+                    k: jnp.asarray(v) for k, v in vol_src_np.items()
+                }
             fn = jax.jit(
                 functools.partial(
                     simulate_visco_pallas,
                     grid=grid, profiles_np=profiles_np, viscous=viscous,
                     oz_scale=oz_scale, nb=nb, interpret=interpret,
+                    **vol_kw,
                 )
             )
             acc_c, acc_s, peak = fn(
@@ -1124,6 +1135,12 @@ def run_fdtd(
             "p_phase": phase.astype(np.float32),
             "peak": np.asarray(peak),
         }
+
+    if vol_src_np is not None:
+        # XLA path carries the volumetric source through the props dict
+        # (popped into the scan carry by _simulate_local)
+        for k, v in vol_src_np.items():
+            props_np["src_" + (k + "3d" if k in ("amp", "phase") else k)] = v
 
     monitor_idx = None
     if monitor_ijk is not None:

@@ -3146,6 +3146,7 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     """
     N1, N2, N3 = grid.shape
     fuse_src = grid.source_type == "velocity_plane"
+    vol_src = grid.source_type == "velocity_volume"
     zsrc = grid.source_plane_z
     point = grid.source_type == "stress_point"
     if point:
@@ -3227,6 +3228,11 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             amp_ref, cph_ref, sph_ref, tsrc_ref = (
                 next(it) for _ in range(4)
             )
+        if vol_src:
+            # dome transducer: per-voxel velocity drive along normals
+            # (`BabelIntegrationDOME_PHASEDARRAY.py:344-407` capability)
+            (amp3_ref, cph3_ref, sph3_ref, ox_ref, oy_ref, oz_ref,
+             tsrc_ref) = (next(it) for _ in range(7))
         if point:
             psrc_ref = next(it)
         if with_dft:
@@ -3350,6 +3356,16 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
                 z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
                 on_src = (z_iota == zsrc) & (amp > 0)
                 vz_n = jnp.where(on_src, sval * amp, vz_n)
+            if vol_src:
+                amp3 = amp3_ref[...]
+                sval3 = (
+                    tsrc_ref[0, 0] * cph3_ref[...]
+                    + tsrc_ref[0, 1] * sph3_ref[...]
+                ) * amp3
+                on3 = amp3 > 0
+                vx_n = jnp.where(on3, sval3 * ox_ref[...], vx_n)
+                vy_n = jnp.where(on3, sval3 * oy_ref[...], vy_n)
+                vz_n = jnp.where(on3, sval3 * oz_ref[...], vz_n)
             ovx[...] = vx_n
             ovy[...] = vy_n
             ovz[...] = vz_n
@@ -3490,7 +3506,7 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     )
     n_acc = 3 if with_dft else 0
     vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
-    n_src = 4 if fuse_src else 0
+    n_src = 4 if fuse_src else (7 if vol_src else 0)
 
     psi_v_specs = (
         [slab_y(lag1)] * 6 + [slab_z(lag1)] * 6
@@ -3509,6 +3525,7 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
         + psi_s_specs
         + [ghost_spec]
         + ([plane(), plane(), plane(), smem2()] if fuse_src else [])
+        + ([slab(lag1)] * 6 + [smem2()] if vol_src else [])
         + ([smem2()] if point else [])                 # psrc
         + ([smem2()] if with_dft else [])
         + [coef_y] * 4 + [coef_z] * 4 + [coef_y] * 4 + [coef_z] * 4
@@ -4125,6 +4142,13 @@ def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
                 [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
             ).reshape(1, 2)
             src_args = (s["src_amp3"], s["src_cph"], s["src_sph"], tsrc)
+        elif grid.source_type == "velocity_volume":
+            scale = ramp * oz_scale
+            tsrc = jnp.stack(
+                [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
+            ).reshape(1, 2)
+            src_args = (s["srcv_amp"], s["srcv_cph"], s["srcv_sph"],
+                        s["srcv_ox"], s["srcv_oy"], s["srcv_oz"], tsrc)
         else:
             src_args = ()
         if grid.source_type == "stress_point":
@@ -5381,7 +5405,8 @@ def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
 
 def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
                           profiles_np, viscous, oz_scale, nb=2,
-                          comm=None, interpret=False, fuse_steps=None):
+                          comm=None, interpret=False, fuse_steps=None,
+                          volume_source=None):
     """Scan driver for the viscoelastic pallas path (optionally sharded).
 
     Two scan phases like the fluid driver: quiet kernels before
@@ -5433,6 +5458,14 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         carry["src_amp3"] = src_amp[:, :, None]
         carry["src_cph"] = jnp.cos(src_phase)[:, :, None]
         carry["src_sph"] = jnp.sin(src_phase)[:, :, None]
+    if grid.source_type == "velocity_volume":
+        vs = volume_source
+        carry["srcv_amp"] = jnp.asarray(vs["amp"], jnp.float32)
+        carry["srcv_cph"] = jnp.cos(jnp.asarray(vs["phase"], jnp.float32))
+        carry["srcv_sph"] = jnp.sin(jnp.asarray(vs["phase"], jnp.float32))
+        carry["srcv_ox"] = jnp.asarray(vs["ox"], jnp.float32)
+        carry["srcv_oy"] = jnp.asarray(vs["oy"], jnp.float32)
+        carry["srcv_oz"] = jnp.asarray(vs["oz"], jnp.float32)
     for k in _V_PSI_KEYS + _S_PSI_KEYS:
         # derivative axis is the last letter of the field part: psi_sxyY_lo
         axis_y = k[:-3].endswith("y")

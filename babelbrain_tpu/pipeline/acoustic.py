@@ -286,8 +286,13 @@ def _assemble_result(
         "y_vec": dom.y_vec[dom.offsets[2] : -dom.offsets[3]],
         "z_vec": dom.z_vec[dom.offsets[4] : -dom.offsets[5]],
         "SpatialStep": dom.dx,
-        "TargetLocation": dom.focal_idx
-        - np.array([dom.offsets[0], dom.offsets[2], dom.offsets[4]]),
+        # cropped MASK-frame index (z un-flipped to match the exported
+        # arrays, like the reference's FocalSpotLocationOrig in DataForSim)
+        "TargetLocation": np.array([
+            dom.focal_idx[0] - dom.offsets[0],
+            dom.focal_idx[1] - dom.offsets[2],
+            dom.mask_shape[2] - 1 - (dom.focal_idx[2] - dom.offsets[4]),
+        ]),
         "SourcePlane_re": np.real(
             src[dom.npml : -dom.npml, dom.npml : -dom.npml]
         ),

@@ -247,8 +247,8 @@ def validate_steering(spec: TransducerSpec, steering) -> None:
     sx, sy, sz = (float(v) for v in steering)
     rng = spec.steering_range
     if not rng:
-        if any(abs(v) > 0 for v in (sx, sy, sz)):
-            raise ValueError(f"{spec.name}: fixed-focus device cannot steer")
+        # no published range (custom/test devices, Single/BSonix/DomeTx):
+        # the library permits phase steering; nothing to enforce
         return
     if "tpo_min" in rng:
         if sx or sy:

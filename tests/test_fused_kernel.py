@@ -279,3 +279,47 @@ def test_reflector_fold_pallas_matches_xla():
     assert p_amp[refl].max() == 0.0
     # transmission beyond the cavity is blocked
     assert o_x["p_amp"][:, :, 50:].max() < 1e-3 * scale
+
+
+@pytest.mark.slow
+def test_dome_volume_source_pallas_matches_xla():
+    """Dome volumetric velocity sources
+    (`BabelIntegrationDOME_PHASEDARRAY.py:344-407` capability) on the fused
+    visco Pallas kernel vs the XLA solver."""
+    from babelbrain_tpu.ops.fdtd import FDTDGrid, run_fdtd, stable_dt
+
+    F0, C = 500e3, 1500.0
+    shape = (48, 48, 48)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, 2494.0, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 3
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_type="velocity_volume",
+    )
+    mats = np.array([
+        [1000.0, C, 0.0, 20.0, 0.0],
+        [1896.0, 2494.0, 1500.0, 150.0, 300.0],
+    ])
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 30:36] = 1
+    rng = np.random.default_rng(4)
+    ii, jj, kk = np.mgrid[0:48, 0:48, 0:48]
+    r = np.sqrt((ii - 24.0) ** 2 + (jj - 24.0) ** 2 + (kk - 24.0) ** 2)
+    shell = (r > 14) & (r < 16) & (kk < 24)
+    amp3 = np.where(shell, 60e3, 0.0).astype(np.float32)
+    ph3 = (rng.uniform(-2, 2, shape) * shell).astype(np.float32)
+    rr = np.maximum(r, 1e-6)
+    vs = dict(
+        amp=amp3, phase=ph3,
+        ox=((24.0 - ii) / rr).astype(np.float32),
+        oy=((24.0 - jj) / rr).astype(np.float32),
+        oz=((24.0 - kk) / rr).astype(np.float32),
+    )
+    o_x = run_fdtd(idx, mats, grid, volume_source=vs, backend="xla")
+    o_p = run_fdtd(idx, mats, grid, volume_source=vs, backend="pallas")
+    scale = o_x["p_amp"].max()
+    np.testing.assert_allclose(o_p["p_amp"], o_x["p_amp"],
+                               atol=scale * 1e-5)
+    np.testing.assert_allclose(o_p["peak"], o_x["peak"], atol=scale * 1e-5)

@@ -160,10 +160,10 @@ class TestRefocusing:
         refoc = run_acoustic_sim(dom, tx, 60e3, do_refocus=True)
         assert refoc.p_amp_refocus is not None
         assert refoc.phased_array_refocus is not None
-        # TargetLocation is in cropped sim coordinates; output maps are in
-        # the mask frame (z-flipped), so flip the z index
+        # TargetLocation indexes the exported (mask-frame) arrays directly,
+        # like the reference's FocalSpotLocationOrig
         t = np.asarray(plain.data_for_sim["TargetLocation"]).ravel()
-        tm = (int(t[0]), int(t[1]), int(plain.p_amp.shape[2] - 1 - t[2]))
+        tm = (int(t[0]), int(t[1]), int(t[2]))
 
         def ball(p):
             return p[

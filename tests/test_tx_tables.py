@@ -185,9 +185,8 @@ class TestRegistrySemantics:
             validate_steering(ctx, (5e-3, 0, 0))  # annular: z only
         with pytest.raises(ValueError):
             validate_steering(ctx, (0, 0, 50e-3))  # maps past TPO max
-        single = TRANSDUCER_REGISTRY["Single"]
-        with pytest.raises(ValueError):
-            validate_steering(single, (0, 0, 5e-3))
+        # devices without a published range (Single/custom) are permissive
+        validate_steering(TRANSDUCER_REGISTRY["Single"], (0, 0, 5e-3))
 
     def test_cone_to_focus_adjust(self):
         from babelbrain_tpu.pipeline.profiles import (
