@@ -429,3 +429,24 @@ class TestShardedExtras:
         np.testing.assert_array_equal(o4["sensor_series"],
                                       o1["sensor_series"])
         np.testing.assert_array_equal(o4["sensor_times"], o1["sensor_times"])
+
+    @pytest.mark.slow
+    def test_sharded_fused_with_reflector_bit_parity(self):
+        """The production multi-chip CT case: air-cavity reflector folded
+        into the moduli + the overlap-and-discard fused driver. Sharded
+        must stay bit-exact vs the single-device Pallas run."""
+        shape = (128, 32, 48)
+        grid = _grid(shape, 3, npml=12)
+        mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        amp = np.zeros(shape[:2], np.float32)
+        amp[10:-10, 10:22] = 60e3
+        refl = np.zeros(shape, bool)
+        refl[40:90, 8:24, 30:34] = True
+        kw = dict(source_amp=amp, reflector_mask=refl, backend="pallas")
+        o1 = run_fdtd(idx, mats, grid, **kw)
+        o4 = run_fdtd(idx, mats, grid, mesh=make_mesh(4), **kw)
+        assert o1["p_amp"].max() > 0
+        np.testing.assert_array_equal(o4["p_amp"], o1["p_amp"])
+        np.testing.assert_array_equal(o4["peak"], o1["peak"])
+        assert o4["p_amp"][refl].max() == 0.0
