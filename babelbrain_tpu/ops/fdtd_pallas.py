@@ -2332,7 +2332,7 @@ def _tile_padded_bytes(shape):
     return out
 
 
-def _fusedK_auto(grid, nb, K_cap=6, budget_bytes=118 * 1024 * 1024,
+def _fusedK_auto(grid, nb, K_cap=8, budget_bytes=118 * 1024 * 1024,
                  with_dft=False):
     """Pick the deepest K whose VMEM footprint (rings + double-buffered
     block streams) fits the budget; 0/1 means 'no fusedK'.
