@@ -113,6 +113,8 @@ def _cmd_run(args):
         tx_focal_length=(
             args.tx_focal_length * 1e-3 if args.tx_focal_length else None
         ),
+        drive_1w=args.drive_1w,
+        optimized_weights_file=args.optimized_weights or None,
         output_dir=args.out,
         prefix=args.prefix,
         export_meshes=args.export_meshes,
@@ -256,6 +258,13 @@ def main(argv=None):
     r.add_argument("--tx-focal-length", type=float, default=0.0,
                    help="single bowls: override focal length (mm)")
     r.add_argument("--refocus", action="store_true")
+    r.add_argument("--drive-1w", action="store_true",
+                   help="drive at the device's calibrated 1 W amplitude "
+                        "(DomeTx Amplitude1W tables)")
+    r.add_argument("--optimized-weights", default="",
+                   help="RingAmplPhase h5 with calibrated per-element "
+                        "weights, or 'auto' to pick the nearest calibration "
+                        "location in the output dir")
     r.add_argument(
         "--export-meshes",
         action="store_true",

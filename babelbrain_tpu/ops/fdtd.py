@@ -935,8 +935,28 @@ def run_fdtd(
     mats = np.asarray(materials, np.float64)
     coefs = sls_coefficients(mats, grid.frequency, grid.dt)
     has_shear = bool(np.any(mats[:, 2] > 0))
-    props_np = _material_fields(mat_idx, coefs, has_shear)
     viscous = coefs["viscous"]
+
+    if (
+        volume_source is not None
+        and not has_shear
+        and mesh is None
+        and not want_extras
+        and backend in ("auto", "pallas")
+        and (backend == "pallas" or jax.devices()[0].platform != "cpu")
+    ):
+        # zero-shear promotion: a fluid medium driven by a volumetric
+        # source (dome in CT mode — shear is disabled there,
+        # `BabelIntegrationBASE.py:1343-1351`) runs through the fused
+        # visco volumetric kernel with mu_u = c_rs = 0. With zero shear
+        # moduli the 15-field system reduces exactly to the acoustic one
+        # (sxx=syy=szz=-p, shear stresses stay identically zero), so the
+        # dome's heaviest documented workload (670 kHz DomeTx + CT,
+        # `README.md:80`) stays on the Pallas fast path instead of the
+        # ~1.8 Gcells/s XLA fluid scan.
+        has_shear = True
+
+    props_np = _material_fields(mat_idx, coefs, has_shear)
 
     rho0, c0 = mats[0, 0], mats[0, 1]
     oz_scale = 1.0 / (rho0 * c0)  # pressure -> particle velocity (plane wave)
@@ -960,8 +980,6 @@ def run_fdtd(
             k: np.asarray(volume_source[k], np.float32)
             for k in ("amp", "phase", "ox", "oy", "oz")
         }
-        if backend == "auto" and not has_shear:
-            backend = "xla"  # fluid volumetric sources stay on XLA
 
     if reflector_mask is not None:
         _fold_reflector(props_np, reflector_mask, has_shear)

@@ -1706,7 +1706,8 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
 
 
 def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
-                            interpret=False, with_dft=False, edge_offset=0):
+                            interpret=False, with_dft=False, edge_offset=0,
+                            _mat_const=False, _tiny_const=False):
     """K timesteps per streaming sweep (deep temporal blocking).
 
     ``edge_offset`` (h0, in slabs) shifts the in-kernel x-CPML inward: the
@@ -1820,14 +1821,32 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
             return 3
         return max(3, 2 * K - 2 * k + 1)
 
+    # perf-probe only (`tools/probe_roofline.py`): pin the material streams
+    # to block 0 so Pallas elides their HBM reads — isolates the material
+    # traffic share of the sweep time (numerics intentionally wrong)
+    mat_lag = (lambda k: (lambda i: (0, 0, 0))) if _mat_const else lagk
+    # perf-probe only: shrink material blocks to (nb,1,1) broadcasts so the
+    # stream traffic physically disappears (numerics intentionally wrong)
+    mat_shape = (nb, 1, 1) if _mat_const == "thin" else (nb, N2, N3)
+    mslab = lambda idx: pl.BlockSpec(mat_shape, idx, memory_space=pltpu.VMEM)
+    # perf-probe only: pin the many tiny per-stage streams (x-CPML coef
+    # blocks, source-plane slivers) to block 0 — isolates the per-iteration
+    # DMA-issue overhead share (numerics intentionally wrong)
+    if _tiny_const:
+        const0 = lambda i: (0, 0, 0)
+        lo_of = hi_of = lambda lag: const0
+        lagk_tiny = lambda k: const0
+    else:
+        lagk_tiny = lagk
+
     # ---- declarative in/out/scratch orderings (indexed by name) ----
     in_entries = (
         [("p", slab(cur)),
          ("vx", slab(lagk(1))), ("vy", slab(lagk(1))), ("vz", slab(lagk(1))),
          ("r", slab(lagk(2))),
-         ("rho", slab(lagk(1))),
-         ("piu", slab(lagk(2))), ("crp", slab(lagk(2))),
-         ("br", slab(lagk(2))),
+         ("rho", mslab(mat_lag(1))),
+         ("piu", mslab(mat_lag(2))), ("crp", mslab(mat_lag(2))),
+         ("br", mslab(mat_lag(2))),
          ("psi_py_lo", slab_y(lagk(1))), ("psi_py_hi", slab_y(lagk(1))),
          ("psi_pz_lo", slab_z(lagk(1))), ("psi_pz_hi", slab_z(lagk(1))),
          ("psi_vy_lo", slab_y(lagk(2))), ("psi_vy_hi", slab_y(lagk(2))),
@@ -1835,7 +1854,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
          ("ghost", ghost_spec)]
         + ([("acc_c", slab(lagk(2 * K))), ("acc_s", slab(lagk(2 * K))),
             ("peak", slab(lagk(2 * K)))] if with_dft else [])
-        + [(f"{nm}{k}", pl.BlockSpec((nb, N2, 1), lagk(2 * k - 1),
+        + [(f"{nm}{k}", pl.BlockSpec((nb, N2, 1), lagk_tiny(2 * k - 1),
                                      memory_space=pltpu.VMEM))
            for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
         + [("tsrc", pl.BlockSpec((K, 2), lambda i: (0, 0),
@@ -1917,6 +1936,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     ring_slab = lambda d: pltpu.VMEM((d, nb, N2, N3), jnp.float32)
     ring_y = lambda d: pltpu.VMEM((d, nb, ns, N3), jnp.float32)
     ring_z = lambda d: pltpu.VMEM((d, nb, N2, ns), jnp.float32)
+    mring = lambda d: pltpu.VMEM((d,) + mat_shape, jnp.float32)
     scratch_entries = (
         [(f"p{k}_ring", ring_slab(p_depth(k))) for k in range(K)]
         + [(f"r{k}_ring", ring_slab(3)) for k in range(1, K)]
@@ -1925,8 +1945,8 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
            for k in range(1, K + 1)]
         + [(f"vz{k}_ring", ring_slab(3 if k < K else 2))
            for k in range(1, K + 1)]
-        + [("rho_ring", ring_slab(Dm)), ("piu_ring", ring_slab(Dm)),
-           ("crp_ring", ring_slab(Dm)), ("br_ring", ring_slab(Dm))]
+        + [("rho_ring", mring(Dm)), ("piu_ring", mring(Dm)),
+           ("crp_ring", mring(Dm)), ("br_ring", mring(Dm))]
         + [("ppy_lo_r", ring_y(Dp)), ("ppy_hi_r", ring_y(Dp)),
            ("ppz_lo_r", ring_z(Dp)), ("ppz_hi_r", ring_z(Dp)),
            ("pvy_lo_r", ring_y(Dp)), ("pvy_hi_r", ring_y(Dp)),
@@ -2222,13 +2242,15 @@ def _scale_xpacks(xh, xi, xcoef_scale):
 
 def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                interpret, with_dft=False, edge_offset=0,
-                               xcoef_scale=None):
+                               xcoef_scale=None, _mat_const=False,
+                               _tiny_const=False):
     """K-timestep step closure (scan over step GROUPS of K; n is the
     first of the K step indices)."""
     omega = 2.0 * np.pi * grid.frequency
     call, kcoefs = build_fluid_fusedK_step(
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
-        with_dft=with_dft, edge_offset=edge_offset,
+        with_dft=with_dft, edge_offset=edge_offset, _mat_const=_mat_const,
+        _tiny_const=_tiny_const,
     )
     xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
     xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])

@@ -113,7 +113,13 @@ def _source_for_steering(
         steering_target = None
     if steering_target is not None:
         programming = steering_phases(k_water, tx.elem_centers, steering_target)
-        u0 = expand_element_weights(tx, programming) * source_amp_pa
+        drive = programming
+        if element_weights is not None:
+            # calibrated weights apply ON TOP of the steering phases (the
+            # reference multiplies the steered drive by the optimized
+            # weights, `BabelIntegrationBASE.py:2224-2234,2302`)
+            drive = programming * np.asarray(element_weights, np.complex64)
+        u0 = expand_element_weights(tx, drive) * source_amp_pa
     elif element_weights is not None:
         u0 = expand_element_weights(tx, element_weights) * source_amp_pa
     else:
@@ -259,22 +265,28 @@ def _assemble_result(
     programming=None,
     refocus_programming=None,
     water_p_amp=None,
+    dome=False,
 ) -> AcousticResult:
     """S10: crop/unflip into the input-mask frame and build DataForSim keys.
 
     ``water_p_amp=None`` selects the Rayleigh-for-water shortcut (the
     reference default, `BabelBrain/BabelBrain.py:441`).
+
+    ``dome``: the transducer occupies the domain volume, so there is no
+    source plane to blank below (`BabelIntegrationDOME_PHASEDARRAY.py`
+    keeps the full field).
     """
 
     def mask_frame(vol):
         return dom.crop_and_unflip(vol)
 
+    zsrc_blank = 0 if dome else dom.source_z + 1
     u2_masked = u2.copy()
-    u2_masked[:, :, : dom.source_z + 1] = 0
+    u2_masked[:, :, :zsrc_blank] = 0
     p_amp_full = out["p_amp"].copy()
-    p_amp_full[:, :, : dom.source_z + 1] = 0
+    p_amp_full[:, :, :zsrc_blank] = 0
     p_phase_full = out["p_phase"].copy()
-    p_phase_full[:, :, : dom.source_z + 1] = 0
+    p_phase_full[:, :, :zsrc_blank] = 0
 
     data = {
         "p_amp": mask_frame(p_amp_full),
@@ -304,11 +316,11 @@ def _assemble_result(
         data["p_amp_water"] = np.abs(mask_frame(u2_masked))
     else:
         pw = water_p_amp.copy()
-        pw[:, :, : dom.source_z + 1] = 0
+        pw[:, :, :zsrc_blank] = 0
         data["p_amp_water"] = mask_frame(pw)
     if refocus_out is not None:
         pr = refocus_out["p_amp"].copy()
-        pr[:, :, : dom.source_z + 1] = 0
+        pr[:, :, :zsrc_blank] = 0
         data["p_amp_refocus"] = mask_frame(pr)
 
     extra = {}
@@ -491,13 +503,36 @@ def run_dome_sim(
     source_amp_pa: float = 60e3,
     *,
     steering_target=None,
+    element_weights: np.ndarray | None = None,
     mesh=None,
+    use_rayleigh_for_water: bool = False,
+    assemble: bool = True,
 ):
-    """Acoustic run for a dome transducer fully inside the domain."""
+    """Acoustic run for a dome transducer fully inside the domain.
+
+    The dome is the reference's ``RUN_SIM`` subclass with overridden
+    sensor/phase/run steps (`BabelIntegrationDOME_PHASEDARRAY.py:344-407`):
+    the whole 1024-element array drives particle velocity volumetrically
+    instead of through a source plane. With ``assemble`` (the runner path)
+    the outputs are packed into a full ``AcousticResult`` with the
+    DataForSim contract keys; ``assemble=False`` returns the raw field dict
+    (back-compat with direct library use).
+
+    The water reference field defaults to a second volumetric FDTD pass on
+    a water-only medium: the dome thermal losses are a PEAK ratio at the
+    target (`CalculateTemperatureEffects.py:199-201`), so the water field
+    must share the volumetric-source amplitude convention — the
+    Rayleigh-for-water shortcut (``use_rayleigh_for_water=True``) uses the
+    surface-integral drive instead and systematically overestimates the
+    losses ratio for dome sources.
+    """
     k_water = 2 * np.pi * dom.frequency / dom.materials[0, 1]
     if steering_target is not None:
         programming = steering_phases(k_water, tx.elem_centers, steering_target)
         u0 = expand_element_weights(tx, programming) * source_amp_pa
+    elif element_weights is not None:
+        programming = None
+        u0 = expand_element_weights(tx, element_weights) * source_amp_pa
     else:
         programming = None
         u0 = np.full(tx.num_subelements, source_amp_pa, np.complex64)
@@ -518,4 +553,23 @@ def run_dome_sim(
         reflector_mask=dom.meta.get("reflector_mask"),
     )
     out["programming"] = programming
-    return out
+    if not assemble:
+        return out
+
+    u2 = forward_rayleigh(dom, tx, u0)
+    water_p_amp = None
+    if not use_rayleigh_for_water:
+        water_out = run_fdtd(
+            np.zeros_like(dom.material_map), dom.materials[:1], grid,
+            volume_source=vsrc, mesh=mesh,
+        )
+        water_p_amp = water_out["p_amp"]
+    src = np.zeros(dom.material_map.shape[:2], np.complex64)
+    res = _assemble_result(
+        dom, u2, src, out,
+        programming=programming,
+        water_p_amp=water_p_amp,
+        dome=True,
+    )
+    res.meta["tx_is_dome"] = True
+    return res

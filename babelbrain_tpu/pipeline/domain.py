@@ -399,6 +399,7 @@ def fit_domain_offsets(
     extra_adjust_xy: tuple = (),
     tight_narrow_beam: bool = False,
     z_beyond_focal_m: float = 0.0225,
+    dome: bool = False,
 ):
     """Reference grow/tight-beam-shrink domain fit
     (`BabelIntegrationBASE.py:1874-2068`).
@@ -409,6 +410,13 @@ def fit_domain_offsets(
     truncates z to ``z_beyond_focal_m`` past the focus (the reference's
     ``zLengthBeyonFocalPointWhenNarrow``). The update arithmetic mirrors the
     reference's integer cell math so grid dimensions are comparable.
+
+    ``dome`` selects the reference's ``DomeType=True`` region: the whole
+    transducer sits inside the domain, so the fit region is the hemisphere
+    of radius ``aperture/2 * 1.02`` below the target plane instead of the
+    incident cone, and the z axis is not shifted by the focal length
+    (`BabelIntegrationBASE.py:1929-1932,1953-1954,1999-2016`); in tight
+    mode the dome's z shrink ACCUMULATES (`:2060-2062`).
 
     ``mask`` is the Step-1 volume in SIM orientation (z already flipped).
     Returns ``(offsets, shrinks)`` with offsets = (xl, xr, yl, yr, zl, zr)
@@ -433,11 +441,17 @@ def fit_domain_offsets(
         fz = focal0[2] + ZL - ZsL
         xfield = (np.arange(N1) - fx) * dx
         yfield = (np.arange(N2) - fy) * dx
-        zfield = (np.arange(N3) - fz) * dx + focal_length
+        zfield = (np.arange(N3) - fz) * dx + (0.0 if dome else focal_length)
         top_z = zfield[npml]
         first_tz = max(first_tissue_mask_z - ZsL, 0) + ZL
 
-        if focal_length != 0:
+        if dome:
+            # hemisphere of the dome aperture below the target plane
+            # (`BabelIntegrationBASE.py:1953-1954,2001-2016`)
+            radius = aperture / 2 * 1.02
+            z_rezero = 0.0
+            z_cone_limit = 1.0  # unused on the dome branch
+        elif focal_length != 0:
             alpha = np.arcsin(
                 min(aperture / 2 / (focal_length + extra_depth), 1.0)
             )
@@ -453,7 +467,10 @@ def fit_domain_offsets(
 
         xf2 = (xfield - mech_x) / radius
         yf2 = (yfield - mech_y) / radius
-        zf2 = (zfield + z_rezero) / z_cone_limit
+        if dome:
+            zf2 = (zfield - mech_z) / radius
+        else:
+            zf2 = (zfield + z_rezero) / z_cone_limit
         offs = [(0.0, 0.0)] + [tuple(e) for e in extra_adjust_xy]
         x_abs = np.min(
             [np.abs(xf2 - ex / radius) for ex, _ in offs], axis=0
@@ -461,11 +478,19 @@ def fit_domain_offsets(
         y_abs = np.min(
             [np.abs(yf2 - ey / radius) for _, ey in offs], axis=0
         )
-        # the incident region is a product set: |x|,|y| within the face
-        # radius, z between the transducer plane and the first tissue plane
-        x_in = x_abs <= 1.0
-        y_in = y_abs <= 1.0
-        z_in = (zf2 >= 0.0) & (zf2 <= 1.0) & (zf2 <= zf2[first_tz])
+        if dome:
+            # axis projections of the solid hemisphere x^2+y^2+z^2 <= 1,
+            # z <= 0 are exactly |x| <= 1, |y| <= 1, -1 <= z <= 0
+            x_in = x_abs <= 1.0
+            y_in = y_abs <= 1.0
+            z_in = (zf2 >= -1.0) & (zf2 <= 0.0)
+        else:
+            # the incident region is a product set: |x|,|y| within the face
+            # radius, z between the transducer plane and the first tissue
+            # plane
+            x_in = x_abs <= 1.0
+            y_in = y_abs <= 1.0
+            z_in = (zf2 >= 0.0) & (zf2 <= 1.0) & (zf2 <= zf2[first_tz])
         if done_for_shrinking:
             break
         changed = False
@@ -510,7 +535,9 @@ def fit_domain_offsets(
         )
         if tight_narrow_beam:
             n_beyond = int(z_beyond_focal_m / dx)
-            new_zsr = max(0, N3 - (fz + n_beyond) - ZR)
+            red = N3 - (fz + n_beyond) - ZR
+            # dome z-shrink accumulates; cone mode overwrites (`:2060-2062`)
+            new_zsr = max(0, ZsR + red) if dome else max(0, red)
             if new_zsr != ZsR:
                 ZsR = new_zsr
                 changed = True

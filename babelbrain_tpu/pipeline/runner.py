@@ -107,6 +107,76 @@ def check_advanced_params(out_base: str, cfg: "CaseConfig") -> bool:
     return force
 
 
+def load_optimized_weights(
+    weights_file: str,
+    spec,
+    *,
+    search_dir: str = ".",
+    z_steering: float = 0.0,
+    n_elements: int | None = None,
+) -> np.ndarray:
+    """Load per-element calibrated complex weights for a case.
+
+    Mirrors the reference's ``OptimizedWeightsFile`` selection + validation
+    (`BabelIntegrationBASE.py:2224-2234`): the h5 carries Amplitudes/Phases
+    per physical element; the element count must match the transducer.
+    ``weights_file='auto'`` picks the ``RingAmplPhase_<loc>.h5`` in
+    ``search_dir`` whose calibration location is nearest to the programmed
+    TPO distance (``z_steering`` + the device's natural out-plane) — the
+    per-TPO-location files are what ``pipeline.calibration.run_calibration``
+    writes.
+    """
+    import glob
+
+    from . import io as pio
+
+    if weights_file == "auto":
+        cands = sorted(glob.glob(os.path.join(search_dir, "RingAmplPhase_*.h5")))
+        if not cands:
+            raise FileNotFoundError(
+                f"optimized_weights_file='auto': no RingAmplPhase_*.h5 in "
+                f"{search_dir!r}"
+            )
+        outplane = spec.meta.get("natural_outplane", 0.0)
+        tpo_mm = (z_steering + outplane) * 1e3
+        best, best_d = None, np.inf
+        for c in cands:
+            try:
+                loc = float(np.asarray(pio.load_dict_h5(c)["LocationMM"]))
+            except (OSError, KeyError, ValueError):
+                continue
+            if abs(loc - tpo_mm) < best_d:
+                best, best_d = c, abs(loc - tpo_mm)
+        if best is None:
+            raise FileNotFoundError(
+                f"optimized_weights_file='auto': no readable calibration in "
+                f"{search_dir!r}"
+            )
+        weights_file = best
+    blob = pio.load_dict_h5(weights_file)
+    tx_sys = blob.get("TxSystem")
+    if tx_sys is not None:
+        name = tx_sys if isinstance(tx_sys, str) else str(
+            np.asarray(tx_sys).item()
+        )
+        name = name.strip("b'\"")
+        if name != spec.name:
+            raise ValueError(
+                f"{weights_file}: calibrated for {name}, case uses {spec.name}"
+            )
+    w = np.asarray(blob["Amplitudes"], np.float64) * np.exp(
+        1j * np.asarray(blob["Phases"], np.float64)
+    )
+    w = w.ravel().astype(np.complex64)
+    if n_elements is not None and w.size != n_elements:
+        raise ValueError(
+            f"{weights_file} has {w.size} elements, but the Tx has "
+            f"{n_elements} (reference contract "
+            f"`BabelIntegrationBASE.py:2230-2232`)"
+        )
+    return w
+
+
 @dataclass
 class CaseConfig:
     """One sonication case (target x transducer x frequency x PPW)."""
@@ -145,6 +215,15 @@ class CaseConfig:
     tx_focal_length: float | None = None
     segment_brain: bool = False
     bone_rim_correction: bool = False
+    # drive at the device's calibrated 1 W amplitude instead of
+    # ``source_amp_pa`` (DomeTx ships Amplitude1W tables,
+    # `Babel_DomeTx/default.yaml`; `profiles.amplitude_for_1w`)
+    drive_1w: bool = False
+    # per-element calibrated complex weights: path to a RingAmplPhase h5
+    # produced by `pipeline.calibration` (the reference's
+    # ``OptimizedWeightsFile``, `BabelIntegrationBASE.py:2224-2234`), or
+    # 'auto' to pick the nearest calibration location to the programmed TPO
+    optimized_weights_file: str | None = None
     elem_centers: np.ndarray | None = None
     output_dir: str = "."
     prefix: str = "case"
@@ -287,6 +366,8 @@ def run_case(
         tpo=cfg.tpo_distance,
         cone=cfg.distance_cone_to_focus,
         enlarge=(cfg.factor_enlarge, cfg.tx_diameter, cfg.tx_focal_length),
+        drive_1w=cfg.drive_1w,
+        weights=cfg.optimized_weights_file,
     )
     hash_file = out_base + ".hash"
     h5_path_probe = out_base + "_DataForSim.h5"
@@ -425,6 +506,24 @@ def run_case(
             steering = steering.copy()
             steering[2] = tpo_to_z_steering(spec, cfg.tpo_distance)
         validate_steering(spec, steering)
+        is_dome = spec.kind == "dome"
+        # drive amplitude: the calibrated 1 W level when requested
+        # (`Babel_DomeTx/default.yaml` Amplitude1W, `amplitude_for_1w`)
+        source_amp = cfg.source_amp_pa
+        if cfg.drive_1w:
+            from .profiles import amplitude_for_1w
+
+            source_amp = amplitude_for_1w(spec, cfg.frequency, cfg.ppw)
+        # per-element calibrated weights (the reference's
+        # OptimizedWeightsFile, `BabelIntegrationBASE.py:2224-2234`)
+        elem_weights = None
+        if cfg.optimized_weights_file is not None:
+            elem_weights = load_optimized_weights(
+                cfg.optimized_weights_file, spec,
+                search_dir=cfg.output_dir,
+                z_steering=float(steering[2]),
+                n_elements=spec.n_elements or len(spec.in_diameters) or None,
+            )
         mech_z = 0.0
         extra_depth = 0.0
         if spec.kind == "concave" and "cone_to_focus" in spec.meta:
@@ -454,6 +553,7 @@ def run_case(
             extra_depth=extra_depth,
             tight_narrow_beam=cfg.tight_narrow_beam,
             z_beyond_focal_m=cfg.z_beyond_focal_m,
+            dome=is_dome,
         )
         dom = build_domain(
             s1.mask,
@@ -472,18 +572,35 @@ def run_case(
             rotation_z=cfg.rotation_z, factor_enlarge=cfg.factor_enlarge,
             diameter=cfg.tx_diameter, focal_length=cfg.tx_focal_length,
         )
-        tx, mech_adjust = position_transducer(
-            tx, dom, eff_focal, extra_z=mech_z,
-            return_adjustment=True,
-        )
-        result = run_acoustic_sim(
-            dom,
-            tx,
-            cfg.source_amp_pa,
-            steering_target=steering if np.any(steering != 0) else None,
-            do_refocus=cfg.do_refocus,
-            mesh=mesh,
-        )
+        if is_dome:
+            # dome dispatch: whole array inside the domain, volumetric
+            # drive, no source-plane repositioning
+            # (`BabelIntegrationDOME_PHASEDARRAY.py:344-407`)
+            from .acoustic import run_dome_sim
+
+            mech_adjust = 0.0
+            result = run_dome_sim(
+                dom,
+                tx,
+                source_amp,
+                steering_target=steering if np.any(steering != 0) else None,
+                element_weights=elem_weights,
+                mesh=mesh,
+            )
+        else:
+            tx, mech_adjust = position_transducer(
+                tx, dom, eff_focal, extra_z=mech_z,
+                return_adjustment=True,
+            )
+            result = run_acoustic_sim(
+                dom,
+                tx,
+                source_amp,
+                element_weights=elem_weights,
+                steering_target=steering if np.any(steering != 0) else None,
+                do_refocus=cfg.do_refocus,
+                mesh=mesh,
+            )
         data = dict(result.data_for_sim)
         data["TxSystem"] = cfg.tx_system
         data["Frequency"] = cfg.frequency
@@ -531,6 +648,7 @@ def run_case(
                 ct_mode=ct_mode,
                 segmented=cfg.segment_brain,
                 frequency=cfg.frequency,
+                tx_is_dome=is_dome,
             )
             thermal = t_all[-1]
     elif thermal_params is not None:
@@ -547,6 +665,7 @@ def run_case(
                 ct_mode=ct_mode,
                 segmented=cfg.segment_brain,
                 frequency=cfg.frequency,
+                tx_is_dome=is_dome,
             )
             tdict = {
                 "MaterialList": {

@@ -351,7 +351,7 @@ class TestDomeSource:
              -F * np.cos(b)], axis=1,
         )
         tx = make_concave_array(F0, F, 2.2e-3, ec, C, ppw_surface=3)
-        out = run_dome_sim(dom, tx, 60e3)
+        out = run_dome_sim(dom, tx, 60e3, assemble=False)
         pa = out["p_amp"]
         # the global max sits on the source shell (near-singular like the
         # Rayleigh surface); check the focal region instead: peak within the
