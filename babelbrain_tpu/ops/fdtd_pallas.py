@@ -1809,11 +1809,24 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         return m
 
     psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
-    coefxb = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    xfull = pl.BlockSpec((px_planes, 1, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
     psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
 
     Dm = 2 * K - 2   # material stash ring depth
     Dp = 2 * K - 1   # shared psi ring depth
+
+    # absolute-slot addressing for the x-CPML psi scratch: x-psi is nonzero
+    # only on the slabs the PML packs cover, so stages 2..K keep it in a
+    # (kx+2)-slot scratch indexed by slab position (slot kx+1 = shared
+    # garbage slot for interior/dead slabs whose coefficients are zero)
+    # instead of depth-(2K-1) rings — VMEM stays O(npml) as K grows.
+    def lo_slot(s):
+        return jnp.where((s >= h0) & (s <= h0 + kx), s - h0, kx + 1)
+
+    def hi_slot(s):
+        base = n_slabs - kx - h0
+        return jnp.where((s >= base) & (s < n_slabs - h0), s - base, kx + 1)
 
     def p_depth(k):
         """Ring depth for p after step k (0 = incoming p)."""
@@ -1871,14 +1884,10 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         + [(f"czi{j}", coef_z) for j in range(4)]
         + [("psix_p_lo", psixb(lo_of(1))), ("psix_p_hi", psixb(hi_of(1))),
            ("psix_v_lo", psixb(lo_of(2))), ("psix_v_hi", psixb(hi_of(2)))]
-        + [(f"{nm}{k}", coefxb((lo_of if nm in ("bxh_l", "axh_l") else
-                                hi_of)(2 * k - 1)))
-           for k in range(1, K + 1)
-           for nm in ("bxh_l", "axh_l", "bxh_h", "axh_h")]
-        + [(f"{nm}{k}", coefxb((lo_of if nm in ("bxi_l", "axi_l") else
-                                hi_of)(2 * k)))
-           for k in range(1, K + 1)
-           for nm in ("bxi_l", "axi_l", "bxi_h", "axi_h")]
+        # full x-CPML coefficient packs, loaded once (constant index map ->
+        # Pallas elides the repeated copies); stages dynamic-slice their
+        # nb-plane window in-kernel instead of streaming 8K per-lag blocks
+        + [(f"xc{fam}{j}", xfull) for fam in ("h", "i") for j in range(4)]
     )
     out_entries = (
         [("ovx", slab(lagk(2 * K - 1))), ("ovy", slab(lagk(2 * K - 1))),
@@ -1951,8 +1960,8 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
            ("ppz_lo_r", ring_z(Dp)), ("ppz_hi_r", ring_z(Dp)),
            ("pvy_lo_r", ring_y(Dp)), ("pvy_hi_r", ring_y(Dp)),
            ("pvz_lo_r", ring_z(Dp)), ("pvz_hi_r", ring_z(Dp))]
-        + [("pxp_lo_r", ring_slab(Dp)), ("pxp_hi_r", ring_slab(Dp)),
-           ("pxv_lo_r", ring_slab(Dp)), ("pxv_hi_r", ring_slab(Dp))]
+        + [("pxp_lo_s", ring_slab(kx + 2)), ("pxp_hi_s", ring_slab(kx + 2)),
+           ("pxv_lo_s", ring_slab(kx + 2)), ("pxv_hi_s", ring_slab(kx + 2))]
     )
 
     def kernel(*refs):
@@ -1967,6 +1976,19 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         czh_c = tuple(R[f"czh{j}"] for j in range(4))
         cyi_c = tuple(R[f"cyi{j}"] for j in range(4))
         czi_c = tuple(R[f"czi{j}"] for j in range(4))
+
+        def xcoef(fam, s):
+            """(b_lo, a_lo, b_hi, a_hi) nb-plane windows for slab s, sliced
+            from the resident full packs (replaces 8K per-lag streams)."""
+            blo = jnp.clip(s - h0, 0, kx) * nb
+            base = n_slabs - kx - h0
+            bhi = jnp.where(
+                (s >= base) & (s < n_slabs - h0), s - base, kx
+            ) * nb
+            return (R[f"xc{fam}0"][pl.ds(blo, nb)],
+                    R[f"xc{fam}1"][pl.ds(blo, nb)],
+                    R[f"xc{fam}2"][pl.ds(bhi, nb)],
+                    R[f"xc{fam}3"][pl.ds(bhi, nb)])
 
         i = pl.program_id(0)
         incoming = R["p"][...]
@@ -2084,12 +2106,12 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                             R[f"vz{k - 1}_ring"][sv % 3])
                     psi_y = (R["ppy_lo_r"][sv % Dp], R["ppy_hi_r"][sv % Dp])
                     psi_z = (R["ppz_lo_r"][sv % Dp], R["ppz_hi_r"][sv % Dp])
-                    psix = (R["pxp_lo_r"][sv % Dp], R["pxp_hi_r"][sv % Dp])
+                    psix = (R["pxp_lo_s"][lo_slot(sv)],
+                            R["pxp_hi_s"][hi_slot(sv)])
                 (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
                  nxp_lo, nxp_hi) = vel_update(
                     w, rho_inv, v_in, psi_y, psi_z, psix,
-                    (R[f"bxh_l{k}"][...], R[f"axh_l{k}"][...],
-                     R[f"bxh_h{k}"][...], R[f"axh_h{k}"][...]),
+                    xcoef("h", sv),
                     R[f"amp{k}"][...], R[f"cph{k}"][...], R[f"sph{k}"][...],
                     (R["tsrc"][k - 1, 0], R["tsrc"][k - 1, 1]),
                 )
@@ -2112,8 +2134,8 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                     R["ppy_hi_r"][sv % Dp] = npy_hi
                     R["ppz_lo_r"][sv % Dp] = npz_lo
                     R["ppz_hi_r"][sv % Dp] = npz_hi
-                    R["pxp_lo_r"][sv % Dp] = nxp_lo
-                    R["pxp_hi_r"][sv % Dp] = nxp_hi
+                    R["pxp_lo_s"][lo_slot(sv)] = nxp_lo
+                    R["pxp_hi_s"][hi_slot(sv)] = nxp_hi
 
         def p_stage(k):
             lag = 2 * k
@@ -2144,13 +2166,13 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                     br = R["br_ring"][sp % Dm]
                     psi_y = (R["pvy_lo_r"][sp % Dp], R["pvy_hi_r"][sp % Dp])
                     psi_z = (R["pvz_lo_r"][sp % Dp], R["pvz_hi_r"][sp % Dp])
-                    psix = (R["pxv_lo_r"][sp % Dp], R["pxv_hi_r"][sp % Dp])
+                    psix = (R["pxv_lo_s"][lo_slot(sp)],
+                            R["pxv_hi_s"][hi_slot(sp)])
                 (p_n, r_n, nvy_lo, nvy_hi, nvz_lo, nvz_hi,
                  nxv_lo, nxv_hi) = press_update(
                     w, R[f"vy{k}_ring"][sp % dv], R[f"vz{k}_ring"][sp % dv],
                     p_old, r_old, piu, crp, br, psi_y, psi_z, psix,
-                    (R[f"bxi_l{k}"][...], R[f"axi_l{k}"][...],
-                     R[f"bxi_h{k}"][...], R[f"axi_h{k}"][...]),
+                    xcoef("i", sp),
                 )
                 p_n = inject_point(p_n, sp, k)
                 if k == K:
@@ -2187,8 +2209,8 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                     R["pvy_hi_r"][sp % Dp] = nvy_hi
                     R["pvz_lo_r"][sp % Dp] = nvz_lo
                     R["pvz_hi_r"][sp % Dp] = nvz_hi
-                    R["pxv_lo_r"][sp % Dp] = nxv_lo
-                    R["pxv_hi_r"][sp % Dp] = nxv_hi
+                    R["pxv_lo_s"][lo_slot(sp)] = nxv_lo
+                    R["pxv_hi_s"][hi_slot(sp)] = nxv_hi
 
         for k in range(1, K + 1):
             v_stage(k)
@@ -2309,8 +2331,7 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             *kcoefs["y_half"], *kcoefs["z_half"],
             *kcoefs["y_int"], *kcoefs["z_int"],
             s["psix_p_lo"], s["psix_p_hi"], s["psix_v_lo"], s["psix_v_hi"],
-            *(c for _ in range(K) for c in xh),
-            *(c for _ in range(K) for c in xi),
+            *xh, *xi,
         )
         it = iter(outs)
         vx, vy, vz, p_new, r_new = (next(it) for _ in range(5))
@@ -2354,14 +2375,16 @@ def _tile_padded_bytes(shape):
     return out
 
 
-def _fusedK_auto(grid, nb, K_cap=8, budget_bytes=118 * 1024 * 1024,
+def _fusedK_auto(grid, nb, K_cap=12, budget_bytes=118 * 1024 * 1024,
                  with_dft=False):
     """Pick the deepest K whose VMEM footprint (rings + double-buffered
     block streams) fits the budget; 0/1 means 'no fusedK'.
 
     ``with_dft`` accounts for the deeper p rings (step-k pressures live
     until stage K accumulates the carrier DFT) and the acc/peak block
-    streams."""
+    streams. The x-CPML psi scratch is absolute-slot addressed (4(kx+2)
+    slabs, K-independent) and the x coefficient packs are resident
+    (streamed once), so rings grow at 23 slabs per fused step."""
     N1, N2, N3 = grid.shape
     if N1 % nb:
         return 0
@@ -2374,7 +2397,7 @@ def _fusedK_auto(grid, nb, K_cap=8, budget_bytes=118 * 1024 * 1024,
     for K in range(K_cap, 1, -1):
         if n_slabs < kx + 2 * K - 1:
             continue
-        ring_slabs = 31 * K - 17
+        ring_slabs = 23 * K - 13 + 4 * (kx + 2)
         buf_slabs = 44
         if with_dft:
             ring_slabs += (K - 1) * (K - 2)

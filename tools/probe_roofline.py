@@ -53,20 +53,23 @@ def _time_best(fn, n=3):
 
 def _diff_time(make_fn, n1, n2):
     """Time fn(n2) - fn(n1) (in-jit repetition) to cancel dispatch+readback
-    overhead — the tunneled runtime adds ~10-300 ms per dispatch."""
+    overhead — the tunneled runtime adds ~10-300 ms per dispatch.
+
+    Each length is timed independently (best of 4) and the bests are
+    differenced; differencing per-round pairs fabricates impossible rates
+    when one round's dispatch jitter lands asymmetrically."""
     f1, f2 = make_fn(n1), make_fn(n2)
     _sync(f1())
     _sync(f2())
-    best = np.inf
-    for _ in range(3):
+    b1 = b2 = np.inf
+    for _ in range(4):
         t0 = time.perf_counter()
         _sync(f1())
-        ta = time.perf_counter() - t0
+        b1 = min(b1, time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(f2())
-        tb = time.perf_counter() - t0
-        best = min(best, (tb - ta) / (n2 - n1))
-    return best
+        b2 = min(b2, time.perf_counter() - t0)
+    return (b2 - b1) / (n2 - n1)
 
 
 def probe_stream():
