@@ -323,6 +323,69 @@ def _material_fields(mat_idx, coefs, has_shear=True):
     return out
 
 
+def _pallas_with_vmem_fallback(call, max_shrink=3):
+    """Run ``call(k_shrink)``, retrying with progressively shallower fused
+    depths when the TPU compile fails on the VMEM budget.
+
+    The auto-K VMEM models (``_fusedK_auto``/``_viscoK_auto``) are fitted
+    to today's kernel layouts; if a layout change invalidates them the
+    failure mode is a Mosaic out-of-VMEM error at compile time on the real
+    chip only.  This compile-probe fallback turns that into a graceful
+    K decrement instead of a production failure.
+    """
+    from .fdtd_pallas import is_vmem_oom
+
+    for shrink in range(max_shrink + 1):
+        try:
+            return call(shrink)
+        except Exception as e:  # noqa: BLE001 - classify then re-raise
+            if shrink < max_shrink and is_vmem_oom(e):
+                continue
+            raise
+
+
+def _build_indexed_materials(coefs, mat_idx, reflector_mask, n3):
+    """Indexed-material inputs for the visco fusedK Pallas kernels.
+
+    Returns ``(idx_i32 (N1,N2,N3), table (8,128) f32)`` with table rows
+    [rho_inv, pi_u, mu_u, c_rp, c_rs, b_r], or ``None`` when the material
+    count does not fit the single-vreg gather window (min(128, N3) lanes,
+    minus the zero pad row the sharded driver uses as the dead material).
+    Reflector (air-cavity) voxels get twin materials with zeroed moduli —
+    the same fold ``_fold_reflector`` applies to expanded volumes, kept
+    per-material so the kernel's table gather stays exact.
+    """
+    keys = ("rho_inv", "pi_u", "mu_u", "c_rp", "c_rs", "b_r")
+    M = len(np.asarray(coefs["pi_u"]))
+    cap = min(128, int(n3)) - 1
+    # the in-kernel gather runs on 128-lane windows over the z axis; when
+    # the windows overlap heavily the redundant gather work outweighs the
+    # stream savings (measured on v5e: +10% at N3=240 [7% overlap] but
+    # -19% at N3=192 [33% overlap]) -> only use indexed mode when the
+    # window tiling is efficient
+    n3i = int(n3)
+    if n3i > 128:
+        starts = list(range(0, n3i - 127, 128))
+        if starts[-1] + 128 < n3i:
+            starts.append(n3i - 128)
+        if len(starts) * 128 > 1.15 * n3i:
+            return None
+    idx = np.asarray(mat_idx).astype(np.int32)
+    has_refl = reflector_mask is not None and np.asarray(reflector_mask).any()
+    n_rows = 2 * M if has_refl else M
+    if n_rows > cap:
+        return None
+    tab = np.zeros((8, 128), np.float32)
+    for r, k in enumerate(keys):
+        v = np.asarray(coefs[k], np.float32)
+        tab[r, :M] = v
+        if has_refl:
+            tab[r, M:2 * M] = v if k in ("rho_inv", "b_r") else 0.0
+    if has_refl:
+        idx = np.where(np.asarray(reflector_mask, bool), idx + M, idx)
+    return idx.astype(np.int32), tab
+
+
 def _fold_reflector(props_np, reflector_mask, has_shear):
     """Fold a pressure-release reflector mask into the modulus fields.
 
@@ -1050,16 +1113,31 @@ def run_fdtd(
         spec2 = P("x", None)
         props = {k: jnp.asarray(v) for k, v in props_np.items()}
         if has_shear:
+            indexed = _build_indexed_materials(
+                coefs, mat_idx, reflector_mask, grid.shape[2]
+            )
+            extra_args, extra_specs = (), ()
+            if indexed is not None:
+                extra_args = (jnp.asarray(indexed[0]),
+                              jnp.asarray(indexed[1]))
+                extra_specs = (spec3, P())
+
+            def run_sharded_visco(pr, a, p, pa, *mats):
+                mkw = (dict(mat_idx=mats[0], mat_table=mats[1])
+                       if mats else {})
+                return simulate_visco_pallas(
+                    pr, a, p, pa,
+                    grid=grid_local, profiles_np=profiles_np,
+                    viscous=viscous, oz_scale=oz_scale, nb=nb,
+                    comm=comm, interpret=interpret, **mkw,
+                )
+
             fn = jax.jit(
                 jax.shard_map(
-                    functools.partial(
-                        simulate_visco_pallas,
-                        grid=grid_local, profiles_np=profiles_np,
-                        viscous=viscous, oz_scale=oz_scale, nb=nb,
-                        comm=comm, interpret=interpret,
-                    ),
+                    run_sharded_visco,
                     mesh=mesh,
-                    in_specs=({k: spec3 for k in props_np}, spec2, spec2, P()),
+                    in_specs=({k: spec3 for k in props_np}, spec2, spec2,
+                              P()) + extra_specs,
                     out_specs=(spec3, spec3, spec3),
                     # pallas_call outputs carry no vma annotation
                     check_vma=False,
@@ -1067,7 +1145,7 @@ def run_fdtd(
             )
             acc_c, acc_s, peak = fn(
                 props, jnp.asarray(src_amp), jnp.asarray(src_phase),
-                jnp.float32(point_amp),
+                jnp.float32(point_amp), *extra_args,
             )
         else:
             fn = jax.jit(
@@ -1119,30 +1197,47 @@ def run_fdtd(
                 vol_kw["volume_source"] = {
                     k: jnp.asarray(v) for k, v in vol_src_np.items()
                 }
-            fn = jax.jit(
-                functools.partial(
-                    simulate_visco_pallas,
-                    grid=grid, profiles_np=profiles_np, viscous=viscous,
-                    oz_scale=oz_scale, nb=nb, interpret=interpret,
-                    **vol_kw,
+            indexed = _build_indexed_materials(
+                coefs, mat_idx, reflector_mask, grid.shape[2]
+            )
+            extra_args = ()
+            if indexed is not None:
+                extra_args = (jnp.asarray(indexed[0]),
+                              jnp.asarray(indexed[1]))
+
+            def call(shrink):
+                def run_visco(pr, a, p, pa, *mats):
+                    mkw = (dict(mat_idx=mats[0], mat_table=mats[1])
+                           if mats else {})
+                    return simulate_visco_pallas(
+                        pr, a, p, pa,
+                        grid=grid, profiles_np=profiles_np, viscous=viscous,
+                        oz_scale=oz_scale, nb=nb, interpret=interpret,
+                        k_shrink=shrink, **vol_kw, **mkw,
+                    )
+
+                return jax.jit(run_visco)(
+                    props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+                    jnp.float32(point_amp), *extra_args,
                 )
-            )
-            acc_c, acc_s, peak = fn(
-                props, jnp.asarray(src_amp), jnp.asarray(src_phase),
-                jnp.float32(point_amp),
-            )
+
+            acc_c, acc_s, peak = _pallas_with_vmem_fallback(call)
         else:
-            fn = jax.jit(
-                functools.partial(
-                    simulate_fluid_pallas,
-                    grid=grid, profiles_np=profiles_np, viscous=viscous,
-                    oz_scale=oz_scale, nb=nb, interpret=interpret,
+            def call(shrink):
+                fn = jax.jit(
+                    functools.partial(
+                        simulate_fluid_pallas,
+                        grid=grid, profiles_np=profiles_np, viscous=viscous,
+                        oz_scale=oz_scale, nb=nb, interpret=interpret,
+                        k_shrink=shrink,
+                    )
                 )
-            )
-            acc_c, acc_s, peak = fn(
-                props, jnp.asarray(src_amp), jnp.asarray(src_phase),
-                jnp.float32(point_amp),
-            )
+                return fn(
+                    props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+                    jnp.float32(point_amp),
+                )
+
+            acc_c, acc_s, peak = _pallas_with_vmem_fallback(call)
         acc_c = np.asarray(acc_c)
         acc_s = np.asarray(acc_s)
         n_win = grid.n_steps - grid.sensor_start

@@ -2575,10 +2575,22 @@ def _simulate_fluid_pallas_sharded_fused(props, src_amp, src_phase, grid,
     return (carry["acc_cos"][sl], carry["acc_sin"][sl], carry["peak"][sl])
 
 
+def is_vmem_oom(err: Exception) -> bool:
+    """True when a Pallas compile failed on the VMEM budget — the signal
+    the auto-K fallback retries on (the hand-fit VMEM models in
+    ``_fusedK_auto``/``_viscoK_auto`` encode today's kernel layouts; a
+    Mosaic OOM at compile time on the real chip must degrade K, not brick
+    the run)."""
+    msg = str(err)
+    return ("vmem" in msg.lower() and "memory" in msg.lower()) or \
+        "Ran out of memory" in msg or \
+        "tpu_compile_helper" in msg or "Mosaic" in msg
+
+
 def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
                           grid, profiles_np, viscous,
                           oz_scale, nb=2, comm=None, interpret=False,
-                          fuse_steps=None):
+                          fuse_steps=None, k_shrink=0):
     """Scan driver mirroring fdtd._simulate_local for the pallas fluid path.
 
     With ``comm`` the first axis of every (N1, ...) array is the LOCAL shard
@@ -2637,6 +2649,9 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
     if fuse_steps is None:
         K = _fusedK_auto(grid, nb) if unsharded else 0
         K_dft = _fusedK_auto(grid, nb, with_dft=True) if unsharded else 0
+        if k_shrink:
+            K = 0 if K - k_shrink < 2 else K - k_shrink
+            K_dft = 0 if K_dft - k_shrink < 2 else K_dft - k_shrink
     else:
         K = int(fuse_steps)
         if K >= 3 and (not unsharded or N1 // nb < kx + 2 * K - 1):
@@ -4579,7 +4594,8 @@ _S6 = ("xx", "yy", "zz", "xy", "xz", "yz")
 
 
 def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
-                            interpret=False, with_dft=False, edge_offset=0):
+                            interpret=False, with_dft=False, edge_offset=0,
+                            indexed_materials=False, pack_z=False):
     """K viscoelastic timesteps per streaming sweep (deep temporal blocking).
 
     Generalizes ``build_visco_fused2_step`` exactly the way
@@ -4596,7 +4612,16 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         vx, vy AND vz, unlike the fluid system);
       * memory-variable rings r_k: (6, 3) slots;
       * material rings (rho + 5 moduli): depth 2K-2, stashed at the end of
-        the body on first HBM visit;
+        the body on first HBM visit; with ``indexed_materials`` the six
+        expanded property volumes are replaced by ONE int32 material-index
+        stream + a resident (8, 128) coefficient table — each stage
+        gathers its coefficients with single-vreg lane ``dynamic_gather``
+        (bit-exact: the gather returns the very f32 table values the
+        expansion would), the stash ring holds the index (depth 2K-1), and
+        both the HBM traffic and the VMEM of label-mode media drop by ~5
+        volume-equivalents. Requires M <= min(128, N3) materials — always
+        true for label mode, the only mode with shear
+        (`BabelIntegrationBASE.py:1343-1377`);
       * CPML psi rings (12 y/z per half-step family + 6 x-psi maps per
         family): shared rings of depth 2K-1.
 
@@ -4635,6 +4660,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                                       memory_space=pltpu.VMEM)
     slab_z = lambda idx: pl.BlockSpec((nb, N2, ns), idx,
                                       memory_space=pltpu.VMEM)
+    slab_zp = lambda idx: pl.BlockSpec((nb, N2, 6 * ns), idx,
+                                       memory_space=pltpu.VMEM)
     coef_y = pl.BlockSpec((1, ns, 1), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     coef_z = pl.BlockSpec((1, 1, ns), lambda i: (0, 0, 0),
@@ -4668,7 +4695,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         return m
 
     psixb = lambda m: pl.BlockSpec((nb, N2, N3), m, memory_space=pltpu.VMEM)
-    coefxb = lambda m: pl.BlockSpec((nb, 1, 1), m, memory_space=pltpu.VMEM)
+    xfull = pl.BlockSpec((px_planes, 1, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
     psix_shape = jax.ShapeDtypeStruct((px_planes, N2, N3), jnp.float32)
     smemK = lambda: pl.BlockSpec((K, 2), lambda i: (0, 0),
                                  memory_space=pltpu.SMEM)
@@ -4697,34 +4725,41 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         )
 
     # ---- declarative in/out/scratch orderings (indexed by name) ----
-    def vel_x_coef_specs(k):
-        lag = 2 * k - 1
-        return [(f"cxv{k}_{j}",
-                 coefxb((lo_of if j in (0, 1, 4, 5) else hi_of)(lag)))
-                for j in range(8)]
-
-    def str_x_coef_specs(k):
-        lag = 2 * k
-        return [(f"cxs{k}_{j}",
-                 coefxb((lo_of if j in (0, 1, 4, 5) else hi_of)(lag)))
-                for j in range(8)]
-
+    if indexed_materials:
+        mat_in = [
+            ("midx", slab(lagk(1))),
+            ("mtab", pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)),
+        ]
+        mat_in2 = []
+    else:
+        mat_in = [("rho", slab(lagk(1)))]
+        mat_in2 = [("piu", slab(lagk(2))), ("muu", slab(lagk(2))),
+                   ("crp", slab(lagk(2))), ("crs", slab(lagk(2))),
+                   ("br", slab(lagk(2)))]
     in_entries = (
         [("sxx", slab(cur)), ("sxy", slab(cur)), ("sxz", slab(cur)),
          ("syy", slab(lagk(1))), ("szz", slab(lagk(1))),
          ("syz", slab(lagk(1))),
-         ("vx", slab(lagk(1))), ("vy", slab(lagk(1))), ("vz", slab(lagk(1))),
-         ("rho", slab(lagk(1)))]
+         ("vx", slab(lagk(1))), ("vy", slab(lagk(1))), ("vz", slab(lagk(1)))]
+        + mat_in
         + [(f"r_{c}", slab(lagk(2))) for c in _S6]
-        + [("piu", slab(lagk(2))), ("muu", slab(lagk(2))),
-           ("crp", slab(lagk(2))), ("crs", slab(lagk(2))),
-           ("br", slab(lagk(2)))]
+        + mat_in2
         + ([("acc_c", slab(lagk(2 * K))), ("acc_s", slab(lagk(2 * K))),
             ("peak", slab(lagk(2 * K)))] if with_dft else [])
-        + [(f"psi_v{j}", (slab_y if j < 6 else slab_z)(lagk(1)))
-           for j in range(12)]
-        + [(f"psi_s{j}", (slab_y if j < 6 else slab_z)(lagk(2)))
-           for j in range(12)]
+        # y psi slabs stream individually (cheap sublane padding); with
+        # ``pack_z`` the six z psi slabs of each family are LANE-PACKED
+        # into one stream — (nb, N2, ns) buffers tile-pad ns=14 lanes to
+        # 128 (a ~9x blowup), so packing cuts their VMEM footprint ~6x.
+        # MEASURED tradeoff on v5e: the unaligned 14-lane slices/concats
+        # cost ~11% throughput at K=2, so packing is OFF by default and
+        # only worth enabling when the freed VMEM buys a deeper K.
+        + [(f"psi_v{j}", slab_y(lagk(1))) for j in range(6)]
+        + ([("psi_vz_pk", slab_zp(lagk(1)))] if pack_z else
+           [(f"psi_v{j}", slab_z(lagk(1))) for j in range(6, 12)])
+        + [(f"psi_s{j}", slab_y(lagk(2))) for j in range(6)]
+        + ([("psi_sz_pk", slab_zp(lagk(2)))] if pack_z else
+           [(f"psi_s{j}", slab_z(lagk(2))) for j in range(6, 12)])
         + [("ghost", ghost_spec)]
         + ([(f"{nm}{k}", plane_at(2 * k - 1))
             for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
@@ -4738,10 +4773,12 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         + [(f"czi{j}", coef_z) for j in range(4)]
         + [(f"pxs{j}", psixb((lo_of if j % 2 == 0 else hi_of)(1)))
            for j in range(6)]
-        + [e for k in range(1, K + 1) for e in vel_x_coef_specs(k)]
         + [(f"pxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2)))
            for j in range(6)]
-        + [e for k in range(1, K + 1) for e in str_x_coef_specs(k)]
+        # resident x-CPML coefficient packs (half + int family), loaded
+        # once and dynamic-sliced per stage in-kernel — replaces 16K
+        # per-lag tiny block streams
+        + [(f"xc{fam}{j}", xfull) for fam in ("h", "i") for j in range(4)]
     )
     out_entries = (
         [("ovx", slab(lagk(2 * K - 1))), ("ovy", slab(lagk(2 * K - 1))),
@@ -4750,10 +4787,12 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         + [(f"or_{c}", slab(lagk(2 * K))) for c in _S6]
         + ([("oacc_c", slab(lagk(2 * K))), ("oacc_s", slab(lagk(2 * K))),
             ("opeak", slab(lagk(2 * K)))] if with_dft else [])
-        + [(f"opsi_v{j}", (slab_y if j < 6 else slab_z)(lagk(2 * K - 1)))
-           for j in range(12)]
-        + [(f"opsi_s{j}", (slab_y if j < 6 else slab_z)(lagk(2 * K)))
-           for j in range(12)]
+        + [(f"opsi_v{j}", slab_y(lagk(2 * K - 1))) for j in range(6)]
+        + ([("opsi_vz_pk", slab_zp(lagk(2 * K - 1)))] if pack_z else
+           [(f"opsi_v{j}", slab_z(lagk(2 * K - 1))) for j in range(6, 12)])
+        + [(f"opsi_s{j}", slab_y(lagk(2 * K))) for j in range(6)]
+        + ([("opsi_sz_pk", slab_zp(lagk(2 * K)))] if pack_z else
+           [(f"opsi_s{j}", slab_z(lagk(2 * K))) for j in range(6, 12)])
         + [(f"opxs{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2 * K - 1)))
            for j in range(6)]
         + [(f"opxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2 * K)))
@@ -4761,9 +4800,13 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
     )
     vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
     shp_y = jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)
+    shp_zp = jax.ShapeDtypeStruct((N1, N2, 6 * ns), jnp.float32)
+
     shp_z = jax.ShapeDtypeStruct((N1, N2, ns), jnp.float32)
 
     def out_shape_of(nm):
+        if nm.endswith("z_pk"):
+            return shp_zp
         if nm.startswith("opsi_"):
             return shp_y if int(nm[6:]) < 6 else shp_z
         if nm.startswith("opx"):
@@ -4783,9 +4826,12 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         aliases[in_idx["acc_c"]] = out_idx["oacc_c"]
         aliases[in_idx["acc_s"]] = out_idx["oacc_s"]
         aliases[in_idx["peak"]] = out_idx["opeak"]
-    for j in range(12):
+    for j in range(6 if pack_z else 12):
         aliases[in_idx[f"psi_v{j}"]] = out_idx[f"opsi_v{j}"]
         aliases[in_idx[f"psi_s{j}"]] = out_idx[f"opsi_s{j}"]
+    if pack_z:
+        aliases[in_idx["psi_vz_pk"]] = out_idx["opsi_vz_pk"]
+        aliases[in_idx["psi_sz_pk"]] = out_idx["opsi_sz_pk"]
     for j in range(6):
         aliases[in_idx[f"pxs{j}"]] = out_idx[f"opxs{j}"]
         aliases[in_idx[f"pxv{j}"]] = out_idx[f"opxv{j}"]
@@ -4799,13 +4845,19 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
            for k in range(1, K)]
         + [(f"v{k}{c}", ring_slab(3))
            for k in range(1, K + 1) for c in ("x", "y", "z")]
-        + [("rho_r", ring_slab(Dm)), ("piu_r", ring_slab(Dm)),
-           ("muu_r", ring_slab(Dm)), ("crp_r", ring_slab(Dm)),
-           ("crs_r", ring_slab(Dm)), ("br_r", ring_slab(Dm))]
+        + ([("midx_r", pltpu.VMEM((2 * K - 1, nb, N2, N3), jnp.int32))]
+           if indexed_materials else
+           [("rho_r", ring_slab(Dm)), ("piu_r", ring_slab(Dm)),
+            ("muu_r", ring_slab(Dm)), ("crp_r", ring_slab(Dm)),
+            ("crs_r", ring_slab(Dm)), ("br_r", ring_slab(Dm))])
         + [("pv_y", pltpu.VMEM((6, Dp, nb, ns, N3), jnp.float32)),
-           ("pv_z", pltpu.VMEM((6, Dp, nb, N2, ns), jnp.float32)),
+           ("pv_z", pltpu.VMEM((Dp, nb, N2, 6 * ns), jnp.float32)
+            if pack_z else
+            pltpu.VMEM((6, Dp, nb, N2, ns), jnp.float32)),
            ("ps_y", pltpu.VMEM((6, Dp, nb, ns, N3), jnp.float32)),
-           ("ps_z", pltpu.VMEM((6, Dp, nb, N2, ns), jnp.float32))]
+           ("ps_z", pltpu.VMEM((Dp, nb, N2, 6 * ns), jnp.float32)
+            if pack_z else
+            pltpu.VMEM((6, Dp, nb, N2, ns), jnp.float32))]
         + [("pxs_r", pltpu.VMEM((6, Dp, nb, N2, N3), jnp.float32)),
            ("pxv_r", pltpu.VMEM((6, Dp, nb, N2, N3), jnp.float32))]
     )
@@ -4852,12 +4904,55 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                 axis=axis,
             )
 
+        if indexed_materials:
+            g_starts = list(range(0, N3 - 127, 128))
+            gW = min(128, N3)
+            if not g_starts or g_starts[-1] + 128 < N3:
+                g_starts.append(max(N3 - gW, 0))
+
+            def mgather(c, idx3):
+                """f32 coefficient c for an int32 index slab via 128-lane
+                windowed ``dynamic_gather`` from the resident table (the
+                gather is exact, so this is bit-equal to the pre-expanded
+                property volumes)."""
+                pieces = []
+                prev_end = 0
+                for s0 in g_starts:
+                    i2 = idx3[:, :, s0:s0 + gW].reshape(nb * N2, gW)
+                    x = jnp.broadcast_to(
+                        R["mtab"][c, :gW][None, :], (nb * N2, gW)
+                    )
+                    g = jnp.take_along_axis(
+                        x, i2, axis=1, mode="promise_in_bounds"
+                    ).reshape(nb, N2, gW)
+                    pieces.append(g[:, :, prev_end - s0:])
+                    prev_end = s0 + gW
+                if len(pieces) == 1:
+                    return pieces[0]
+                return jnp.concatenate(pieces, axis=2)
+
+        def xcoef8(s):
+            """(b_lo, a_lo, b_hi, a_hi) x-CPML windows for slab s, half
+            then int family, dynamic-sliced from the resident packs."""
+            blo = jnp.clip(s - h0, 0, kx) * nb
+            base = n_slabs - kx - h0
+            bhi = jnp.where(
+                (s >= base) & (s < n_slabs - h0), s - base, kx
+            ) * nb
+            out = []
+            for fam in ("h", "i"):
+                out += [R[f"xc{fam}0"][pl.ds(blo, nb)],
+                        R[f"xc{fam}1"][pl.ds(blo, nb)],
+                        R[f"xc{fam}2"][pl.ds(bhi, nb)],
+                        R[f"xc{fam}3"][pl.ds(bhi, nb)]]
+            return tuple(out)
+
         def vel_body(w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
                      psi12, psix6, cx, src3, ts):
             sxy = w_xy[2 : 2 + nb]
             sxz = w_xz[2 : 2 + nb]
-            xh = (cx[0][...], cx[1][...], cx[2][...], cx[3][...])
-            xi = (cx[4][...], cx[5][...], cx[6][...], cx[7][...])
+            xh = (cx[0], cx[1], cx[2], cx[3])
+            xi = (cx[4], cx[5], cx[6], cx[7])
             d = dpx_w(w_xx)
             nlo = xh[0] * psix6[0] + xh[1] * d
             nhi = xh[2] * psix6[1] + xh[3] * d
@@ -4908,8 +5003,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             vx = w_x[2 : 2 + nb]
             vy = w_y[2 : 2 + nb]
             vz = w_z[2 : 2 + nb]
-            xh = (cx[0][...], cx[1][...], cx[2][...], cx[3][...])
-            xi = (cx[4][...], cx[5][...], cx[6][...], cx[7][...])
+            xh = (cx[0], cx[1], cx[2], cx[3])
+            xi = (cx[4], cx[5], cx[6], cx[7])
             d = dmx_w(w_x)
             nlo = xi[0] * psix6[0] + xi[1] * d
             nhi = xi[2] * psix6[1] + xi[3] * d
@@ -4995,8 +5090,18 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     w_xz = win(R["s0_xz"], sv, 3)
                     syy, szz, syz = R["syy"][...], R["szz"][...], R["syz"][...]
                     v_in = (R["vx"][...], R["vy"][...], R["vz"][...])
-                    rho_inv = R["rho"][...]
-                    psi12 = [R[f"psi_v{j}"][...] for j in range(12)]
+                    if indexed_materials:
+                        rho_inv = mgather(0, R["midx"][...])
+                    else:
+                        rho_inv = R["rho"][...]
+                    if pack_z:
+                        vz_pk = R["psi_vz_pk"][...]
+                        psi12 = [R[f"psi_v{j}"][...] for j in range(6)] + [
+                            vz_pk[:, :, m * ns:(m + 1) * ns]
+                            for m in range(6)
+                        ]
+                    else:
+                        psi12 = [R[f"psi_v{j}"][...] for j in range(12)]
                     psix6 = [R[f"pxs{j}"][...] for j in range(6)]
                 else:
                     km = k - 1
@@ -5008,17 +5113,27 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     syz = R[f"s{km}_yz"][sv % 3]
                     v_in = (R[f"v{km}x"][sv % 3], R[f"v{km}y"][sv % 3],
                             R[f"v{km}z"][sv % 3])
-                    rho_inv = R["rho_r"][sv % Dm]
-                    psi12 = [(R["pv_y"][j, sv % Dp] if j < 6
-                              else R["pv_z"][j - 6, sv % Dp])
-                             for j in range(12)]
+                    if indexed_materials:
+                        rho_inv = mgather(0, R["midx_r"][sv % (2 * K - 1)])
+                    else:
+                        rho_inv = R["rho_r"][sv % Dm]
+                    if pack_z:
+                        vz_pk = R["pv_z"][sv % Dp]
+                        psi12 = [R["pv_y"][j, sv % Dp] for j in range(6)] + [
+                            vz_pk[:, :, m * ns:(m + 1) * ns]
+                            for m in range(6)
+                        ]
+                    else:
+                        psi12 = [R["pv_y"][j, sv % Dp] for j in range(6)] + [
+                            R["pv_z"][j, sv % Dp] for j in range(6)
+                        ]
                     psix6 = [R["pxs_r"][j, sv % Dp] for j in range(6)]
                 src3 = ((R[f"amp{k}"][...], R[f"cph{k}"][...],
                          R[f"sph{k}"][...]) if plane_src else None)
                 vx_n, vy_n, vz_n, np12, npx = vel_body(
                     w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
                     psi12, psix6,
-                    [R[f"cxv{k}_{j}"] for j in range(8)],
+                    xcoef8(sv),
                     src3, (R["tsrc"][k - 1, 0], R["tsrc"][k - 1, 1]),
                 )
                 R[f"v{k}x"][sv % 3] = vx_n
@@ -5033,16 +5148,27 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     R["ovx"][...] = vx_n
                     R["ovy"][...] = vy_n
                     R["ovz"][...] = vz_n
-                    for j in range(12):
+                    for j in range(6):
                         R[f"opsi_v{j}"][...] = np12[j]
+                    if pack_z:
+                        R["opsi_vz_pk"][...] = jnp.concatenate(
+                            np12[6:12], axis=2
+                        )
+                    else:
+                        for j in range(6, 12):
+                            R[f"opsi_v{j}"][...] = np12[j]
                     for j in range(6):
                         R[f"opxs{j}"][...] = npx[j]
                 else:
-                    for j in range(12):
-                        if j < 6:
-                            R["pv_y"][j, sv % Dp] = np12[j]
-                        else:
-                            R["pv_z"][j - 6, sv % Dp] = np12[j]
+                    for j in range(6):
+                        R["pv_y"][j, sv % Dp] = np12[j]
+                    if pack_z:
+                        R["pv_z"][sv % Dp] = jnp.concatenate(
+                            np12[6:12], axis=2
+                        )
+                    else:
+                        for j in range(6):
+                            R["pv_z"][j, sv % Dp] = np12[6 + j]
                     for j in range(6):
                         R["pxs_r"][j, sv % Dp] = npx[j]
 
@@ -5060,9 +5186,21 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                               R["s0_zz"][sp % 2], R["s0_xy"][sp % 3],
                               R["s0_xz"][sp % 3], R["s0_yz"][sp % 2])
                     r_old6 = [R[f"r_{c}"][...] for c in _S6]
-                    props5 = (R["piu"][...], R["muu"][...], R["crp"][...],
-                              R["crs"][...], R["br"][...])
-                    psi12 = [R[f"psi_s{j}"][...] for j in range(12)]
+                    if indexed_materials:
+                        idx2 = R["midx_r"][sp % (2 * K - 1)]
+                        props5 = tuple(mgather(c, idx2) for c in range(1, 6))
+                    else:
+                        props5 = (R["piu"][...], R["muu"][...],
+                                  R["crp"][...], R["crs"][...],
+                                  R["br"][...])
+                    if pack_z:
+                        sz_pk = R["psi_sz_pk"][...]
+                        psi12 = [R[f"psi_s{j}"][...] for j in range(6)] + [
+                            sz_pk[:, :, m * ns:(m + 1) * ns]
+                            for m in range(6)
+                        ]
+                    else:
+                        psi12 = [R[f"psi_s{j}"][...] for j in range(12)]
                     psix6 = [R[f"pxv{j}"][...] for j in range(6)]
                 else:
                     km = k - 1
@@ -5070,16 +5208,27 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                         R[f"s{km}_{c}"][sp % sdepth(km, c)] for c in _S6
                     )
                     r_old6 = [R[f"r{km}"][j, sp % 3] for j in range(6)]
-                    props5 = (R["piu_r"][sp % Dm], R["muu_r"][sp % Dm],
-                              R["crp_r"][sp % Dm], R["crs_r"][sp % Dm],
-                              R["br_r"][sp % Dm])
-                    psi12 = [(R["ps_y"][j, sp % Dp] if j < 6
-                              else R["ps_z"][j - 6, sp % Dp])
-                             for j in range(12)]
+                    if indexed_materials:
+                        idx2 = R["midx_r"][sp % (2 * K - 1)]
+                        props5 = tuple(mgather(c, idx2) for c in range(1, 6))
+                    else:
+                        props5 = (R["piu_r"][sp % Dm], R["muu_r"][sp % Dm],
+                                  R["crp_r"][sp % Dm], R["crs_r"][sp % Dm],
+                                  R["br_r"][sp % Dm])
+                    if pack_z:
+                        sz_pk = R["ps_z"][sp % Dp]
+                        psi12 = [R["ps_y"][j, sp % Dp] for j in range(6)] + [
+                            sz_pk[:, :, m * ns:(m + 1) * ns]
+                            for m in range(6)
+                        ]
+                    else:
+                        psi12 = [R["ps_y"][j, sp % Dp] for j in range(6)] + [
+                            R["ps_z"][j, sp % Dp] for j in range(6)
+                        ]
                     psix6 = [R["pxv_r"][j, sp % Dp] for j in range(6)]
                 s6, r6, np12, npx = stress_body(
                     w_x, w_y, w_z, s_old6, r_old6, props5, psi12, psix6,
-                    [R[f"cxs{k}_{j}"] for j in range(8)],
+                    xcoef8(sp),
                 )
                 if point:
                     sel = (sp == s_pt).astype(jnp.float32)
@@ -5090,8 +5239,15 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     for j, c in enumerate(_S6):
                         R[f"os_{c}"][...] = s6[j]
                         R[f"or_{c}"][...] = r6[j]
-                    for j in range(12):
+                    for j in range(6):
                         R[f"opsi_s{j}"][...] = np12[j]
+                    if pack_z:
+                        R["opsi_sz_pk"][...] = jnp.concatenate(
+                            np12[6:12], axis=2
+                        )
+                    else:
+                        for j in range(6, 12):
+                            R[f"opsi_s{j}"][...] = np12[j]
                     for j in range(6):
                         R[f"opxv{j}"][...] = npx[j]
                     if with_dft:
@@ -5121,11 +5277,15 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     for j, c in enumerate(_S6):
                         R[f"s{k}_{c}"][sp % sdepth(k, c)] = s6[j]
                         R[f"r{k}"][j, sp % 3] = r6[j]
-                    for j in range(12):
-                        if j < 6:
-                            R["ps_y"][j, sp % Dp] = np12[j]
-                        else:
-                            R["ps_z"][j - 6, sp % Dp] = np12[j]
+                    for j in range(6):
+                        R["ps_y"][j, sp % Dp] = np12[j]
+                    if pack_z:
+                        R["ps_z"][sp % Dp] = jnp.concatenate(
+                            np12[6:12], axis=2
+                        )
+                    else:
+                        for j in range(6):
+                            R["ps_z"][j, sp % Dp] = np12[6 + j]
                     for j in range(6):
                         R["pxv_r"][j, sp % Dp] = npx[j]
 
@@ -5134,17 +5294,22 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             s_stage(k)
 
         # end-of-body material stashes (first HBM visit -> ring)
-        @pl.when((i >= 1) & (i <= n_slabs))
-        def _():
-            R["rho_r"][(i - 1) % Dm] = R["rho"][...]
+        if indexed_materials:
+            @pl.when((i >= 1) & (i <= n_slabs))
+            def _():
+                R["midx_r"][(i - 1) % (2 * K - 1)] = R["midx"][...]
+        else:
+            @pl.when((i >= 1) & (i <= n_slabs))
+            def _():
+                R["rho_r"][(i - 1) % Dm] = R["rho"][...]
 
-        @pl.when((i >= 2) & (i <= n_slabs + 1))
-        def _():
-            R["piu_r"][(i - 2) % Dm] = R["piu"][...]
-            R["muu_r"][(i - 2) % Dm] = R["muu"][...]
-            R["crp_r"][(i - 2) % Dm] = R["crp"][...]
-            R["crs_r"][(i - 2) % Dm] = R["crs"][...]
-            R["br_r"][(i - 2) % Dm] = R["br"][...]
+            @pl.when((i >= 2) & (i <= n_slabs + 1))
+            def _():
+                R["piu_r"][(i - 2) % Dm] = R["piu"][...]
+                R["muu_r"][(i - 2) % Dm] = R["muu"][...]
+                R["crp_r"][(i - 2) % Dm] = R["crp"][...]
+                R["crs_r"][(i - 2) % Dm] = R["crs"][...]
+                R["br_r"][(i - 2) % Dm] = R["br"][...]
 
     call = pl.pallas_call(
         kernel,
@@ -5173,12 +5338,18 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
 
 def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                interpret, with_dft, edge_offset=0,
-                               xcoef_scale=None):
-    """K-timestep visco step closure (scan over step groups of K)."""
+                               xcoef_scale=None, indexed_materials=False,
+                               pack_z=False):
+    """K-timestep visco step closure (scan over step groups of K).
+
+    With ``indexed_materials`` the carry must hold ``midx`` (int32 volume)
+    and ``mtab`` ((8, 128) f32 coefficient table) instead of streaming the
+    six expanded property volumes from ``carry['props']``."""
     omega = 2.0 * np.pi * grid.frequency
     call, kc = build_visco_fusedK_step(
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
         with_dft=with_dft, edge_offset=edge_offset,
+        indexed_materials=indexed_materials, pack_z=pack_z,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
@@ -5234,14 +5405,32 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         else:
             acc_in = scal_in = ()
 
-        psi_v_in = [s[k] for k in _V_PSI_KEYS]
-        psi_s_in = [s[k] for k in _S_PSI_KEYS]
+        if pack_z:
+            # z psi slabs travel lane-packed through the kernel (6 -> 1
+            # stream per family); carry keys stay unpacked for the
+            # fused1/2 fallback kernels
+            psi_v_in = [s[k] for k in _V_PSI_KEYS[:6]] + [
+                jnp.concatenate([s[k] for k in _V_PSI_KEYS[6:]], axis=2)
+            ]
+            psi_s_in = [s[k] for k in _S_PSI_KEYS[:6]] + [
+                jnp.concatenate([s[k] for k in _S_PSI_KEYS[6:]], axis=2)
+            ]
+        else:
+            psi_v_in = [s[k] for k in _V_PSI_KEYS]
+            psi_s_in = [s[k] for k in _S_PSI_KEYS]
+        if indexed_materials:
+            mat_a = (s["midx"], s["mtab"])
+            mat_b = ()
+        else:
+            mat_a = (pr["rho_inv"],)
+            mat_b = (pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"],
+                     pr["b_r"])
         outs = call(
             f["sxx"], f["sxy"], f["sxz"],
             f["syy"], f["szz"], f["syz"],
-            f["vx"], f["vy"], f["vz"], pr["rho_inv"],
+            f["vx"], f["vy"], f["vz"], *mat_a,
             f["rxx"], f["ryy"], f["rzz"], f["rxy"], f["rxz"], f["ryz"],
-            pr["pi_u"], pr["mu_u"], pr["c_rp"], pr["c_rs"], pr["b_r"],
+            *mat_b,
             *acc_in,
             *psi_v_in,
             *psi_s_in,
@@ -5254,11 +5443,10 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             s["psi_sxxx_lo"], s["psi_sxxx_hi"],
             s["psi_sxyx_lo"], s["psi_sxyx_hi"],
             s["psi_sxzx_lo"], s["psi_sxzx_hi"],
-            *(c for _ in range(K) for c in (*bxh, *bxi)),
             s["psi_vxx_lo"], s["psi_vxx_hi"],
             s["psi_vyx_lo"], s["psi_vyx_hi"],
             s["psi_vzx_lo"], s["psi_vzx_hi"],
-            *(c for _ in range(K) for c in (*bxh, *bxi)),
+            *bxh, *bxi,
         )
         it = iter(outs)
         vx, vy, vz = (next(it) for _ in range(3))
@@ -5268,8 +5456,19 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             acc_c, acc_s, peak = (next(it) for _ in range(3))
         else:
             acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
-        psi_v_out = [next(it) for _ in range(12)]
-        psi_s_out = [next(it) for _ in range(12)]
+        if pack_z:
+            nsp = grid.npml + 2
+            psi_v_out = [next(it) for _ in range(7)]
+            psi_s_out = [next(it) for _ in range(7)]
+            psi_v_out = psi_v_out[:6] + [
+                psi_v_out[6][:, :, m * nsp:(m + 1) * nsp] for m in range(6)
+            ]
+            psi_s_out = psi_s_out[:6] + [
+                psi_s_out[6][:, :, m * nsp:(m + 1) * nsp] for m in range(6)
+            ]
+        else:
+            psi_v_out = [next(it) for _ in range(12)]
+            psi_s_out = [next(it) for _ in range(12)]
         (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
          n_sxzx_lo, n_sxzx_hi) = (next(it) for _ in range(6))
         (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
@@ -5296,13 +5495,15 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
     return step
 
 
-def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=118 * 1024 * 1024,
-                 with_dft=False):
+def _viscoK_auto(grid, nb, K_cap=5, budget_bytes=118 * 1024 * 1024,
+                 with_dft=False, indexed=False, pack_z=False):
     """Deepest K whose visco-fusedK VMEM footprint fits; 0/1 = no fusedK.
 
     Counts the ring slabs declared by ``build_visco_fusedK_step`` plus the
-    double-buffered block streams (~66 full slabs x2) and the small y/z psi
-    rings."""
+    double-buffered block streams. ``pack_z`` lane-packs the z psi slabs
+    (6 -> 1 buffer per family, ~6x less VMEM there but ~11% slower per
+    sweep); ``indexed`` replaces the 6 material volumes with one int32
+    index stream + a (2K-1)-slot index ring."""
     N1, N2, N3 = grid.shape
     if N1 % nb:
         return 0
@@ -5312,6 +5513,7 @@ def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=118 * 1024 * 1024,
     slab_b = _tile_padded_bytes((nb, N2, N3))
     y_b = _tile_padded_bytes((nb, ns, N3))
     z_b = _tile_padded_bytes((nb, N2, ns))
+    zp_b = _tile_padded_bytes((nb, N2, 6 * ns))
     for K in range(K_cap, 1, -1):
         if n_slabs < kx + 2 * K - 1:
             continue
@@ -5328,13 +5530,17 @@ def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=118 * 1024 * 1024,
         rings += sum(sdepth(k, c) for k in range(1, K) for c in _S6)
         rings += (K - 1) * 18          # r rings
         rings += K * 9                 # velocity rings
-        rings += 6 * (2 * K - 2)       # material rings
+        rings += (2 * K - 1) if indexed else 6 * (2 * K - 2)  # materials
         rings += 12 * Dp               # psix rings
-        n_io = (21 + 12) + (15 + 12) + (6 if with_dft else 0)
-        bufs = 2 * n_io
-        est = (rings + bufs) * slab_b \
-            + (12 * Dp + 48) * (y_b + z_b) \
-            + 6 * 1024 * 1024
+        n_mat = 1 if indexed else 6
+        n_in = 15 + n_mat + 12 + (3 if with_dft else 0)
+        n_out = 27 + (3 if with_dft else 0)
+        bufs = 2 * (n_in + n_out)
+        if pack_z:
+            psi_yz = (12 * Dp + 48) * y_b + (2 * Dp + 8) * zp_b
+        else:
+            psi_yz = (12 * Dp + 48) * (y_b + z_b)
+        est = (rings + bufs) * slab_b + psi_yz + 6 * 1024 * 1024
         if est <= budget_bytes:
             return K
     return 0
@@ -5342,7 +5548,8 @@ def _viscoK_auto(grid, nb, K_cap=4, budget_bytes=118 * 1024 * 1024,
 
 def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
                                          profiles_np, viscous, oz_scale, nb,
-                                         comm, interpret, K, H, h0):
+                                         comm, interpret, K, H, h0,
+                                         mat_idx=None, mat_table=None):
     """Visco overlap-and-discard fused sweeps under x decomposition.
 
     Same scheme as ``_simulate_fluid_pallas_sharded_fused``: extended local
@@ -5381,6 +5588,7 @@ def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
             f, from_right, (N1e - H,) + (0,) * (f.ndim - 1)
         )
 
+    indexed = mat_idx is not None and mat_table is not None
     props_e = {k: extend(v) for k, v in props.items()}
     amp_e = extend(src_amp)
     ph_e = extend(src_phase)
@@ -5418,6 +5626,20 @@ def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
             return stepfn(c, n)
         return step
 
+    if indexed:
+        # dead zones beyond the global edges must carry ZERO properties so
+        # they self-maintain zeros (bit-exactness vs the single-device
+        # kernel relies on it); extend() zero-fills them with index 0 =
+        # water, so remap them to the table's zero pad row
+        dead_id = min(128, N3) - 1
+        mi_e = extend(mat_idx)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (N1e, 1, 1), 0)
+        dead = ((pos < H) & (is_first > 0)) | (
+            (pos >= N1e - H) & (is_last > 0)
+        )
+        carry["midx"] = jnp.where(dead, jnp.int32(dead_id), mi_e)
+        carry["mtab"] = mat_table
+
     mk = dict(edge_offset=h0, xcoef_scale=(is_first, is_last))
 
     def run_phase(carry, n0, n1, with_dft):
@@ -5428,7 +5650,7 @@ def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
         if count // K > 0:
             stepK = with_refresh(_make_visco_fusedK_step_fn(
                 ge, profiles_np, viscous, oz_scale, K, nb, interpret,
-                with_dft=with_dft, **mk,
+                with_dft=with_dft, indexed_materials=indexed, **mk,
             ))
             carry, _ = jax.lax.scan(
                 stepK, carry, n0 + K * jnp.arange(count // K)
@@ -5451,7 +5673,8 @@ def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
 def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
                           profiles_np, viscous, oz_scale, nb=2,
                           comm=None, interpret=False, fuse_steps=None,
-                          volume_source=None):
+                          volume_source=None, mat_idx=None, mat_table=None,
+                          k_shrink=0):
     """Scan driver for the viscoelastic pallas path (optionally sharded).
 
     Two scan phases like the fluid driver: quiet kernels before
@@ -5461,16 +5684,27 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
     fused kernel, then a 1-step fused tail. Under x decomposition with a
     plane source, the overlap-and-discard fused driver runs whenever a
     K >= 2 plan fits the shard extent.
+
+    ``mat_idx`` (int32 (N1,N2,N3)) + ``mat_table`` ((8,128) f32 rows
+    [rho_inv, pi_u, mu_u, c_rp, c_rs, b_r]) switch the fusedK kernels to
+    indexed materials (in-kernel single-vreg table gather, bit-exact vs
+    the expanded volumes); requires <= min(128, N3) materials — always
+    true for label mode. The fused1/fused2 tail kernels still consume
+    ``props``.
     """
     N1, N2, N3 = grid.shape
+    indexed = mat_idx is not None and mat_table is not None
     if comm is not None and comm.sharded_x and not comm.sharded_y and \
             grid.source_type == "velocity_plane":
-        plan = _sharded_fusedK_plan(N1, nb, grid.npml, fuse_steps, grid,
-                                    K_cap=4, auto_fn=_viscoK_auto)
+        plan = _sharded_fusedK_plan(
+            N1, nb, grid.npml, fuse_steps, grid, K_cap=4,
+            auto_fn=functools.partial(_viscoK_auto, indexed=indexed),
+        )
         if plan is not None:
             return _simulate_visco_pallas_sharded_fused(
                 props, src_amp, src_phase, grid, profiles_np, viscous,
                 oz_scale, nb, comm, interpret, *plan,
+                mat_idx=mat_idx, mat_table=mat_table,
             )
     ns = grid.npml + 2
     n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
@@ -5497,6 +5731,9 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         "psi_vyx_lo": zx(), "psi_vyx_hi": zx(),
         "psi_vzx_lo": zx(), "psi_vzx_hi": zx(),
     }
+    if indexed:
+        carry["midx"] = mat_idx
+        carry["mtab"] = mat_table
     if grid.source_type == "stress_point":
         carry["peak_src"] = jnp.float32(0.0)
     if grid.source_type == "velocity_plane":
@@ -5528,10 +5765,25 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         and N1 // nb >= kx + 3
     )
     fusable_src = grid.source_type in ("velocity_plane", "stress_point")
+    packz = packz_dft = False
     if fuse_steps is None:
-        K = _viscoK_auto(grid, nb) if (unsharded and fusable_src) else 0
-        K_dft = (_viscoK_auto(grid, nb, with_dft=True)
-                 if (unsharded and fusable_src) else 0)
+        def _pick(dft):
+            """z-packing costs ~12%/sweep (measured: packed K=3 5.48 vs
+            unpacked K=2 6.29 Gcells/s at the headline shape) while each
+            +1 K is worth ~11%, so packing must buy >= 2 extra K to win."""
+            kp = _viscoK_auto(grid, nb, with_dft=dft, indexed=indexed)
+            kz = _viscoK_auto(grid, nb, with_dft=dft, indexed=indexed,
+                              pack_z=True)
+            return (kz, True) if kz >= kp + 2 else (kp, False)
+
+        if unsharded and fusable_src:
+            K, packz = _pick(False)
+            K_dft, packz_dft = _pick(True)
+            if k_shrink:
+                K = 0 if K - k_shrink < 2 else K - k_shrink
+                K_dft = 0 if K_dft - k_shrink < 2 else K_dft - k_shrink
+        else:
+            K = K_dft = 0
     else:
         K = int(fuse_steps)
         if K >= 2 and (not (unsharded and fusable_src)
@@ -5552,7 +5804,8 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         if use_fusedK and Kp >= 2 and count // Kp > 0:
             stepK = _make_visco_fusedK_step_fn(
                 grid, profiles_np, viscous, oz_scale, Kp, nb, interpret,
-                with_dft=with_dft,
+                with_dft=with_dft, indexed_materials=indexed,
+                pack_z=packz_dft if with_dft else packz,
             )
             carry, _ = jax.lax.scan(
                 stepK, carry, n0 + Kp * jnp.arange(count // Kp)

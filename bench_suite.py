@@ -154,6 +154,11 @@ def bench_visco_label():
         k: jax.device_put(jnp.asarray(v))
         for k, v in _material_fields(idx, coefs, has_shear=True).items()
     }
+    from babelbrain_tpu.ops.fdtd import _build_indexed_materials
+
+    mi, mt = _build_indexed_materials(coefs, idx, None, SHAPE[2])
+    mi_d = jax.device_put(jnp.asarray(mi))
+    mt_d = jax.device_put(jnp.asarray(mt))
     amp = jax.device_put(
         jnp.zeros(SHAPE[:2], jnp.float32).at[16:-16, 16:-16].set(60e3)
     )
@@ -168,11 +173,12 @@ def bench_visco_label():
     )
     sync = lambda out: float(np.asarray(out[0][0, 0, :2])[0])
     pa = jnp.float32(0.0)
-    sync(fn(props, amp, ph, pa))
+    run = lambda: sync(fn(props, amp, ph, pa, mat_idx=mi_d, mat_table=mt_d))
+    run()
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        sync(fn(props, amp, ph, pa))
+        run()
         best = min(best, time.time() - t0)
     mcups = np.prod(SHAPE) / (best / grid.n_steps) / 1e6
     # baseline: this repo's measured XLA viscoelastic path, ~0.6 Gcells/s
@@ -375,6 +381,16 @@ def bench_visco_narrow():
         k: jax.device_put(jnp.asarray(v))
         for k, v in _material_fields(idx, coefs, has_shear=True).items()
     }
+    from babelbrain_tpu.ops.fdtd import _build_indexed_materials
+
+    # N3=192 tiles the 128-lane gather windows with 33% overlap, so the
+    # builder rejects indexed mode here (measured slower); mirror the
+    # production run_fdtd decision
+    built = _build_indexed_materials(coefs, idx, None, shape[2])
+    mkw = {}
+    if built is not None:
+        mkw = dict(mat_idx=jax.device_put(jnp.asarray(built[0])),
+                   mat_table=jax.device_put(jnp.asarray(built[1])))
     amp = jax.device_put(
         jnp.zeros(shape[:2], jnp.float32).at[16:-16, 16:-16].set(60e3)
     )
@@ -388,11 +404,12 @@ def bench_visco_narrow():
     )
     sync = lambda out: float(np.asarray(out[0][0, 0, :2])[0])
     pa = jnp.float32(0.0)
-    sync(fn(props, amp, ph, pa))
+    run = lambda: sync(fn(props, amp, ph, pa, **mkw))
+    run()
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        sync(fn(props, amp, ph, pa))
+        run()
         best = min(best, time.time() - t0)
     mcups = np.prod(shape) / (best / grid.n_steps) / 1e6
     # baseline: this repo's measured XLA viscoelastic path, ~0.6 Gcells/s

@@ -323,3 +323,151 @@ def test_dome_volume_source_pallas_matches_xla():
     np.testing.assert_allclose(o_p["p_amp"], o_x["p_amp"],
                                atol=scale * 1e-5)
     np.testing.assert_allclose(o_p["peak"], o_x["peak"], atol=scale * 1e-5)
+
+
+def test_visco_indexed_materials_bitexact():
+    """Indexed-material fusedK kernels (int32 index + in-kernel table
+    gather) must be BIT-equal to the expanded-volume kernels — the gather
+    returns the same f32 coefficients the host-side expansion produces
+    (label-mode material-table contract, `BabelIntegrationBASE.py:1357-1377`)."""
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _build_indexed_materials,
+        _fold_reflector,
+        _material_fields,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops import fdtd_pallas as fp
+
+    F0, C = 500e3, 1500.0
+    shape = (32, 32, 64)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, 2494.0, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 3
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_plane_z=13,
+    )
+    mats = np.array(
+        [[1000.0, C, 0.0, 20.0, 0.0], [1896.5, 2494.0, 1594.0, 106.0, 214.0],
+         [1116.0, 1537.0, 0.0, 2.99, 0.0]]
+    )
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 30:38] = 1
+    idx[:, :, 38:42] = 2
+    refl = np.zeros(shape, bool)
+    refl[10:20, 10:20, 50:53] = True
+    amp = np.zeros(shape[:2])
+    amp[8:-8, 8:-8] = 60e3
+    ph = np.random.default_rng(5).uniform(-2, 2, shape[:2])
+
+    coefs = sls_coefficients(mats, F0, dt)
+    props_np = _material_fields(idx, coefs, has_shear=True)
+    _fold_reflector(props_np, refl, True)
+    props = {k: jnp.asarray(v) for k, v in props_np.items()}
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, 2494.0, 1e-5)
+
+    common = dict(
+        grid=grid, profiles_np=prof, viscous=True,
+        oz_scale=1.0 / (1000.0 * C), nb=2, interpret=True, fuse_steps=2,
+    )
+    ref = fp.simulate_visco_pallas(
+        props, jnp.asarray(amp, jnp.float32), jnp.asarray(ph, jnp.float32),
+        jnp.float32(0.0), **common,
+    )
+    mi, mt = _build_indexed_materials(coefs, idx, refl, shape[2])
+    got = fp.simulate_visco_pallas(
+        props, jnp.asarray(amp, jnp.float32), jnp.asarray(ph, jnp.float32),
+        jnp.float32(0.0), mat_idx=jnp.asarray(mi), mat_table=jnp.asarray(mt),
+        **common,
+    )
+    for a, b, nm in zip(ref, got, ("acc_c", "acc_s", "peak")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=nm)
+    # reflector voxels carry exactly zero pressure on both paths
+    n_win = ns - grid.sensor_start
+    p_amp = 2.0 / n_win * np.sqrt(
+        np.asarray(got[0]) ** 2 + np.asarray(got[1]) ** 2
+    )
+    assert p_amp[refl].max() == 0.0
+    assert p_amp.max() > 0
+
+
+def test_vmem_fallback_retries_then_succeeds():
+    """`_pallas_with_vmem_fallback` must decrement K on Mosaic VMEM OOMs
+    and re-raise anything else (robust auto-K, VERDICT r3 task 9)."""
+    from babelbrain_tpu.ops.fdtd import _pallas_with_vmem_fallback
+
+    calls = []
+
+    def flaky(shrink):
+        calls.append(shrink)
+        if shrink < 2:
+            raise RuntimeError(
+                "INTERNAL: Mosaic failed to compile TPU kernel: Ran out of "
+                "memory in memory space vmem"
+            )
+        return "ok"
+
+    assert _pallas_with_vmem_fallback(flaky) == "ok"
+    assert calls == [0, 1, 2]
+
+    def broken(shrink):
+        raise ValueError("some unrelated error")
+
+    with pytest.raises(ValueError, match="unrelated"):
+        _pallas_with_vmem_fallback(broken)
+
+    def always_oom(shrink):
+        raise RuntimeError("Ran out of memory in memory space vmem")
+
+    with pytest.raises(RuntimeError, match="vmem"):
+        _pallas_with_vmem_fallback(always_oom, max_shrink=1)
+
+
+def test_k_shrink_reduces_auto_depth():
+    """k_shrink lowers the auto-selected fused depth and the shallower
+    sweep stays bit-equal (it is the same update applied in smaller
+    groups)."""
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _material_fields,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops import fdtd_pallas as fp
+
+    F0, C = 500e3, 1500.0
+    shape = (64, 32, 32)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, C, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 2
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - ppp, source_plane_z=13,
+    )
+    mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+    idx = np.zeros(shape, np.uint8)
+    amp = np.zeros(shape[:2])
+    amp[4:-4, 4:-4] = 60e3
+    coefs = sls_coefficients(mats, F0, dt)
+    props = {
+        k: jnp.asarray(v)
+        for k, v in _material_fields(idx, coefs, has_shear=False).items()
+    }
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, C, 1e-5)
+    zeros2 = jnp.zeros(shape[:2], jnp.float32)
+    outs = {}
+    for shrink in (0, 2):
+        outs[shrink] = fp.simulate_fluid_pallas(
+            props, jnp.asarray(amp, jnp.float32), zeros2, jnp.float32(0.0),
+            grid=grid, profiles_np=prof, viscous=True,
+            oz_scale=1.0 / (1000.0 * C), nb=2, interpret=True,
+            k_shrink=shrink,
+        )
+    for a, b in zip(outs[0], outs[2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
