@@ -964,9 +964,14 @@ def run_fdtd(
     sensor_subsampling : cadence for the monitor series (the reference's
         ``SensorSubSampling``); samples start at ``grid.sensor_start``.
 
-    ``sel_maps``/``monitor_ijk`` run on the XLA path (single-device or
-    sharded: extra maps shard like the volume, monitor series are psum'd
-    to a replicated vector).
+    ``sel_maps`` limited to ``Pressure_rms``/``Pressure_peak`` and
+    ``monitor_ijk`` stay on the fused Pallas fast path for unsharded fluid
+    runs (the RMS accumulator is fused into the DFT sweeps; the monitor
+    series is gathered once per sweep, so its cadence is the fused depth
+    and ``sensor_subsampling`` is ignored there — ``sensor_times`` always
+    reports the true sample times). Velocity/stress maps, shear media, and
+    sharded runs use the XLA path (extra maps shard like the volume,
+    monitor series are psum'd to a replicated vector).
 
     Returns
     -------
@@ -987,11 +992,23 @@ def run_fdtd(
     if bad:
         raise ValueError(f"unknown sel_maps entries: {sorted(bad)}")
     want_extras = bool(sel_maps) or monitor_ijk is not None
-    if want_extras:
+    # Pressure maps + monitor capture are fused into the fluid fusedK DFT
+    # kernel (`BabelIntegrationBASE.py:2338-2429` SelMapsRMSPeakList parity
+    # without abandoning the fast path); everything else (velocity/stress
+    # maps, shear media, sharded runs) falls back to the XLA scan
+    pallas_extras_wanted = (
+        want_extras
+        and set(sel_maps) <= {"Pressure_rms", "Pressure_peak"}
+        and mesh is None
+        and backend in ("auto", "pallas")
+        and grid.source_type in ("velocity_plane", "stress_point")
+    )
+    if want_extras and not pallas_extras_wanted:
         if backend == "pallas":
             raise ValueError(
-                "sel_maps/monitor_ijk are served by the XLA path; the pallas "
-                "kernels accumulate only the carrier DFT + peak"
+                "only Pressure_rms/Pressure_peak sel_maps and monitor_ijk "
+                "run on the (unsharded, fluid) pallas path; other maps are "
+                "served by the XLA backend"
             )
         backend = "xla"
 
@@ -1080,6 +1097,25 @@ def run_fdtd(
     if backend in ("auto", "pallas") and pallas_ok:
         plat = jax.devices()[0].platform
         use_pallas = backend == "pallas" or plat != "cpu"
+    pallas_extras = False
+    if want_extras:
+        feasible = pallas_extras_wanted and use_pallas and not has_shear
+        if feasible:
+            from .fdtd_pallas import _fusedK_auto
+
+            window = grid.n_steps - grid.sensor_start
+            kd = _fusedK_auto(grid, 2, with_dft=True)
+            feasible = any(window % k == 0 for k in range(3, kd + 1))
+        if feasible:
+            pallas_extras = True
+        else:
+            if backend == "pallas":
+                raise ValueError(
+                    "pallas sel_maps/monitor need a fluid medium and a "
+                    "sensor window divisible by a fused depth >= 3"
+                )
+            backend = "xla"
+            use_pallas = False
     if backend == "pallas" and not (use_pallas or pallas_sharded):
         raise ValueError(
             "pallas backend requires a velocity_plane or stress_point source"
@@ -1223,6 +1259,12 @@ def run_fdtd(
 
             acc_c, acc_s, peak = _pallas_with_vmem_fallback(call)
         else:
+            sel_p2 = "Pressure_rms" in sel_maps
+            pmon_idx = None
+            if pallas_extras and monitor_ijk is not None:
+                mi_np = np.asarray(monitor_ijk, np.int64).reshape(-1, 3)
+                pmon_idx = tuple(jnp.asarray(mi_np[:, d]) for d in range(3))
+
             def call(shrink):
                 fn = jax.jit(
                     functools.partial(
@@ -1230,6 +1272,8 @@ def run_fdtd(
                         grid=grid, profiles_np=profiles_np, viscous=viscous,
                         oz_scale=oz_scale, nb=nb, interpret=interpret,
                         k_shrink=shrink,
+                        sel_p2=sel_p2 and pallas_extras,
+                        monitor_idx=pmon_idx,
                     )
                 )
                 return fn(
@@ -1237,17 +1281,37 @@ def run_fdtd(
                     jnp.float32(point_amp),
                 )
 
-            acc_c, acc_s, peak = _pallas_with_vmem_fallback(call)
+            out = _pallas_with_vmem_fallback(call)
+            acc_c, acc_s, peak = out[:3]
+            p_extras = out[3] if len(out) > 3 else {}
         acc_c = np.asarray(acc_c)
         acc_s = np.asarray(acc_s)
         n_win = grid.n_steps - grid.sensor_start
         amp = 2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)
         phase = np.arctan2(-acc_s, acc_c)
-        return {
+        result = {
             "p_amp": amp.astype(np.float32),
             "p_phase": phase.astype(np.float32),
             "peak": np.asarray(peak),
         }
+        if pallas_extras:
+            if "Pressure_peak" in sel_maps:
+                result["Pressure_peak"] = np.asarray(peak)
+            if "Pressure_rms" in sel_maps:
+                result["Pressure_rms"] = np.sqrt(
+                    np.asarray(p_extras["acc_p2"]) / n_win
+                ).astype(np.float32)
+            if monitor_ijk is not None:
+                # cadence = the fused depth of the window sweeps (the
+                # returned times are exact for the emitted samples)
+                result["sensor_series"] = (
+                    np.asarray(p_extras["monitor_series"]).T
+                    .astype(np.float32)
+                )
+                result["sensor_times"] = (
+                    np.asarray(p_extras["monitor_steps"]) * grid.dt
+                ).astype(np.float32)
+        return result
 
     if vol_src_np is not None:
         # XLA path carries the volumetric source through the props dict

@@ -1707,7 +1707,8 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
 
 def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                             interpret=False, with_dft=False, edge_offset=0,
-                            _mat_const=False, _tiny_const=False):
+                            with_p2=False, _mat_const=False,
+                            _tiny_const=False):
     """K timesteps per streaming sweep (deep temporal blocking).
 
     ``edge_offset`` (h0, in slabs) shifts the in-kernel x-CPML inward: the
@@ -1867,6 +1868,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
          ("ghost", ghost_spec)]
         + ([("acc_c", slab(lagk(2 * K))), ("acc_s", slab(lagk(2 * K))),
             ("peak", slab(lagk(2 * K)))] if with_dft else [])
+        + ([("acc_p2", slab(lagk(2 * K)))] if with_dft and with_p2 else [])
         + [(f"{nm}{k}", pl.BlockSpec((nb, N2, 1), lagk_tiny(2 * k - 1),
                                      memory_space=pltpu.VMEM))
            for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
@@ -1895,6 +1897,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
          ("op", slab(lagk(2 * K))), ("orr", slab(lagk(2 * K)))]
         + ([("oacc_c", slab(lagk(2 * K))), ("oacc_s", slab(lagk(2 * K))),
             ("opeak", slab(lagk(2 * K)))] if with_dft else [])
+        + ([("oacc_p2", slab(lagk(2 * K)))] if with_dft and with_p2 else [])
         + [("opsix_p_lo", psixb(lo_of(2 * K - 1))),
            ("opsix_p_hi", psixb(hi_of(2 * K - 1))),
            ("opsix_v_lo", psixb(lo_of(2 * K))),
@@ -1911,7 +1914,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
     out_shape_by_name = {
         "ovx": vol(), "ovy": vol(), "ovz": vol(), "op": vol(), "orr": vol(),
-        "oacc_c": vol(), "oacc_s": vol(), "opeak": vol(),
+        "oacc_c": vol(), "oacc_s": vol(), "opeak": vol(), "oacc_p2": vol(),
         "opsix_p_lo": psix_shape, "opsix_p_hi": psix_shape,
         "opsix_v_lo": psix_shape, "opsix_v_hi": psix_shape,
         "opsi_py_lo": jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32),
@@ -1938,6 +1941,8 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         aliases[in_idx["acc_c"]] = out_idx["oacc_c"]
         aliases[in_idx["acc_s"]] = out_idx["oacc_s"]
         aliases[in_idx["peak"]] = out_idx["opeak"]
+        if with_p2:
+            aliases[in_idx["acc_p2"]] = out_idx["oacc_p2"]
     for nm in ("psi_py_lo", "psi_py_hi", "psi_pz_lo", "psi_pz_hi",
                "psi_vy_lo", "psi_vy_hi", "psi_vz_lo", "psi_vz_hi"):
         aliases[in_idx[nm]] = out_idx["o" + nm]
@@ -2185,23 +2190,28 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                     R["opsix_v_lo"][...] = nxv_lo
                     R["opsix_v_hi"][...] = nxv_hi
                     if with_dft:
-                        # carrier DFT + peak over all K step pressures
+                        # carrier DFT + peak (+ optional RMS) over all K
+                        # step pressures
                         acc_c = R["acc_c"][...]
                         acc_s = R["acc_s"][...]
                         pk = R["peak"][...]
+                        a2 = R["acc_p2"][...] if with_p2 else None
                         for j in range(1, K + 1):
                             pj = (p_n if j == K
                                   else R[f"p{j}_ring"][sp % p_depth(j)])
                             cj = R["scal"][j - 1, 0]
                             sj = R["scal"][j - 1, 1]
+                            on = (cj * cj + sj * sj > 0)
                             acc_c = acc_c + pj * cj
                             acc_s = acc_s + pj * sj
-                            pk = jnp.maximum(
-                                pk, jnp.abs(pj) * (cj * cj + sj * sj > 0)
-                            )
+                            pk = jnp.maximum(pk, jnp.abs(pj) * on)
+                            if with_p2:
+                                a2 = a2 + pj * pj * on
                         R["oacc_c"][...] = acc_c
                         R["oacc_s"][...] = acc_s
                         R["opeak"][...] = pk
+                        if with_p2:
+                            R["oacc_p2"][...] = a2
                 else:
                     R[f"p{k}_ring"][sp % p_depth(k)] = p_n
                     R[f"r{k}_ring"][sp % 3] = r_n
@@ -2264,15 +2274,15 @@ def _scale_xpacks(xh, xi, xcoef_scale):
 
 def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                interpret, with_dft=False, edge_offset=0,
-                               xcoef_scale=None, _mat_const=False,
-                               _tiny_const=False):
+                               xcoef_scale=None, with_p2=False,
+                               _mat_const=False, _tiny_const=False):
     """K-timestep step closure (scan over step GROUPS of K; n is the
     first of the K step indices)."""
     omega = 2.0 * np.pi * grid.frequency
     call, kcoefs = build_fluid_fusedK_step(
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
-        with_dft=with_dft, edge_offset=edge_offset, _mat_const=_mat_const,
-        _tiny_const=_tiny_const,
+        with_dft=with_dft, edge_offset=edge_offset, with_p2=with_p2,
+        _mat_const=_mat_const, _tiny_const=_tiny_const,
     )
     xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
     xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])
@@ -2313,6 +2323,8 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                   jnp.sin(omega * t) * m])
 
             acc_in = (s["acc_cos"], s["acc_sin"], s["peak"])
+            if with_p2:
+                acc_in = acc_in + (s["acc_p2"],)
             scal_in = (jnp.stack([scal_row(n + j) for j in range(K)]),)
         else:
             acc_in = scal_in = ()
@@ -2335,8 +2347,11 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         )
         it = iter(outs)
         vx, vy, vz, p_new, r_new = (next(it) for _ in range(5))
+        acc_p2 = s.get("acc_p2")
         if with_dft:
             acc_c, acc_s, peak = (next(it) for _ in range(3))
+            if with_p2:
+                acc_p2 = next(it)
         else:
             acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
         psix_p_lo, psix_p_hi, psix_v_lo, psix_v_hi = (
@@ -2357,6 +2372,8 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             psix_v_lo=psix_v_lo, psix_v_hi=psix_v_hi,
             acc_cos=acc_c, acc_sin=acc_s, peak=peak,
         )
+        if acc_p2 is not None:
+            new_carry["acc_p2"] = acc_p2
         return new_carry, None
 
     return step
@@ -2590,7 +2607,8 @@ def is_vmem_oom(err: Exception) -> bool:
 def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
                           grid, profiles_np, viscous,
                           oz_scale, nb=2, comm=None, interpret=False,
-                          fuse_steps=None, k_shrink=0):
+                          fuse_steps=None, k_shrink=0,
+                          sel_p2=False, monitor_idx=None):
     """Scan driver mirroring fdtd._simulate_local for the pallas fluid path.
 
     With ``comm`` the first axis of every (N1, ...) array is the LOCAL shard
@@ -2646,6 +2664,7 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
     kx = -(-ns // nb)
     unsharded = not (comm.sharded_x or comm.sharded_y)
     use_fused2 = unsharded and N1 // nb >= kx + 3
+    want_extras = sel_p2 or monitor_idx is not None
     if fuse_steps is None:
         K = _fusedK_auto(grid, nb) if unsharded else 0
         K_dft = _fusedK_auto(grid, nb, with_dft=True) if unsharded else 0
@@ -2660,7 +2679,26 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
                 f"N1/nb >= {kx + 2 * K - 1}"
             )
         K_dft = K
+    if want_extras:
+        # Pressure_rms / monitor capture live in the fusedK DFT kernel
+        # only, so the sensor window must run entirely in K-step sweeps:
+        # pick the deepest K <= K_dft that divides the window
+        window = grid.n_steps - n_quiet
+        K_fit = 0
+        for k in range(min(K_dft, window), 2, -1):
+            if window % k == 0:
+                K_fit = k
+                break
+        if K_fit < 3:
+            raise ValueError(
+                f"sel_maps/monitor need a sensor window divisible by a "
+                f"fused depth 3..{K_dft} (window={window} steps)"
+            )
+        K_dft = K_fit
+        if sel_p2:
+            carry["acc_p2"] = z3()
     use_fusedK = K >= 3
+    monitor_ys = []
 
     def run_phase(carry, n0, n1, with_dft):
         """Advance steps [n0, n1): K-step fused sweeps, then 2-step fused
@@ -2670,14 +2708,27 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
             return carry
         remK = n0
         Kp = K_dft if with_dft else K
-        if use_fusedK and Kp >= 3 and count // Kp > 0:
+        if (use_fusedK or (with_dft and want_extras)) and Kp >= 3 \
+                and count // Kp > 0:
             stepK = _make_fluid_fusedK_step_fn(
                 grid, profiles_np, viscous, oz_scale, Kp, nb, interpret,
-                with_dft=with_dft,
+                with_dft=with_dft, with_p2=sel_p2 and with_dft,
             )
-            carry, _ = jax.lax.scan(
-                stepK, carry, n0 + Kp * jnp.arange(count // Kp)
-            )
+            if with_dft and monitor_idx is not None:
+                mi, mj, mk = monitor_idx
+
+                def stepK_mon(c, n, _s=stepK):
+                    c2, _ = _s(c, n)
+                    return c2, c2["fields"]["p"][mi, mj, mk]
+
+                carry, ys = jax.lax.scan(
+                    stepK_mon, carry, n0 + Kp * jnp.arange(count // Kp)
+                )
+                monitor_ys.append((ys, n0, Kp))
+            else:
+                carry, _ = jax.lax.scan(
+                    stepK, carry, n0 + Kp * jnp.arange(count // Kp)
+                )
             remK = n0 + Kp * (count // Kp)
         n_pairs = (n1 - remK) // 2 if use_fused2 else 0
         if n_pairs > 0:
@@ -2698,7 +2749,16 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
 
     carry = run_phase(carry, 0, n_quiet, with_dft=False)
     carry = run_phase(carry, n_quiet, grid.n_steps, with_dft=True)
-    return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+    if not want_extras:
+        return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+    extras = {}
+    if sel_p2:
+        extras["acc_p2"] = carry["acc_p2"]
+    if monitor_idx is not None:
+        ys, n0, Kp = monitor_ys[0]
+        extras["monitor_series"] = ys
+        extras["monitor_steps"] = n0 + Kp * np.arange(ys.shape[0]) + Kp - 1
+    return carry["acc_cos"], carry["acc_sin"], carry["peak"], extras
 
 
 # ---------------------------------------------------------------------------

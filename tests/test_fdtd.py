@@ -458,8 +458,10 @@ class TestSelMapsAndSensors:
         idx = np.zeros(shape, np.uint8)
         with pytest.raises(ValueError, match="unknown sel_maps"):
             run_fdtd(idx, mats, grid, sel_maps=("Bogus_rms",))
-        with pytest.raises(ValueError, match="XLA path"):
-            run_fdtd(idx, mats, grid, backend="pallas", sel_maps=("Pressure_rms",))
+        # velocity/stress maps are XLA-only; backend='pallas' must refuse
+        # rather than silently fall back
+        with pytest.raises(ValueError, match="XLA backend"):
+            run_fdtd(idx, mats, grid, backend="pallas", sel_maps=("Vx_rms",))
 
 
 class TestPointSourceSphericalSpreading:

@@ -471,3 +471,61 @@ def test_k_shrink_reduces_auto_depth():
         )
     for a, b in zip(outs[0], outs[2]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pressure_maps_and_monitor_on_pallas_fast_path():
+    """Pressure_rms / Pressure_peak sel_maps and monitor capture fused into
+    the fluid fusedK DFT kernel (VERDICT r3 task 5): parity vs the XLA
+    path without leaving the Pallas backend."""
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        run_fdtd,
+        stable_dt,
+    )
+
+    F0, C = 500e3, 1500.0
+    shape = (64, 32, 64)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, C, 0.9)))
+    dt = 1 / F0 / ppp
+    # window of 2*ppp steps; make it divisible by 3 for the fused capture
+    n_win = (2 * ppp // 3) * 3
+    ns = ppp * 3 + n_win
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - n_win, source_plane_z=13,
+    )
+    mats = np.array([[1000.0, C, 0.0, 20.0, 0.0]])
+    idx = np.zeros(shape, np.uint8)
+    amp = np.zeros(shape[:2])
+    amp[8:-8, 8:-8] = 60e3
+    mon = np.array([[32, 16, 40], [20, 10, 30]])
+    kw = dict(
+        source_amp=amp,
+        sel_maps=("Pressure_rms", "Pressure_peak"),
+        monitor_ijk=mon,
+    )
+    o_x = run_fdtd(idx, mats, grid, backend="xla",
+                   sensor_subsampling=1, **kw)
+    o_p = run_fdtd(idx, mats, grid, backend="pallas", **kw)
+
+    scale = o_x["p_amp"].max()
+    np.testing.assert_allclose(
+        o_p["p_amp"], o_x["p_amp"], atol=scale * 1e-6
+    )
+    np.testing.assert_allclose(
+        o_p["Pressure_rms"], o_x["Pressure_rms"], atol=scale * 1e-6
+    )
+    np.testing.assert_allclose(
+        o_p["Pressure_peak"], o_x["Pressure_peak"], atol=scale * 1e-6
+    )
+    # monitor series: the pallas cadence is the fused depth; the XLA run
+    # with subsampling 1 must agree exactly at the emitted sample times
+    steps_p = np.round(o_p["sensor_times"] / dt).astype(int)
+    steps_x = np.round(o_x["sensor_times"] / dt).astype(int)
+    pos = np.searchsorted(steps_x, steps_p)
+    assert np.all(steps_x[pos] == steps_p)
+    np.testing.assert_allclose(
+        o_p["sensor_series"], o_x["sensor_series"][:, pos],
+        atol=scale * 1e-6,
+    )
