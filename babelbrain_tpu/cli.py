@@ -52,12 +52,19 @@ def _cmd_run(args):
         labels = _Img()
     else:
         labels = load_nifti(args.labels)
+    targets = None
     if args.trajectory:
         _, m = read_trajectory_brainsight(args.trajectory)
         target, direction = trajectory_target_direction(m)
     else:
-        target = np.array([float(v) for v in args.target.split(",")])
+        targets = [
+            np.array([float(v) for v in t.split(",")])
+            for t in args.target.split(";")
+        ]
+        target = targets[0]
         direction = np.array([float(v) for v in args.direction.split(",")])
+    freqs = [float(v) for v in str(args.frequency).split(",")]
+    ppws = [float(v) for v in str(args.ppw).split(",")]
 
     ct = ct_aff = None
     if args.ct:
@@ -89,8 +96,8 @@ def _cmd_run(args):
 
     cfg = CaseConfig(
         tx_system=args.tx,
-        frequency=args.frequency,
-        ppw=args.ppw,
+        frequency=freqs[0],
+        ppw=ppws[0],
         steering=tuple(float(v) for v in args.steering.split(",")),
         do_refocus=args.refocus,
         ct_type=args.ct_type,
@@ -122,18 +129,46 @@ def _cmd_run(args):
     mask_shape = None
     if args.mask_shape:
         mask_shape = tuple(int(v) for v in args.mask_shape.split(","))
-    res = run_case(
-        cfg,
-        labels.get_fdata().astype(np.int32),
-        labels.affine,
-        target,
-        direction,
+    common = dict(
         ct_data=ct,
         ct_affine=ct_aff,
         t1_data=t1,
         t1_affine=t1_aff,
         thermal_params=thermal,
         mask_shape=mask_shape,
+    )
+    labels_np = labels.get_fdata().astype(np.int32)
+    matrix = (
+        (targets is not None and len(targets) > 1)
+        or len(freqs) > 1 or len(ppws) > 1
+    )
+    if matrix:
+        # case-matrix sweep (the reference's RunCases loop over
+        # targets x frequencies x PPW, `BabelIntegrationBASE.py:884-1037`)
+        from .pipeline.runner import run_cases
+
+        res_map = run_cases(
+            cfg, labels_np, labels.affine,
+            targets if targets is not None else [target],
+            direction, frequencies=freqs, ppws=ppws, **common,
+        )
+        summary = {}
+        for (tname, f, p), res in res_map.items():
+            key = f"{tname}_{int(f/1e3)}kHz_{int(p)}PPW"
+            if isinstance(res, Exception):
+                summary[key] = {"error": str(res)}
+            else:
+                summary[key] = {"files": res["files"],
+                                "cached": res["cached"]}
+        print(json.dumps(summary, indent=2, default=str))
+        return
+    res = run_case(
+        cfg,
+        labels_np,
+        labels.affine,
+        target,
+        direction,
+        **common,
     )
     summary = {"files": res["files"]}
     if res["thermal"] is not None:
@@ -218,11 +253,15 @@ def main(argv=None):
     r = sub.add_parser("run", help="run a full planning case")
     r.add_argument("--labels", required=True, help="segmentation labels NIfTI")
     r.add_argument("--trajectory", help="Brainsight trajectory export")
-    r.add_argument("--target", default="0,0,0", help="target RAS mm (x,y,z)")
+    r.add_argument("--target", default="0,0,0",
+                   help="target RAS mm (x,y,z); multiple targets separated "
+                        "by ';' run as a case matrix")
     r.add_argument("--direction", default="0,0,-1", help="sonication direction")
     r.add_argument("--tx", default="CTX_500")
-    r.add_argument("--frequency", type=float, default=500e3)
-    r.add_argument("--ppw", type=float, default=6.0)
+    r.add_argument("--frequency", default="500e3",
+                   help="Hz; comma-separated list runs a case matrix")
+    r.add_argument("--ppw", default="6",
+                   help="points per wavelength; comma list runs a matrix")
     r.add_argument("--ct", help="CT / ZTE / PETRA / density NIfTI (enables CT mode)")
     r.add_argument(
         "--ct-type", default="CT", choices=["CT", "ZTE", "PETRA", "Density"],

@@ -231,6 +231,71 @@ class CaseConfig:
     meta: dict = field(default_factory=dict)
 
 
+def run_cases(
+    cfg: CaseConfig,
+    labels_data,
+    labels_affine,
+    targets,
+    direction_ras,
+    *,
+    frequencies=None,
+    ppws=None,
+    stop_on_error: bool = False,
+    **case_kwargs,
+):
+    """Case-matrix sweep: targets x frequencies x PPW.
+
+    The reference's ``RUN_SIM_BASE.RunCases`` loops the full matrix with
+    per-case output naming and skip-if-output-exists caching
+    (`BabelIntegrationBASE.py:884-1037`); this is the library equivalent —
+    one call instead of shell loops, with each cell running ``run_case``
+    (so the per-case hash caches and Step-1/pseudo-CT reuse apply across
+    the matrix automatically).
+
+    Parameters
+    ----------
+    targets : list of RAS points, or dict name -> RAS point. Names become
+        the per-case prefix suffix (``<prefix>_<target>``); unnamed targets
+        get ``T0``, ``T1``, ...
+    frequencies, ppws : lists; default to the single values in ``cfg``.
+    stop_on_error : raise on the first failing cell instead of recording
+        the exception and continuing (the reference aborts the whole
+        batch; continuing is friendlier for long sweeps).
+
+    Returns dict ``(target_name, frequency, ppw) -> run_case result`` (or
+    the exception instance for failed cells when ``stop_on_error`` is
+    False).
+    """
+    import dataclasses as _dc
+
+    if isinstance(targets, dict):
+        named = list(targets.items())
+    else:
+        named = [(f"T{i}", t) for i, t in enumerate(targets)]
+    freqs = list(frequencies) if frequencies is not None else [cfg.frequency]
+    ppw_list = list(ppws) if ppws is not None else [cfg.ppw]
+
+    results = {}
+    for tname, target in named:
+        for f in freqs:
+            for ppw in ppw_list:
+                c = _dc.replace(
+                    cfg, frequency=float(f), ppw=float(ppw),
+                    prefix=f"{cfg.prefix}_{tname}",
+                )
+                key = (tname, float(f), float(ppw))
+                try:
+                    results[key] = run_case(
+                        c, labels_data, labels_affine, target,
+                        direction_ras, **case_kwargs,
+                    )
+                except Exception as e:  # noqa: BLE001 - recorded per cell
+                    if stop_on_error:
+                        raise
+                    results[key] = e
+    return results
+
+
 def run_case(
     cfg: CaseConfig,
     labels_data,

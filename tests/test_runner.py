@@ -591,3 +591,54 @@ class TestOptimizedWeightsLoader:
                             tx="CTX_500")
         with pytest.raises(ValueError, match="calibrated for"):
             load_optimized_weights(other, spec, n_elements=3)
+
+
+class TestCaseMatrix:
+    """run_cases matrix semantics (the reference's RunCases loop,
+    `BabelIntegrationBASE.py:884-1037`) with run_case stubbed out."""
+
+    def test_matrix_naming_and_fanout(self, monkeypatch):
+        from babelbrain_tpu.pipeline import runner as R
+
+        calls = []
+
+        def fake_run_case(cfg, labels, aff, target, direction, **kw):
+            calls.append((cfg.prefix, cfg.frequency, cfg.ppw,
+                          tuple(target)))
+            return {"files": {}, "cached": False}
+
+        monkeypatch.setattr(R, "run_case", fake_run_case)
+        cfg = R.CaseConfig(prefix="sweep")
+        out = R.run_cases(
+            cfg, None, None,
+            {"L-thal": (10, 0, 30), "R-thal": (-10, 0, 30)},
+            [0, 0, -1],
+            frequencies=[250e3, 500e3], ppws=[6],
+        )
+        assert len(out) == 4
+        assert ("L-thal", 250e3, 6.0) in out
+        prefixes = {c[0] for c in calls}
+        assert prefixes == {"sweep_L-thal", "sweep_R-thal"}
+        freqs = {c[1] for c in calls}
+        assert freqs == {250e3, 500e3}
+
+    def test_unnamed_targets_and_error_continuation(self, monkeypatch):
+        from babelbrain_tpu.pipeline import runner as R
+
+        def flaky_run_case(cfg, labels, aff, target, direction, **kw):
+            if cfg.prefix.endswith("T0"):
+                raise RuntimeError("boom")
+            return {"ok": True}
+
+        monkeypatch.setattr(R, "run_case", flaky_run_case)
+        cfg = R.CaseConfig(prefix="m")
+        out = R.run_cases(
+            cfg, None, None, [(0, 0, 0), (1, 1, 1)], [0, 0, -1],
+        )
+        assert isinstance(out[("T0", cfg.frequency, cfg.ppw)], RuntimeError)
+        assert out[("T1", cfg.frequency, cfg.ppw)] == {"ok": True}
+        with pytest.raises(RuntimeError):
+            R.run_cases(
+                cfg, None, None, [(0, 0, 0)], [0, 0, -1],
+                stop_on_error=True,
+            )
