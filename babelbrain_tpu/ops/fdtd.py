@@ -843,7 +843,7 @@ def _make_fluid_step_fn(grid: FDTDGrid, profiles, viscous, oz_scale, comm,
 
 def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
                     viscous, has_shear, oz_scale, comm, vary_axes=(),
-                    extras=(), monitor_idx=None):
+                    extras=(), monitor_idx=None, capture=None):
     """Run the scan on (possibly shard-local) blocks; returns accumulators.
 
     ``vary_axes``: extra mesh axes the inputs vary over (e.g. the 'case'
@@ -901,13 +901,50 @@ def _simulate_local(props, src_amp, src_phase, point_amp, grid, profiles,
             carry[k] = props.pop(k)
     if extras:
         carry["extra"] = {name: zeros() for name in extras}
-    carry, ys = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
-    if not extras and monitor_idx is None:
-        return carry["acc_cos"], carry["acc_sin"], carry["peak"]
-    return (
-        carry["acc_cos"], carry["acc_sin"], carry["peak"],
-        carry.get("extra", {}), ys,
+    if capture is None:
+        carry, ys = jax.lax.scan(step, carry, jnp.arange(grid.n_steps))
+        if not extras and monitor_idx is None:
+            return carry["acc_cos"], carry["acc_sin"], carry["peak"]
+        return (
+            carry["acc_cos"], carry["acc_sin"], carry["peak"],
+            carry.get("extra", {}), ys,
+        )
+
+    # raw time-series capture (the reference's full SensorOutput record,
+    # `BabelIntegrationBASE.py:2279-2295,2460-2538`): the scan runs in
+    # three segments and the middle one emits the pressure of every
+    # ``sub``-th step over the capture gather set
+    t0, t1, sub, cap_idx = capture
+    pressure_of = (
+        (lambda f: f["p"])
+        if not has_shear
+        else (lambda f: -(f["sxx"] + f["syy"] + f["szz"]) * (1.0 / 3.0))
     )
+
+    def cap_step(carry, ns):
+        def body(c, n):
+            c2, _ = step(c, n)
+            return c2, None
+        carry, _ = jax.lax.scan(body, carry, ns)
+        p = pressure_of(carry["fields"])
+        if cap_idx is None:
+            return carry, p
+        return carry, p[cap_idx]
+
+    if t0 > 0:
+        carry, _ = jax.lax.scan(
+            lambda c, n: (step(c, n)[0], None), carry, jnp.arange(t0)
+        )
+    n_groups = (t1 - t0) // sub
+    groups = t0 + jnp.arange(n_groups * sub).reshape(n_groups, sub)
+    carry, series = jax.lax.scan(cap_step, carry, groups)
+    rem = t0 + n_groups * sub
+    if rem < grid.n_steps:
+        carry, _ = jax.lax.scan(
+            lambda c, n: (step(c, n)[0], None), carry,
+            jnp.arange(rem, grid.n_steps),
+        )
+    return carry["acc_cos"], carry["acc_sin"], carry["peak"], series
 
 
 def run_fdtd(
@@ -1438,6 +1475,105 @@ def run_fdtd(
             result["sensor_series"] = np.asarray(ys)[sel].T.astype(np.float32)
             result["sensor_times"] = (sel * grid.dt).astype(np.float32)
     return result
+
+
+def run_fdtd_capture(
+    mat_idx: np.ndarray,
+    materials: np.ndarray,
+    grid: FDTDGrid,
+    source_amp: np.ndarray | None = None,
+    source_phase: np.ndarray | None = None,
+    point_amp: float = 0.0,
+    *,
+    t_start: int = 0,
+    t_end: int | None = None,
+    subsample: int = 1,
+    sensor_mask: np.ndarray | None = None,
+    reflector_mask=None,
+):
+    """Opt-in RAW pressure time-series capture (transient / non-CW).
+
+    The reference records a full [sensors x time] series and FFTs it
+    afterwards (`BabelIntegrationBASE.py:2279-2295,2460-2538`); the CW
+    production path here replaces that with the in-kernel carrier DFT, but
+    transient analysis needs the raw capability. This runs the XLA stepper
+    with a segmented scan: steps [t_start, t_end) emit the pressure of
+    every ``subsample``-th step, gathered over ``sensor_mask`` (bool
+    volume; None = the full volume — size the window to memory:
+    ``n_samples * n_sensors * 4`` bytes live on device).
+
+    Returns dict with 'series' (n_samples, n_sensors) float32 (or
+    (n_samples,) + grid.shape when ``sensor_mask`` is None), 'times' (s;
+    sample m is the state after step ``t_start + (m+1)*subsample - 1``),
+    'sensor_ijk' (n_sensors, 3) when a mask is given, and the standard
+    'p_amp'/'p_phase'/'peak' carrier outputs of the same run.
+    """
+    from ..parallel.halo import DomainComm
+
+    mats = np.asarray(materials, np.float64)
+    coefs = sls_coefficients(mats, grid.frequency, grid.dt)
+    has_shear = bool(np.any(mats[:, 2] > 0))
+    props_np = _material_fields(mat_idx, coefs, has_shear)
+    if reflector_mask is not None:
+        _fold_reflector(props_np, reflector_mask, has_shear)
+    viscous = coefs["viscous"]
+    rho0, c0 = mats[0, 0], mats[0, 1]
+    cmax = max(mats[:, 1].max(), mats[:, 2].max())
+    profiles = _build_cpml_profiles(
+        grid.shape, grid.npml, grid.dx, grid.dt, cmax, grid.reflection_limit
+    )
+    src_amp = np.asarray(
+        source_amp if source_amp is not None else np.zeros(grid.shape[:2]),
+        np.float32,
+    )
+    src_phase = np.asarray(
+        source_phase if source_phase is not None else np.zeros(grid.shape[:2]),
+        np.float32,
+    )
+    t_end = int(t_end if t_end is not None else grid.n_steps)
+    t_start = int(t_start)
+    sub = int(subsample)
+    if not (0 <= t_start < t_end <= grid.n_steps) or sub < 1:
+        raise ValueError("capture window must satisfy "
+                         "0 <= t_start < t_end <= n_steps, subsample >= 1")
+    cap_idx = None
+    ijk = None
+    if sensor_mask is not None:
+        ijk = np.argwhere(np.asarray(sensor_mask, bool))
+        cap_idx = tuple(jnp.asarray(ijk[:, d]) for d in range(3))
+
+    fn = jax.jit(
+        functools.partial(
+            _simulate_local,
+            grid=grid, profiles=profiles, viscous=viscous,
+            has_shear=has_shear, oz_scale=1.0 / (rho0 * c0),
+            comm=DomainComm(),
+            capture=(t_start, t_end, sub, cap_idx),
+        )
+    )
+    props = {k: jnp.asarray(v) for k, v in props_np.items()}
+    acc_c, acc_s, peak, series = fn(
+        props, jnp.asarray(src_amp), jnp.asarray(src_phase),
+        jnp.float32(point_amp),
+    )
+    acc_c = np.asarray(acc_c)
+    acc_s = np.asarray(acc_s)
+    n_win = grid.n_steps - grid.sensor_start
+    n_groups = (t_end - t_start) // sub
+    out = {
+        "p_amp": (2.0 / n_win * np.sqrt(acc_c**2 + acc_s**2)).astype(
+            np.float32
+        ),
+        "p_phase": np.arctan2(-acc_s, acc_c).astype(np.float32),
+        "peak": np.asarray(peak),
+        "series": np.asarray(series).astype(np.float32),
+        "times": (
+            (t_start + (np.arange(n_groups) + 1) * sub - 1) * grid.dt
+        ).astype(np.float32),
+    }
+    if ijk is not None:
+        out["sensor_ijk"] = ijk
+    return out
 
 
 def make_case_mesh(n_devices: int | None = None):

@@ -30,20 +30,96 @@ def _poly_basis(shape, order):
     return np.stack([t.ravel() for t in terms], axis=1)
 
 
+def _bspline_1d(n, n_ctrl):
+    """(n, n_ctrl) cubic B-spline design matrix on a uniform control grid."""
+    x = np.arange(n, dtype=np.float64) / max(n - 1, 1) * (n_ctrl - 3)
+    B = np.zeros((n, n_ctrl))
+    for c in range(n_ctrl):
+        t = x - (c - 1)  # control point c anchors knot c-1
+        at = np.abs(t)
+        val = np.where(
+            at < 1, (4 - 6 * at**2 + 3 * at**3) / 6,
+            np.where(at < 2, (2 - at) ** 3 / 6, 0.0),
+        )
+        B[:, c] = val
+    return B
+
+
+class _BsplineBasis:
+    """Separable 3-D cubic B-spline basis, evaluated lazily.
+
+    The basis family N4ITK itself fits (a B-spline lattice,
+    `BabelBrain/CTZTEProcessing.py:168` runs SimpleITK N4): locally
+    supported control points follow bias shapes a global polynomial
+    cannot (e.g. a surface-coil hot spot in one octant). The dense
+    (V, n_ctrl^3) matrix would be GBs at head-volume sizes, so rows are
+    built only for the fitted voxels and the full-grid evaluation uses
+    the separable contraction.
+    """
+
+    def __init__(self, shape, n_ctrl):
+        self.shape = tuple(shape)
+        self.n_ctrl = n_ctrl
+        self.B = [_bspline_1d(n, n_ctrl) for n in shape]
+        self.n_terms = n_ctrl**3
+
+    def rows(self, sel_flat):
+        ii, jj, kk = np.unravel_index(np.nonzero(sel_flat)[0], self.shape)
+        r = (
+            self.B[0][ii][:, :, None, None]
+            * self.B[1][jj][:, None, :, None]
+            * self.B[2][kk][:, None, None, :]
+        )
+        return r.reshape(len(ii), self.n_terms)
+
+    def eval(self, coef):
+        c = np.asarray(coef).reshape((self.n_ctrl,) * 3)
+        return np.einsum(
+            "ia,jb,kc,abc->ijk", self.B[0], self.B[1], self.B[2], c
+        )
+
+
+class _DenseBasis:
+    def __init__(self, mat, shape):
+        self.mat = mat
+        self.shape = shape
+        self.n_terms = mat.shape[1]
+
+    def rows(self, sel_flat):
+        return self.mat[sel_flat]
+
+    def eval(self, coef):
+        return (self.mat @ coef).reshape(self.shape)
+
+
 def correct_bias_field(
     image: np.ndarray,
     mask: np.ndarray,
     order: int = 3,
     clip_percentiles=(2.0, 98.0),
+    basis: str = "poly",
+    n_ctrl: int = 6,
 ):
     """Estimate and remove a smooth multiplicative bias field.
 
     Returns (corrected_image, bias_field). The corrected image preserves the
     median intensity inside ``mask``.
+
+    ``basis='poly'`` fits a global polynomial of ``order``;
+    ``basis='bspline'`` fits an N4-style cubic B-spline lattice with
+    ``n_ctrl`` control points per axis (locally supported, so it follows
+    coil-shading patterns a global polynomial cannot).
     """
     img = np.asarray(image, np.float64)
     m = np.asarray(mask, bool)
-    basis = np.ascontiguousarray(_poly_basis(img.shape, order))
+    if basis == "bspline":
+        bas = _BsplineBasis(img.shape, n_ctrl)
+    elif basis == "poly":
+        bas = _DenseBasis(
+            np.ascontiguousarray(_poly_basis(img.shape, order)), img.shape
+        )
+    else:
+        raise ValueError("basis must be 'poly' or 'bspline'")
 
     corrected = img.copy()
     total_log_bias = np.zeros(img.shape)
@@ -52,12 +128,12 @@ def correct_bias_field(
         # idea): tissue near the in-mask median, excluding bone/air
         med = np.median(corrected[m & (corrected > 0)])
         sel = m & (corrected > 0.65 * med) & (corrected < 1.5 * med)
-        if sel.sum() < basis.shape[1] * 4:
+        if sel.sum() < bas.n_terms * 4:
             break
         logv = np.log(corrected[sel])
-        A = basis[sel.ravel()]
+        A = bas.rows(sel.ravel())
         coef, *_ = np.linalg.lstsq(A, logv - logv.mean(), rcond=None)
-        log_b = (basis @ coef).reshape(img.shape)
+        log_b = bas.eval(coef)
         total_log_bias += log_b
         corrected = corrected / np.exp(log_b)
 

@@ -366,14 +366,28 @@ def run_case(
                 # rigid MRI->T1 registration, the elastix-equivalent step
                 # (`CTZTEProcessing.py:111,289`): resample onto the T1 grid,
                 # estimate the transform, apply it
-                from .coreg import register_rigid
+                from .coreg import register_rigid, registration_ok
 
                 t1 = np.asarray(t1_data, np.float32)
                 mv = im.resample_from_to(
                     np.asarray(ct_data, np.float32), ct_affine,
                     t1_affine, t1.shape, order=1,
                 )
-                _, mat = register_rigid(t1, mv)
+                _, mat, quality = register_rigid(
+                    t1, mv, return_quality=True
+                )
+                if not registration_ok(quality) and not os.environ.get(
+                    "BBT_IGNORE_COREG_QUALITY"
+                ):
+                    # a silently-bad registration corrupts every later
+                    # step; the harness-calibrated threshold catches
+                    # diverged / wrong-anatomy fits
+                    raise RuntimeError(
+                        f"CT/MR coregistration quality {quality:.3f} below "
+                        f"the calibrated failure threshold; inspect the "
+                        f"inputs or set BBT_IGNORE_COREG_QUALITY=1 to "
+                        f"proceed anyway"
+                    )
                 ct_data = im.resample_affine(mv, mat, t1.shape, order=1)
                 ct_affine = t1_affine
             head = im.resample_from_to(

@@ -498,3 +498,63 @@ class TestPointSourceSphericalSpreading:
         assert slope == pytest.approx(-alpha, abs=0.25 * alpha)
         comp = vals * r_m * np.exp(alpha * r_m)
         assert comp.std() / comp.mean() < 0.05
+
+
+class TestRawCapture:
+    def test_capture_matches_monitor_and_carrier(self):
+        """run_fdtd_capture (raw SensorOutput capability,
+        `BabelIntegrationBASE.py:2279-2295,2460-2538`): the captured series
+        must equal the monitor-point series sample-for-sample, and a
+        carrier-bin DFT of the raw window must reproduce p_amp."""
+        from babelbrain_tpu.ops.fdtd import run_fdtd, run_fdtd_capture
+
+        shape = (32, 32, 64)
+        grid, ppp = _water_grid(shape, cycles=6)
+        mats = np.array([[RHO, C, 0.0, 0.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        amp = np.zeros(shape[:2])
+        amp[8:-8, 8:-8] = 60e3
+        mask = np.zeros(shape, bool)
+        mask[16, 16, 40] = True
+        mask[10, 20, 30] = True
+
+        t0 = grid.sensor_start
+        cap = run_fdtd_capture(
+            idx, mats, grid, source_amp=amp,
+            t_start=t0, t_end=grid.n_steps, sensor_mask=mask,
+        )
+        mon = run_fdtd(
+            idx, mats, grid, source_amp=amp, backend="xla",
+            monitor_ijk=np.argwhere(mask), sensor_subsampling=1,
+        )
+        # same steps, same values (both record p after each window step)
+        np.testing.assert_allclose(
+            cap["series"].T, mon["sensor_series"], atol=1e-3
+        )
+        # carrier DFT of the raw series reproduces the in-kernel p_amp
+        w = 2 * np.pi * grid.frequency
+        n = np.round(cap["times"] / grid.dt).astype(int)
+        t = n * grid.dt
+        C_acc = (cap["series"] * np.cos(w * t)[:, None]).sum(axis=0)
+        S_acc = (cap["series"] * np.sin(w * t)[:, None]).sum(axis=0)
+        n_win = grid.n_steps - grid.sensor_start
+        amp_rec = 2.0 / n_win * np.hypot(C_acc, S_acc)
+        want = cap["p_amp"][mask]
+        np.testing.assert_allclose(amp_rec, want, rtol=1e-4, atol=1e-3)
+
+    def test_capture_full_volume_window(self):
+        from babelbrain_tpu.ops.fdtd import run_fdtd_capture
+
+        shape = (24, 24, 48)
+        grid, ppp = _water_grid(shape, cycles=3)
+        mats = np.array([[RHO, C, 0.0, 0.0, 0.0]])
+        idx = np.zeros(shape, np.uint8)
+        amp = np.zeros(shape[:2])
+        amp[6:-6, 6:-6] = 60e3
+        cap = run_fdtd_capture(
+            idx, mats, grid, source_amp=amp,
+            t_start=grid.n_steps - 6, subsample=2,
+        )
+        assert cap["series"].shape == (3,) + shape
+        assert np.isfinite(cap["series"]).all()
+        assert cap["series"][-1].max() > 0
