@@ -30,9 +30,17 @@ TPU-first design decisions (vs the reference's CUDA/OpenCL/Metal kernels):
   field extraction returns cos/sin accumulator pairs.
 
 Material handling: per-voxel ``uint32`` index + per-material coefficient
-table expanded (host-side) into full-grid property fields. This costs ~7
-extra streamed arrays per step; the Pallas kernel variant keeps the table in
-VMEM instead.
+table expanded (host-side) into full-grid property fields for the XLA path.
+The viscoelastic Pallas fusedK kernels instead stream ONE int32 index
+volume and keep the coefficient table resident in VMEM (single-vreg lane
+``dynamic_gather`` per stage — bit-exact, +10% at the headline shape) when
+the material count fits the gather window (min(128, N3) lanes, always true
+for label mode) and the window tiling is efficient
+(``_build_indexed_materials``). The fluid CT kernels keep the expanded
+fields: Mosaic's gather is single-vreg-only, so a 1026-entry CT table
+needs a 9-chunk select tree whose VPU cost exceeds the stream savings —
+the material streams measure ~0% of sweep time (``tools/probe_roofline.py``
+matcost probe; the kernels are not HBM-bound).
 """
 
 from __future__ import annotations

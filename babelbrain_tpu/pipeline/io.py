@@ -266,3 +266,50 @@ def load_dict_h5(path: str) -> dict:
 
     with h5py.File(path, "r") as f:
         return read(f)
+
+
+class AsyncSaver:
+    """Background thread-pool file saves with per-file completion tracking.
+
+    The reference's FileManager writes its large intermediates on a thread
+    pool with per-file condition variables so the pipeline continues while
+    NIfTI/h5 serialization and gzip run (`BabelBrain/FileManager.py:127-152`).
+    Same contract here: ``save_nifti``/``save_dict_h5`` submit and return
+    immediately; ``wait(path)`` blocks on one file, ``wait()`` on all and
+    re-raises the first writer exception. Usable as a context manager
+    (waits on exit).
+    """
+
+    def __init__(self, max_workers: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._futures = {}
+
+    def save_nifti(self, path, data, affine, descrip: bytes = b""):
+        self._futures[path] = self._pool.submit(
+            save_nifti, path, data, affine, descrip
+        )
+
+    def save_dict_h5(self, data: dict, path: str, compression="gzip"):
+        self._futures[path] = self._pool.submit(
+            save_dict_h5, data, path, compression
+        )
+
+    def wait(self, path: str | None = None):
+        if path is not None:
+            fut = self._futures.pop(path, None)
+            if fut is not None:
+                fut.result()
+            return
+        futures, self._futures = self._futures, {}
+        for fut in futures.values():
+            fut.result()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.wait()
+        self._pool.shutdown(wait=True)
+        return False

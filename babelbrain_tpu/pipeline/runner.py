@@ -698,8 +698,12 @@ def run_case(
             skull = np.isin(s1.mask, (2, 3)) & (hu_vol > 300.0)
             data["SDR"] = compute_sdr(hu_vol, skull, spacing_mm=s1.dx_mm)
         # BLOSC per the driving-system interop contract
-        # (`InformationForDrivingSystems.md:12-16`)
-        pio.save_dict_h5(data, h5_path, compression="blosc")
+        # (`InformationForDrivingSystems.md:12-16`); saved on the
+        # background pool so Step 3 overlaps the serialization (the
+        # reference's FileManager thread-pool saves,
+        # `BabelBrain/FileManager.py:127-152`)
+        saver = pio.AsyncSaver()
+        saver.save_dict_h5(data, h5_path, compression="blosc")
 
     if os.environ.get("BBT_FORCE_ERROR_STEP2") == "1":
         # error-path test hook (the reference's TEST_FORCE_ERROR_BABEL_STEP2,
@@ -765,9 +769,12 @@ def run_case(
                 "dt": 0.01,
             }
             tdict.update(thermal.metrics)
-            pio.save_dict_h5(tdict, out_base + "_ThermalField.h5",
-                             compression="blosc")
+            saver.save_dict_h5(tdict, out_base + "_ThermalField.h5",
+                               compression="blosc")
 
+    # all background saves must land (and any writer error surface) before
+    # the hash marks the case complete
+    saver.wait()
     with open(hash_file, "w") as f:
         f.write(chash)
     # session-level telemetry event (the reference posts per-run CTS events

@@ -195,3 +195,26 @@ class TestBloscEncoder:
         with h5py.File(p, "r") as f:
             dcpl = f["p_amp"].id.get_create_plist()
             assert dcpl.get_filter(0)[0] == 32001
+
+
+def test_async_saver_waits_and_reraises(tmp_path):
+    """FileManager-style background saves (`BabelBrain/FileManager.py:127-152`):
+    submissions return immediately, wait() joins and surfaces errors."""
+    import numpy as np
+    from babelbrain_tpu.pipeline.io import AsyncSaver, load_dict_h5
+
+    p1 = str(tmp_path / "a.h5")
+    with AsyncSaver() as s:
+        s.save_dict_h5({"x": np.arange(5)}, p1)
+        s.save_nifti(str(tmp_path / "b.nii.gz"),
+                     np.zeros((4, 4, 4), np.float32), np.eye(4))
+        s.wait(p1)
+        assert np.array_equal(np.asarray(load_dict_h5(p1)["x"]), np.arange(5))
+    import os
+    assert os.path.isfile(str(tmp_path / "b.nii.gz"))
+
+    s2 = AsyncSaver()
+    s2.save_dict_h5({"x": np.arange(3)}, "/nonexistent-dir/zz/c.h5")
+    import pytest
+    with pytest.raises(Exception):
+        s2.wait()
