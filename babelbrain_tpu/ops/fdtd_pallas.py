@@ -4706,6 +4706,11 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
     zsrc = grid.source_plane_z
     plane_src = grid.source_type == "velocity_plane"
     point = grid.source_type == "stress_point"
+    # dome transducers: per-voxel velocity drive along per-voxel normals
+    # (`BabelIntegrationDOME_PHASEDARRAY.py:344-407`); six extra volume
+    # streams (amp, cos/sin phase, normal components) stashed in rings so
+    # every velocity stage can inject in-kernel
+    volume_src = grid.source_type == "velocity_volume"
     if point:
         i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
         s_pt, li_pt = divmod(i0_pt, nb)
@@ -4824,6 +4829,9 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         + ([(f"{nm}{k}", plane_at(2 * k - 1))
             for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
            if plane_src else [])
+        + ([(nm, slab(lagk(1)))
+            for nm in ("vamp", "vcph", "vsph", "vox", "voy", "voz")]
+           if volume_src else [])
         + [("tsrc", smemK())]
         + ([("psrc", smemK())] if point else [])
         + ([("scal", smemK())] if with_dft else [])
@@ -4910,6 +4918,9 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
            [("rho_r", ring_slab(Dm)), ("piu_r", ring_slab(Dm)),
             ("muu_r", ring_slab(Dm)), ("crp_r", ring_slab(Dm)),
             ("crs_r", ring_slab(Dm)), ("br_r", ring_slab(Dm))])
+        + ([(f"{nm}_r", ring_slab(Dm))
+            for nm in ("vamp", "vcph", "vsph", "vox", "voy", "voz")]
+           if volume_src else [])
         + [("pv_y", pltpu.VMEM((6, Dp, nb, ns, N3), jnp.float32)),
            ("pv_z", pltpu.VMEM((Dp, nb, N2, 6 * ns), jnp.float32)
             if pack_z else
@@ -5008,7 +5019,7 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             return tuple(out)
 
         def vel_body(w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
-                     psi12, psix6, cx, src3, ts):
+                     psi12, psix6, cx, src3, ts, vsrc6=None):
             sxy = w_xy[2 : 2 + nb]
             sxz = w_xz[2 : 2 + nb]
             xh = (cx[0], cx[1], cx[2], cx[3])
@@ -5056,6 +5067,13 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                 z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
                 on_src = (z_iota == zsrc) & (amp > 0)
                 vz_n = jnp.where(on_src, sval * amp, vz_n)
+            if volume_src:
+                vamp, vcph, vsph, vox, voy, voz = vsrc6
+                sv = (ts[0] * vcph + ts[1] * vsph) * vamp
+                on = vamp > 0
+                vx_n = jnp.where(on, sv * vox, vx_n)
+                vy_n = jnp.where(on, sv * voy, vy_n)
+                vz_n = jnp.where(on, sv * voz, vz_n)
             return vx_n, vy_n, vz_n, np12, npx
 
         def stress_body(w_x, w_y, w_z, s_old6, r_old6, props5,
@@ -5190,11 +5208,21 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     psix6 = [R["pxs_r"][j, sv % Dp] for j in range(6)]
                 src3 = ((R[f"amp{k}"][...], R[f"cph{k}"][...],
                          R[f"sph{k}"][...]) if plane_src else None)
+                vsrc6 = None
+                if volume_src:
+                    names = ("vamp", "vcph", "vsph", "vox", "voy", "voz")
+                    if k == 1:
+                        vsrc6 = tuple(R[nm][...] for nm in names)
+                    else:
+                        vsrc6 = tuple(
+                            R[f"{nm}_r"][sv % Dm] for nm in names
+                        )
                 vx_n, vy_n, vz_n, np12, npx = vel_body(
                     w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
                     psi12, psix6,
                     xcoef8(sv),
                     src3, (R["tsrc"][k - 1, 0], R["tsrc"][k - 1, 1]),
+                    vsrc6,
                 )
                 R[f"v{k}x"][sv % 3] = vx_n
                 R[f"v{k}y"][sv % 3] = vy_n
@@ -5353,6 +5381,13 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             v_stage(k)
             s_stage(k)
 
+        # end-of-body volume-source stashes (first HBM visit -> ring)
+        if volume_src:
+            @pl.when((i >= 1) & (i <= n_slabs))
+            def _():
+                for nm in ("vamp", "vcph", "vsph", "vox", "voy", "voz"):
+                    R[f"{nm}_r"][(i - 1) % Dm] = R[nm][...]
+
         # end-of-body material stashes (first HBM visit -> ring)
         if indexed_materials:
             @pl.when((i >= 1) & (i <= n_slabs))
@@ -5420,6 +5455,7 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
     ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
     plane_src = grid.source_type == "velocity_plane"
     point = grid.source_type == "stress_point"
+    vol_src = grid.source_type == "velocity_volume"
 
     def step(carry, n):
         s = carry
@@ -5441,6 +5477,11 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             src_planes = tuple(
                 p for _ in range(K)
                 for p in (s["src_amp3"], s["src_cph"], s["src_sph"])
+            )
+        elif vol_src:
+            src_planes = tuple(
+                s[k] for k in ("srcv_amp", "srcv_cph", "srcv_sph",
+                               "srcv_ox", "srcv_oy", "srcv_oz")
             )
         else:
             src_planes = ()
@@ -5556,7 +5597,8 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
 
 
 def _viscoK_auto(grid, nb, K_cap=5, budget_bytes=118 * 1024 * 1024,
-                 with_dft=False, indexed=False, pack_z=False):
+                 with_dft=False, indexed=False, pack_z=False,
+                 volume_src=False):
     """Deepest K whose visco-fusedK VMEM footprint fits; 0/1 = no fusedK.
 
     Counts the ring slabs declared by ``build_visco_fusedK_step`` plus the
@@ -5592,8 +5634,11 @@ def _viscoK_auto(grid, nb, K_cap=5, budget_bytes=118 * 1024 * 1024,
         rings += K * 9                 # velocity rings
         rings += (2 * K - 1) if indexed else 6 * (2 * K - 2)  # materials
         rings += 12 * Dp               # psix rings
+        if volume_src:
+            rings += 6 * (2 * K - 2)   # dome drive stash rings
         n_mat = 1 if indexed else 6
-        n_in = 15 + n_mat + 12 + (3 if with_dft else 0)
+        n_in = 15 + n_mat + 12 + (6 if volume_src else 0) \
+            + (3 if with_dft else 0)
         n_out = 27 + (3 if with_dft else 0)
         bufs = 2 * (n_in + n_out)
         if pack_z:
@@ -5824,16 +5869,20 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
         and grid.source_type == "velocity_plane"
         and N1 // nb >= kx + 3
     )
-    fusable_src = grid.source_type in ("velocity_plane", "stress_point")
+    fusable_src = grid.source_type in (
+        "velocity_plane", "stress_point", "velocity_volume"
+    )
+    vol_src = grid.source_type == "velocity_volume"
     packz = packz_dft = False
     if fuse_steps is None:
         def _pick(dft):
             """z-packing costs ~12%/sweep (measured: packed K=3 5.48 vs
             unpacked K=2 6.29 Gcells/s at the headline shape) while each
             +1 K is worth ~11%, so packing must buy >= 2 extra K to win."""
-            kp = _viscoK_auto(grid, nb, with_dft=dft, indexed=indexed)
+            kp = _viscoK_auto(grid, nb, with_dft=dft, indexed=indexed,
+                              volume_src=vol_src)
             kz = _viscoK_auto(grid, nb, with_dft=dft, indexed=indexed,
-                              pack_z=True)
+                              pack_z=True, volume_src=vol_src)
             return (kz, True) if kz >= kp + 2 else (kp, False)
 
         if unsharded and fusable_src:

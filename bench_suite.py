@@ -426,6 +426,83 @@ ALL = {
 }
 
 
+
+
+def bench_dome():
+    """Dome volumetric-source FDTD (the reference's heaviest documented
+    workload class, `README.md:80`): in-kernel fused-visco volumetric
+    drive via the zero-shear promotion (CT-mode dome media are fluid,
+    `BabelIntegrationBASE.py:1343-1351`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _material_fields,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops.fdtd_pallas import simulate_visco_pallas
+
+    shape = (192, 192, 192)
+    mats = np.array([[1000.0, 1500.0, 0.0, 4.0, 0.0]])
+    cmax = mats[0, 1]
+    dx = 1482.3 / F0 / PPW
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, cmax, cfl=0.5)))
+    dt = 1 / F0 / ppp
+    n_steps = 20 * ppp
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=n_steps, frequency=F0,
+        sensor_start=n_steps - 2 * ppp, source_plane_z=13,
+        source_type="velocity_volume",
+    )
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, cmax, 1e-5)
+    idx = np.zeros(shape, np.uint16)
+    coefs = sls_coefficients(mats, F0, grid.dt)
+    # zero-shear promotion: expanded 6-field properties, mu = 0
+    props = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in _material_fields(idx, coefs, has_shear=True).items()
+    }
+    # hemispheric shell of velocity sources around the focus
+    ii, jj, kk = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+    c = np.array(shape) / 2.0
+    r = np.sqrt((ii - c[0]) ** 2 + (jj - c[1]) ** 2 + (kk - c[2]) ** 2)
+    shell = (np.abs(r - 80.0) < 1.0) & (kk < c[2])
+    amp3 = np.where(shell, 60e3, 0.0).astype(np.float32)
+    nrm = np.stack([c[0] - ii, c[1] - jj, c[2] - kk]) / (r + 1e-6)
+    vsrc = {
+        "amp": jnp.asarray(amp3),
+        "phase": jnp.zeros(shape, jnp.float32),
+        "ox": jnp.asarray(nrm[0].astype(np.float32)),
+        "oy": jnp.asarray(nrm[1].astype(np.float32)),
+        "oz": jnp.asarray(nrm[2].astype(np.float32)),
+    }
+    zeros2 = jnp.zeros(shape[:2], jnp.float32)
+    fn = jax.jit(
+        functools.partial(
+            simulate_visco_pallas,
+            grid=grid, profiles_np=prof, viscous=True,
+            oz_scale=1.0 / (1000.0 * 1500.0), nb=2, volume_source=vsrc,
+        )
+    )
+    sync = lambda out: float(np.asarray(out[0][0, 0, :2])[0])
+    pa = jnp.float32(0.0)
+    sync(fn(props, zeros2, zeros2, pa))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        sync(fn(props, zeros2, zeros2, pa))
+        best = min(best, time.time() - t0)
+    mcups = np.prod(shape) / (best / grid.n_steps) / 1e6
+    # baseline: this repo's measured XLA fluid volumetric path, ~1.8 Gcells/s
+    _emit("fdtd_dome_volumetric_mcells_per_s", mcups, "Mcells/s", 1800.0)
+
+
+ALL["fdtd_dome"] = bench_dome
+
+
 def main():
     names = sys.argv[1:] or list(ALL)
     for n in names:
