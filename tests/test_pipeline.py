@@ -463,12 +463,12 @@ class TestCoregistration:
         shifted = self._misalign(fixed, p_true)
         # nonlinear contrast inversion: monotone-decreasing remap
         moving = 1.0 / (0.3 + shifted) - 0.5 * shifted**2
-        p, _ = register_rigid(fixed, moving, levels=(2,),
-                              iters_per_level=250)
+        p, _ = register_rigid(fixed, moving, levels=(2, 1),
+                              iters_per_level=150)
         np.testing.assert_allclose(p[:3], p_true[:3], atol=0.03)
         np.testing.assert_allclose(p[3:], p_true[3:], atol=0.8)
         p_mi, _, q_mi = register_rigid(
-            fixed, moving, levels=(2,), iters_per_level=250, metric="mi",
+            fixed, moving, levels=(2, 1), iters_per_level=150, metric="mi",
             return_quality=True,
         )
         np.testing.assert_allclose(p_mi[:3], p_true[:3], atol=0.05)
