@@ -4,7 +4,14 @@ from .rayleigh import (  # noqa: F401
     rayleigh_field_volume,
     steering_phases,
 )
-from .fdtd import FDTDGrid, run_fdtd, sls_coefficients, stable_dt  # noqa: F401
+from .fdtd import (  # noqa: F401
+    FDTDGrid,
+    run_fdtd,
+    run_fdtd_batch,
+    run_fdtd_capture,
+    sls_coefficients,
+    stable_dt,
+)
 from .mesh import (  # noqa: F401
     boolean_meshes,
     cone_mesh,

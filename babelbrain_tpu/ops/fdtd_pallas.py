@@ -1044,9 +1044,12 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
                 w[3 : 3 + nb] - w[0:nb]
             )
             psix_lo, psix_hi = psix_pair
-            new_lo = xc[0] * psix_lo + xc[1] * dvx
-            new_hi = xc[2] * psix_hi + xc[3] * dvx
-            dvx = dvx + new_lo + new_hi
+            if _no_xcpml:  # perf probe only
+                new_lo, new_hi = psix_lo, psix_hi
+            else:
+                new_lo = xc[0] * psix_lo + xc[1] * dvx
+                new_hi = xc[2] * psix_hi + xc[3] * dvx
+                dvx = dvx + new_lo + new_hi
             dvy = _d_minus_y(vy_s)
             dvz = _d_minus_z(vz_s)
             dvy, nvy_lo, nvy_hi = _apply_cpml_inplane(
@@ -1708,7 +1711,7 @@ def _make_fluid_fused2_step_fn(grid, profiles_np, viscous, oz_scale, nb,
 def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                             interpret=False, with_dft=False, edge_offset=0,
                             with_p2=False, _mat_const=False,
-                            _tiny_const=False):
+                            _tiny_const=False, _no_xcpml=False):
     """K timesteps per streaming sweep (deep temporal blocking).
 
     ``edge_offset`` (h0, in slabs) shifts the in-kernel x-CPML inward: the
@@ -2023,9 +2026,12 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                 w[4 : 4 + nb] - w[1 : 1 + nb]
             )
             psix_lo, psix_hi = psix_pair
-            new_lo = xc[0] * psix_lo + xc[1] * dpx
-            new_hi = xc[2] * psix_hi + xc[3] * dpx
-            dpx = dpx + new_lo + new_hi
+            if _no_xcpml:  # perf probe only: numerics wrong at x edges
+                new_lo, new_hi = psix_lo, psix_hi
+            else:
+                new_lo = xc[0] * psix_lo + xc[1] * dpx
+                new_hi = xc[2] * psix_hi + xc[3] * dpx
+                dpx = dpx + new_lo + new_hi
             ps = w[2 : 2 + nb]
             dpy = _d_plus_y(ps)
             dpz = _d_plus_z(ps)
@@ -2275,7 +2281,8 @@ def _scale_xpacks(xh, xi, xcoef_scale):
 def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                interpret, with_dft=False, edge_offset=0,
                                xcoef_scale=None, with_p2=False,
-                               _mat_const=False, _tiny_const=False):
+                               _mat_const=False, _tiny_const=False,
+                               _no_xcpml=False):
     """K-timestep step closure (scan over step GROUPS of K; n is the
     first of the K step indices)."""
     omega = 2.0 * np.pi * grid.frequency
@@ -2283,6 +2290,7 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
         with_dft=with_dft, edge_offset=edge_offset, with_p2=with_p2,
         _mat_const=_mat_const, _tiny_const=_tiny_const,
+        _no_xcpml=_no_xcpml,
     )
     xh = tuple(jnp.asarray(c) for c in kcoefs["x_half_pack"])
     xi = tuple(jnp.asarray(c) for c in kcoefs["x_int_pack"])

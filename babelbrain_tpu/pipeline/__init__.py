@@ -8,11 +8,13 @@ from .domain import (  # noqa: F401
     remap_labels,
     snap_ppp,
 )
+from .runner import CaseConfig, run_case, run_cases  # noqa: F401
 from .acoustic import (  # noqa: F401
     AcousticResult,
     forward_rayleigh,
     position_transducer,
     run_acoustic_sim,
+    run_dome_sim,
     run_multipoint,
 )
 from .plantus import (  # noqa: F401
