@@ -1044,12 +1044,9 @@ def build_fluid_fused2_step(grid, profiles_np, viscous, oz_scale, nb=4,
                 w[3 : 3 + nb] - w[0:nb]
             )
             psix_lo, psix_hi = psix_pair
-            if _no_xcpml:  # perf probe only
-                new_lo, new_hi = psix_lo, psix_hi
-            else:
-                new_lo = xc[0] * psix_lo + xc[1] * dvx
-                new_hi = xc[2] * psix_hi + xc[3] * dvx
-                dvx = dvx + new_lo + new_hi
+            new_lo = xc[0] * psix_lo + xc[1] * dvx
+            new_hi = xc[2] * psix_hi + xc[3] * dvx
+            dvx = dvx + new_lo + new_hi
             dvy = _d_minus_y(vy_s)
             dvz = _d_minus_z(vz_s)
             dvy, nvy_lo, nvy_hi = _apply_cpml_inplane(
@@ -2061,9 +2058,12 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                 w[3 : 3 + nb] - w[0:nb]
             )
             psix_lo, psix_hi = psix_pair
-            new_lo = xc[0] * psix_lo + xc[1] * dvx
-            new_hi = xc[2] * psix_hi + xc[3] * dvx
-            dvx = dvx + new_lo + new_hi
+            if _no_xcpml:  # perf probe only
+                new_lo, new_hi = psix_lo, psix_hi
+            else:
+                new_lo = xc[0] * psix_lo + xc[1] * dvx
+                new_hi = xc[2] * psix_hi + xc[3] * dvx
+                dvx = dvx + new_lo + new_hi
             dvy = _d_minus_y(vy_s)
             dvz = _d_minus_z(vz_s)
             dvy, nvy_lo, nvy_hi = _apply_cpml_inplane(
