@@ -642,3 +642,53 @@ class TestCaseMatrix:
                 cfg, None, None, [(0, 0, 0)], [0, 0, -1],
                 stop_on_error=True,
             )
+
+
+@pytest.mark.slow
+def test_dome_ct_mode_case(phantom, tmp_path):
+    """DomeTx in CT mode through run_case: shear is disabled in CT mode
+    (`BabelIntegrationBASE.py:1343-1351`), so the dome drives a FLUID
+    medium volumetrically — the reference's heaviest documented workload
+    class (670 kHz DomeTx + CT, `README.md:80`). On TPU this routes
+    through the zero-shear fused-visco promotion; the contract (DataForSim
+    with SDR, dome losses in thermal) must hold either way."""
+    labels, aff = phantom
+    F = 16e-3
+    TRANSDUCER_REGISTRY["TestDomeCT"] = TransducerSpec(
+        "TestDomeCT", "dome", diameter=2 * F, focal_length=F,
+        frequencies=(500e3,), n_elements=60, elem_diameter=2.2e-3,
+    )
+    rng = np.random.default_rng(11)
+    b = np.arccos(rng.uniform(0.15, 0.95, 60))
+    a = rng.uniform(0, 2 * np.pi, 60)
+    ec = np.stack(
+        [F * np.sin(b) * np.cos(a), F * np.sin(b) * np.sin(a),
+         -F * np.cos(b)], axis=1,
+    )
+    ct = np.where(
+        np.isin(labels, [2, 7]), 1500.0, 40.0
+    ) + rng.normal(0, 30, labels.shape)
+    cfg = CaseConfig(
+        tx_system="TestDomeCT",
+        frequency=500e3,
+        ppw=6.0,
+        elem_centers=ec,
+        output_dir=str(tmp_path),
+        prefix="domect",
+    )
+    res = run_case(
+        cfg, labels, aff,
+        target_ras=[0, 0, 25], direction_ras=[0, 0, -1],
+        ct_data=ct, ct_affine=aff,
+        mask_shape=(64, 64, 104),
+        thermal_params=SonicationParams(
+            duration_on=1.0, duration_off=1.0, duty_cycle=0.5, isppa=8.0,
+        ),
+    )
+    d = res["data_for_sim"]
+    assert "SDR" in d  # CT-mode contract
+    assert res["acoustic"].meta.get("tx_is_dome") is True
+    pa = res["acoustic"].p_amp
+    assert np.isfinite(pa).all() and pa.max() > 0
+    th = res["thermal"]
+    assert th is not None and np.isfinite(th.ratio_losses)
