@@ -4663,7 +4663,8 @@ _S6 = ("xx", "yy", "zz", "xy", "xz", "yz")
 
 def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                             interpret=False, with_dft=False, edge_offset=0,
-                            indexed_materials=False, pack_z=False):
+                            indexed_materials=False, pack_z=False,
+                            _no_inplane_cpml=False):
     """K viscoelastic timesteps per streaming sweep (deep temporal blocking).
 
     Generalizes ``build_visco_fused2_step`` exactly the way
@@ -4977,6 +4978,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             return jnp.concatenate([prev2, ring[s % D], nxt2], axis=0)
 
         def cpml_arr(d, lo, hi, coefs, axis):
+            if _no_inplane_cpml:  # perf probe only: boundaries wrong
+                return d, lo, hi
             return _apply_cpml_inplane(
                 d, lo, hi,
                 coefs[0][...], coefs[1][...], coefs[2][...], coefs[3][...],
@@ -5442,7 +5445,7 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
 def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                interpret, with_dft, edge_offset=0,
                                xcoef_scale=None, indexed_materials=False,
-                               pack_z=False):
+                               pack_z=False, _no_inplane_cpml=False):
     """K-timestep visco step closure (scan over step groups of K).
 
     With ``indexed_materials`` the carry must hold ``midx`` (int32 volume)
@@ -5453,6 +5456,7 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
         with_dft=with_dft, edge_offset=edge_offset,
         indexed_materials=indexed_materials, pack_z=pack_z,
+        _no_inplane_cpml=_no_inplane_cpml,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
