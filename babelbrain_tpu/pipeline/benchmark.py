@@ -63,9 +63,25 @@ def run_benchmark_acoustic(
     mesh=None,
     backend: str = "auto",
 ):
-    """Run the FDTD on a benchmark medium with a given CW source plane."""
+    """Run the FDTD on a benchmark medium with a given CW source plane.
+
+    An optional ``QCorrArr`` in the file scales each material's attenuation
+    columns — the reference's per-material Q correction for benchmark media
+    (`BabelIntegrationBASE.py:2210-2217`; our SLS is exact at the carrier so
+    the array acts directly on the alpha columns).
+    """
     bench = load_benchmark_file(path)
     mats = bench["MaterialArray"]
+    if "QCorrArr" in bench:
+        q = np.asarray(bench["QCorrArr"], np.float64).reshape(-1)
+        if len(q) != len(mats):
+            raise ValueError(
+                f"QCorrArr has {len(q)} entries for {len(mats)} materials"
+            )
+        mats = mats.copy()
+        mats[:, 3] *= q
+        mats[:, 4] *= q
+        bench["MaterialArray"] = mats
     mat_map = np.asarray(bench["MaterialMap"]).astype(np.uint32)
     dx, dt, ppp, _ = compute_time_stepping(
         mats, frequency, ppw, alpha_cfl, bound_by_tissue_minimum=False

@@ -64,6 +64,30 @@ class TestBenchmarkFile:
         assert line[80:100].mean() < line[30:55].mean()
         assert line[80:100].mean() > 0.05 * 60e3
 
+    def test_qcorr_scales_attenuation(self, bench_file, tmp_path):
+        """QCorrArr in a benchmark file scales per-material attenuation
+        (`BabelIntegrationBASE.py:2210-2217` contract): doubling the slab's
+        Q correction must reduce the transmitted amplitude."""
+        from babelbrain_tpu.pipeline.io import load_dict_h5
+
+        f, shape = bench_file
+        data = load_dict_h5(f)
+        data["QCorrArr"] = np.array([1.0, 2.0, 1.0])
+        f2 = str(tmp_path / "bench_q.h5")
+        save_dict_h5(data, f2)
+        amp = np.zeros(shape[:2])
+        amp[14:-14, 14:-14] = 60e3
+        base = run_benchmark_acoustic(f, 500e3, 9.0, amp, np.zeros(shape[:2]))
+        qrun = run_benchmark_acoustic(f2, 500e3, 9.0, amp, np.zeros(shape[:2]))
+        t_base = base["p_amp"][20, 20, 80:100].mean()
+        t_q = qrun["p_amp"][20, 20, 80:100].mean()
+        assert t_q < 0.8 * t_base
+        with pytest.raises(ValueError, match="QCorrArr"):
+            data["QCorrArr"] = np.array([1.0, 2.0])
+            f3 = str(tmp_path / "bench_qbad.h5")
+            save_dict_h5(data, f3)
+            run_benchmark_acoustic(f3, 500e3, 9.0, amp, np.zeros(shape[:2]))
+
     def test_thermal_regions(self, bench_file):
         f, shape = bench_file
         b = load_benchmark_file(f)

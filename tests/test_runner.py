@@ -692,3 +692,29 @@ def test_dome_ct_mode_case(phantom, tmp_path):
     assert np.isfinite(pa).all() and pa.max() > 0
     th = res["thermal"]
     assert th is not None and np.isfinite(th.ratio_losses)
+
+
+@pytest.mark.slow
+def test_run_cases_end_to_end_caching(phantom, mini_tx, tmp_path):
+    """run_cases over two targets: per-case files get distinct names, and a
+    repeat sweep serves every cell from the hash caches (RunCases
+    skip-if-exists parity, `BabelIntegrationBASE.py:962-966`)."""
+    import os
+
+    from babelbrain_tpu.pipeline.runner import run_cases
+
+    labels, aff = phantom
+    cfg = CaseConfig(tx_system=mini_tx, output_dir=str(tmp_path),
+                     prefix="mx")
+    targets = {"A": [0, 0, 25], "B": [0, 4, 25]}
+    common = dict(mask_shape=(64, 64, 104))
+    r1 = run_cases(cfg, labels, aff, targets, [0, 0, -1], **common)
+    assert set(r1) == {("A", cfg.frequency, cfg.ppw),
+                       ("B", cfg.frequency, cfg.ppw)}
+    for (tn, _, _), res in r1.items():
+        assert not isinstance(res, Exception), res
+        assert not res["cached"]
+        assert f"mx_{tn}_" in res["files"]["acoustic"]
+        assert os.path.isfile(res["files"]["acoustic"])
+    r2 = run_cases(cfg, labels, aff, targets, [0, 0, -1], **common)
+    assert all(res["cached"] for res in r2.values())
