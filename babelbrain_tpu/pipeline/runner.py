@@ -704,6 +704,23 @@ def run_case(
         # `BabelBrain/FileManager.py:127-152`)
         saver = pio.AsyncSaver()
         saver.save_dict_h5(data, h5_path, compression="blosc")
+        # display NIfTIs for Brainsight/Slicer overlays, the reference's
+        # OutputFileNames contract (`BabelIntegrationBASE.py:1039-1067`);
+        # the mask grid is already isotropic so a plain save satisfies the
+        # enforced-ISO rule (`:737`)
+        saver.save_nifti(
+            out_base + "_FullElasticSolution.nii.gz",
+            np.asarray(result.p_amp, np.float32), s1.affine,
+        )
+        saver.save_nifti(
+            out_base + "_RayleighFreeWater.nii.gz",
+            np.abs(result.rayleigh_field).astype(np.float32), s1.affine,
+        )
+        if result.p_amp_refocus is not None:
+            saver.save_nifti(
+                out_base + "_FullElasticSolutionRefocus.nii.gz",
+                np.asarray(result.p_amp_refocus, np.float32), s1.affine,
+            )
 
     if os.environ.get("BBT_FORCE_ERROR_STEP2") == "1":
         # error-path test hook (the reference's TEST_FORCE_ERROR_BABEL_STEP2,

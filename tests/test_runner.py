@@ -70,6 +70,16 @@ class TestFullPipeline:
 
         for k in ("mask", "acoustic", "thermal"):
             assert os.path.isfile(case_result["files"][k]), k
+        # display NIfTIs (the reference's OutputFileNames overlay contract,
+        # `BabelIntegrationBASE.py:1039-1067`)
+        base = case_result["files"]["acoustic"].replace("_DataForSim.h5", "")
+        for suffix in ("_FullElasticSolution.nii.gz",
+                       "_RayleighFreeWater.nii.gz"):
+            assert os.path.isfile(base + suffix), suffix
+        nii = load_nifti(base + "_FullElasticSolution.nii.gz")
+        assert nii.data.shape == load_nifti(
+            case_result["files"]["mask"]
+        ).data.shape
 
     def test_mask_contract(self, case_result):
         nii = load_nifti(case_result["files"]["mask"])
