@@ -697,6 +697,10 @@ def run_case(
             hu_vol = s1.unique_hu[s1.ct_index]
             skull = np.isin(s1.mask, (2, 3)) & (hu_vol > 300.0)
             data["SDR"] = compute_sdr(hu_vol, skull, spacing_mm=s1.dx_mm)
+        if ct_mode and s1.air_mask is not None and s1.air_mask.any():
+            # optional AirMask key the reference's thermal step consumes
+            # (`CalculateTemperatureEffects.py:692-694`)
+            data["AirMask"] = s1.air_mask.astype(np.uint8)
         # BLOSC per the driving-system interop contract
         # (`InformationForDrivingSystems.md:12-16`); saved on the
         # background pool so Step 3 overlaps the serialization (the
@@ -704,6 +708,18 @@ def run_case(
         # `BabelBrain/FileManager.py:127-152`)
         saver = pio.AsyncSaver()
         saver.save_dict_h5(data, h5_path, compression="blosc")
+        # companion water file: the reference's thermal step resolves
+        # `..._Water_DataForSim.h5` next to the skull file and reads its
+        # `p_amp` (`CalculateTemperatureEffects.py:683-690`), so writing it
+        # makes these outputs drop-in inputs for the reference's Step 3
+        saver.save_dict_h5(
+            {
+                "p_amp": np.asarray(data["p_amp_water"]),
+                "SpatialStep": dom.dx,
+            },
+            out_base + "_Water_DataForSim.h5",
+            compression="blosc",
+        )
         # display NIfTIs for Brainsight/Slicer overlays, the reference's
         # OutputFileNames contract (`BabelIntegrationBASE.py:1039-1067`);
         # the mask grid is already isotropic so a plain save satisfies the

@@ -74,8 +74,13 @@ class TestFullPipeline:
         # `BabelIntegrationBASE.py:1039-1067`)
         base = case_result["files"]["acoustic"].replace("_DataForSim.h5", "")
         for suffix in ("_FullElasticSolution.nii.gz",
-                       "_RayleighFreeWater.nii.gz"):
+                       "_RayleighFreeWater.nii.gz",
+                       "_Water_DataForSim.h5"):
             assert os.path.isfile(base + suffix), suffix
+        w = load_dict_h5(base + "_Water_DataForSim.h5")
+        assert np.asarray(w["p_amp"]).shape == load_nifti(
+            case_result["files"]["mask"]
+        ).data.shape
         nii = load_nifti(base + "_FullElasticSolution.nii.gz")
         assert nii.data.shape == load_nifti(
             case_result["files"]["mask"]
