@@ -969,6 +969,7 @@ def run_fdtd(
     sel_maps: tuple = (),
     monitor_ijk: np.ndarray | None = None,
     sensor_subsampling: int = 1,
+    fuse_steps: int | None = None,
 ):
     """Run the CW simulation and return carrier amplitude/phase/peak maps.
 
@@ -1006,6 +1007,12 @@ def run_fdtd(
         returned (the reference's ``SensorOutput``/``SensorMap`` record;
         full-volume time series are deliberately not materialized — the
         carrier DFT is accumulated in-kernel instead).
+    fuse_steps : optional pinned fused depth for the pallas kernels
+        (default: deepest K that fits VMEM). Pinning the SAME K on a
+        sharded and an unsharded run makes them bit-comparable: different
+        fused depths produce different (equally valid) compiler
+        instruction schedules whose FMA contractions can differ by an ULP
+        for volumetric phased drives.
     sensor_subsampling : cadence for the monitor series (the reference's
         ``SensorSubSampling``); samples start at ``grid.sensor_start``.
 
@@ -1062,24 +1069,12 @@ def run_fdtd(
     has_shear = bool(np.any(mats[:, 2] > 0))
     viscous = coefs["viscous"]
 
-    if (
-        volume_source is not None
-        and not has_shear
-        and mesh is None
-        and not want_extras
-        and backend in ("auto", "pallas")
-        and (backend == "pallas" or jax.devices()[0].platform != "cpu")
-    ):
-        # zero-shear promotion: a fluid medium driven by a volumetric
-        # source (dome in CT mode — shear is disabled there,
-        # `BabelIntegrationBASE.py:1343-1351`) runs through the fused
-        # visco volumetric kernel with mu_u = c_rs = 0. With zero shear
-        # moduli the 15-field system reduces exactly to the acoustic one
-        # (sxx=syy=szz=-p, shear stresses stay identically zero), so the
-        # dome's heaviest documented workload (670 kHz DomeTx + CT,
-        # `README.md:80`) stays on the Pallas fast path instead of the
-        # ~1.8 Gcells/s XLA fluid scan.
-        has_shear = True
+    # Zero-shear volumetric sources (dome in CT mode — shear is disabled
+    # there, `BabelIntegrationBASE.py:1343-1351`) run through the FLUID
+    # fusedK kernel with in-kernel dome injection — ~3x the visco
+    # volumetric rate the round-4 zero-shear promotion used, and it
+    # shards (the 670 kHz DomeTx CT workload, `README.md:80`, gets both
+    # the fast kernel and the mesh).
 
     props_np = _material_fields(mat_idx, coefs, has_shear)
 
@@ -1126,7 +1121,8 @@ def run_fdtd(
         mesh is not None
         and (backend == "pallas" or (backend == "auto" and mesh_on_tpu))
         and mesh_ny == 1  # pallas ghost-plane kernels decompose x only
-        and pallas_src_ok
+        and (pallas_src_ok
+             or (grid.source_type == "velocity_volume" and not has_shear))
     )
     if pallas_sharded and backend == "auto":
         # auto mode falls back to the XLA sharded path when the pallas
@@ -1134,10 +1130,24 @@ def run_fdtd(
         n1_local, rem = divmod(grid.shape[0], max(mesh_nx, 1))
         if rem or n1_local % 2 or n1_local < grid.npml + 2:
             pallas_sharded = False
-    # dome volumetric sources run fused on the (unsharded) visco kernel only
+        elif grid.source_type == "velocity_volume":
+            # sharded volumetric REQUIRES the fused overlap driver (the
+            # 1-step ghost-exchange fallback has no volumetric injection)
+            from .fdtd_pallas import _fusedK_auto, _sharded_fusedK_plan
+
+            gl = dataclasses.replace(
+                grid, shape=(n1_local,) + tuple(grid.shape[1:])
+            )
+            if _sharded_fusedK_plan(
+                n1_local, 2, grid.npml, None, gl,
+                auto_fn=functools.partial(_fusedK_auto, volume_src=True),
+            ) is None:
+                pallas_sharded = False
+    # dome volumetric sources run fused: zero-shear (CT) media on the
+    # fluid fusedK kernel (sharded included), shear media on the
+    # (unsharded) visco volumetric kernel
     pallas_ok = mesh is None and (
-        pallas_src_ok
-        or (grid.source_type == "velocity_volume" and has_shear)
+        pallas_src_ok or grid.source_type == "velocity_volume"
     )
     if backend in ("auto", "pallas") and pallas_ok:
         plat = jax.devices()[0].platform
@@ -1210,7 +1220,8 @@ def run_fdtd(
                     pr, a, p, pa,
                     grid=grid_local, profiles_np=profiles_np,
                     viscous=viscous, oz_scale=oz_scale, nb=nb,
-                    comm=comm, interpret=interpret, **mkw,
+                    comm=comm, interpret=interpret,
+                    fuse_steps=fuse_steps, **mkw,
                 )
 
             fn = jax.jit(
@@ -1229,16 +1240,29 @@ def run_fdtd(
                 jnp.float32(point_amp), *extra_args,
             )
         else:
+            vol_in = ()
+            vol_specs = ()
+            if vol_src_np is not None:
+                vs_j = {k: jnp.asarray(v) for k, v in vol_src_np.items()}
+                vol_in = (vs_j,)
+                vol_specs = ({k: spec3 for k in vs_j},)
+
+            def run_sharded_fluid(pr, a, p, pa, *vols):
+                vkw = dict(volume_source=vols[0]) if vols else {}
+                return simulate_fluid_pallas(
+                    pr, a, p, pa,
+                    grid=grid_local, profiles_np=profiles_np,
+                    viscous=viscous, oz_scale=oz_scale, nb=nb,
+                    comm=comm, interpret=interpret,
+                    fuse_steps=fuse_steps, **vkw,
+                )
+
             fn = jax.jit(
                 jax.shard_map(
-                    functools.partial(
-                        simulate_fluid_pallas,
-                        grid=grid_local, profiles_np=profiles_np,
-                        viscous=viscous, oz_scale=oz_scale, nb=nb,
-                        comm=comm, interpret=interpret,
-                    ),
+                    run_sharded_fluid,
                     mesh=mesh,
-                    in_specs=({k: spec3 for k in props_np}, spec2, spec2, P()),
+                    in_specs=({k: spec3 for k in props_np}, spec2, spec2,
+                              P()) + vol_specs,
                     out_specs=(spec3, spec3, spec3),
                     # pallas_call outputs carry no vma annotation
                     check_vma=False,
@@ -1246,7 +1270,7 @@ def run_fdtd(
             )
             acc_c, acc_s, peak = fn(
                 props, jnp.asarray(src_amp), jnp.asarray(src_phase),
-                jnp.float32(point_amp),
+                jnp.float32(point_amp), *vol_in,
             )
         acc_c = np.asarray(acc_c)
         acc_s = np.asarray(acc_s)
@@ -1294,7 +1318,8 @@ def run_fdtd(
                         pr, a, p, pa,
                         grid=grid, profiles_np=profiles_np, viscous=viscous,
                         oz_scale=oz_scale, nb=nb, interpret=interpret,
-                        k_shrink=shrink, **vol_kw, **mkw,
+                        k_shrink=shrink, fuse_steps=fuse_steps,
+                        **vol_kw, **mkw,
                     )
 
                 return jax.jit(run_visco)(
@@ -1309,6 +1334,11 @@ def run_fdtd(
             if pallas_extras and monitor_ijk is not None:
                 mi_np = np.asarray(monitor_ijk, np.int64).reshape(-1, 3)
                 pmon_idx = tuple(jnp.asarray(mi_np[:, d]) for d in range(3))
+            vol_kw = {}
+            if vol_src_np is not None:
+                vol_kw["volume_source"] = {
+                    k: jnp.asarray(v) for k, v in vol_src_np.items()
+                }
 
             def call(shrink):
                 fn = jax.jit(
@@ -1316,9 +1346,10 @@ def run_fdtd(
                         simulate_fluid_pallas,
                         grid=grid, profiles_np=profiles_np, viscous=viscous,
                         oz_scale=oz_scale, nb=nb, interpret=interpret,
-                        k_shrink=shrink,
+                        k_shrink=shrink, fuse_steps=fuse_steps,
                         sel_p2=sel_p2 and pallas_extras,
                         monitor_idx=pmon_idx,
+                        **vol_kw,
                     )
                 )
                 return fn(

@@ -105,6 +105,14 @@ def _point_src_row(amp_point, nk, grid, omega, ramp_steps):
     return jnp.stack([v, jnp.float32(0.0)])
 
 
+def _mask_y_consts(c4, ycoef_mask):
+    """Scale a (b_lo, a_lo, b_hi, a_hi) profile-constant tuple by the
+    static (lo, hi) edge mask — used by the y-tiled visco drivers so a
+    tile whose y boundary is interior runs no y-CPML there."""
+    lo, hi = ycoef_mask
+    return (c4[0] * lo, c4[1] * lo, c4[2] * hi, c4[3] * hi)
+
+
 def _make_profiles_const(profiles, axis, stag, ns):
     """Slab-trimmed (b, a) numpy constants shaped for in-plane broadcast."""
     p = profiles[axis][stag]
@@ -553,6 +561,11 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     inv_dx = np.float32(1.0 / grid.dx)
     zsrc = grid.source_plane_z
     point = grid.source_type == "stress_point"
+    # dome transducers in zero-shear (CT) media: per-voxel velocity drive
+    # along per-voxel normals on the ACOUSTIC system — the fluid-kernel
+    # counterpart of the visco volumetric capability
+    # (`BabelIntegrationDOME_PHASEDARRAY.py:344-407`)
+    vol_src = grid.source_type == "velocity_volume"
     if point:
         i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
         s_pt, li_pt = divmod(i0_pt, nb)
@@ -612,7 +625,13 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
         gp_lo_ref, gp_hi_ref, gv_lo_ref, gv_hi_ref = (
             next(it) for _ in range(4)
         )
-        amp_ref, cph_ref, sph_ref, tsrc_ref = (next(it) for _ in range(4))
+        if not vol_src:
+            amp_ref, cph_ref, sph_ref = (next(it) for _ in range(3))
+        tsrc_ref = next(it)
+        if vol_src:
+            (vamp_ref, vcph_ref, vsph_ref, vox_ref, voy_ref, voz_ref) = (
+                next(it) for _ in range(6)
+            )
         if point:
             psrc_ref = next(it)
         if with_dft:
@@ -684,11 +703,23 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             vx_new = vx_ref[...] - dt_dx * rho_inv * dpx
             vy_new = vy_ref[...] - dt_dx * rho_inv * dpy
             vz_new = vz_ref[...] - dt_dx * rho_inv * dpz
-            amp = amp_ref[...]
-            sval = tsrc_ref[0, 0] * cph_ref[...] + tsrc_ref[0, 1] * sph_ref[...]
-            z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
-            on_src = (z_iota == zsrc) & (amp > 0)
-            vz_new = jnp.where(on_src, sval * amp, vz_new)
+            if vol_src:
+                vamp = vamp_ref[...]
+                sv3 = (
+                    tsrc_ref[0, 0] * vcph_ref[...]
+                    + tsrc_ref[0, 1] * vsph_ref[...]
+                ) * vamp
+                on3 = vamp > 0
+                vx_new = jnp.where(on3, sv3 * vox_ref[...], vx_new)
+                vy_new = jnp.where(on3, sv3 * voy_ref[...], vy_new)
+                vz_new = jnp.where(on3, sv3 * voz_ref[...], vz_new)
+            else:
+                amp = amp_ref[...]
+                sval = (tsrc_ref[0, 0] * cph_ref[...]
+                        + tsrc_ref[0, 1] * sph_ref[...])
+                z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+                on_src = (z_iota == zsrc) & (amp > 0)
+                vz_new = jnp.where(on_src, sval * amp, vz_new)
             ovx[...] = vx_new
             ovy[...] = vy_new
             ovz[...] = vz_new
@@ -781,8 +812,10 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
         + [slab_y(lag1), slab_y(lag1), slab_z(lag1), slab_z(lag1)]  # psi_p
         + [slab_y(lag2), slab_y(lag2), slab_z(lag2), slab_z(lag2)]  # psi_v
         + [ghost_spec] * 4                            # gp_lo/hi, gv_lo/hi
-        + [plane(), plane(), plane()]                 # src amp/cos/sin
+        + ([] if vol_src
+           else [plane(), plane(), plane()])          # src amp/cos/sin
         + [smem()]                                    # tsrc
+        + ([slab(lag1)] * 6 if vol_src else [])       # dome drive volumes
         + ([smem()] if point else [])                 # psrc
         + ([smem()] if with_dft else [])              # scal
         + [coef_y] * 4 + [coef_z] * 4                 # half profiles
@@ -815,8 +848,10 @@ def build_fluid_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     for a in range(8):
         aliases[9 + n_acc + a] = 5 + n_acc + a
     # inputs: 9 fields/coefs, n_acc accs, 8 psi y/z, 4 ghosts, 3 src planes,
-    # tsrc smem, (psrc), (scal), 16 y/z profile constants -> first psix input
-    base_in = (9 + n_acc + 8 + 4 + 3 + 1 + (1 if point else 0)
+    # tsrc smem, (6 dome drives), (psrc), (scal), 16 y/z profile constants
+    # -> first psix input
+    base_in = (9 + n_acc + 8 + 4 + (6 if vol_src else 3) + 1
+               + (1 if point else 0)
                + (1 if with_dft else 0) + 16)
     aliases[base_in] = 13 + n_acc          # psixp_lo
     aliases[base_in + 1] = 14 + n_acc      # psixp_hi
@@ -1525,6 +1560,7 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
     zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
     ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
     point = grid.source_type == "stress_point"
+    vol_src = grid.source_type == "velocity_volume"
 
     def step(carry, n):
         s = carry
@@ -1539,6 +1575,13 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
         tsrc = jnp.stack(
             [jnp.sin(omega * t) * scale, jnp.cos(omega * t) * scale]
         ).reshape(1, 2)
+        if vol_src:
+            vsrc_in = tuple(
+                s[k] for k in ("srcv_amp", "srcv_cph", "srcv_sph",
+                               "srcv_ox", "srcv_oy", "srcv_oz")
+            )
+        else:
+            vsrc_in = ()
         if point:
             psrc_in = (_point_src_row(
                 s["src_amp_point"], n, grid, omega, ramp_steps
@@ -1562,7 +1605,10 @@ def _make_fluid_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
             s["psi_py_lo"], s["psi_py_hi"], s["psi_pz_lo"], s["psi_pz_hi"],
             s["psi_vy_lo"], s["psi_vy_hi"], s["psi_vz_lo"], s["psi_vz_hi"],
             zero_ghost, zero_ghost, zero_ghost, zero_ghost,
-            s["src_amp"], s["src_cph"], s["src_sph"], tsrc,
+            *(() if vol_src
+              else (s["src_amp"], s["src_cph"], s["src_sph"])),
+            tsrc,
+            *vsrc_in,
             *psrc_in,
             *scal_in,
             *kcoefs["y_half"], *kcoefs["z_half"],
@@ -1760,6 +1806,13 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
     inv_dx = np.float32(1.0 / grid.dx)
     zsrc = grid.source_plane_z
     point = grid.source_type == "stress_point"
+    # dome transducers in zero-shear (CT) media: per-voxel velocity drive
+    # along per-voxel normals on the acoustic system — six drive streams
+    # stashed in depth-Dm rings so every velocity stage injects in-kernel
+    # (`BabelIntegrationDOME_PHASEDARRAY.py:344-407`; the 670 kHz DomeTx CT
+    # workload, `README.md:80`, runs through THIS kernel instead of the 3x
+    # slower visco volumetric one)
+    volume_src = grid.source_type == "velocity_volume"
     if point:
         i0_pt, j0_pt, k0_pt = (int(v) for v in grid.source_ijk)
         s_pt, li_pt = divmod(i0_pt, nb)
@@ -1869,9 +1922,13 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
         + ([("acc_c", slab(lagk(2 * K))), ("acc_s", slab(lagk(2 * K))),
             ("peak", slab(lagk(2 * K)))] if with_dft else [])
         + ([("acc_p2", slab(lagk(2 * K)))] if with_dft and with_p2 else [])
-        + [(f"{nm}{k}", pl.BlockSpec((nb, N2, 1), lagk_tiny(2 * k - 1),
-                                     memory_space=pltpu.VMEM))
-           for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
+        + ([(f"{nm}{k}", pl.BlockSpec((nb, N2, 1), lagk_tiny(2 * k - 1),
+                                      memory_space=pltpu.VMEM))
+            for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
+           if not volume_src else [])
+        + ([(nm, slab(lagk(1)))
+            for nm in ("vamp", "vcph", "vsph", "vox", "voy", "voz")]
+           if volume_src else [])
         + [("tsrc", pl.BlockSpec((K, 2), lambda i: (0, 0),
                                  memory_space=pltpu.SMEM))]
         + ([("psrc", pl.BlockSpec((K, 2), lambda i: (0, 0),
@@ -1961,6 +2018,9 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
            for k in range(1, K + 1)]
         + [("rho_ring", mring(Dm)), ("piu_ring", mring(Dm)),
            ("crp_ring", mring(Dm)), ("br_ring", mring(Dm))]
+        + ([(f"{nm}_r", ring_slab(Dm))
+            for nm in ("vamp", "vcph", "vsph", "vox", "voy", "voz")]
+           if volume_src else [])
         + [("ppy_lo_r", ring_y(Dp)), ("ppy_hi_r", ring_y(Dp)),
            ("ppz_lo_r", ring_z(Dp)), ("ppz_hi_r", ring_z(Dp)),
            ("pvy_lo_r", ring_y(Dp)), ("pvy_hi_r", ring_y(Dp)),
@@ -2018,7 +2078,7 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
             R["p0_ring"][i % 3] = incoming
 
         def vel_update(w, rho_inv, v_in, psi_y, psi_z, psix_pair,
-                       xc, amp, cph, sph, ts):
+                       xc, amp, cph, sph, ts, vsrc6=None):
             dpx = _C1 * (w[3 : 3 + nb] - w[2 : 2 + nb]) + _C2 * (
                 w[4 : 4 + nb] - w[1 : 1 + nb]
             )
@@ -2045,10 +2105,18 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
             vx_n = v_in[0] - dt_dx * rho_inv * dpx
             vy_n = v_in[1] - dt_dx * rho_inv * dpy
             vz_n = v_in[2] - dt_dx * rho_inv * dpz
-            sval = ts[0] * cph + ts[1] * sph
-            z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
-            on_src = (z_iota == zsrc) & (amp > 0)
-            vz_n = jnp.where(on_src, sval * amp, vz_n)
+            if volume_src:
+                vamp, vcph, vsph, vox, voy, voz = vsrc6
+                sv3 = (ts[0] * vcph + ts[1] * vsph) * vamp
+                on3 = vamp > 0
+                vx_n = jnp.where(on3, sv3 * vox, vx_n)
+                vy_n = jnp.where(on3, sv3 * voy, vy_n)
+                vz_n = jnp.where(on3, sv3 * voz, vz_n)
+            else:
+                sval = ts[0] * cph + ts[1] * sph
+                z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N3), 2)
+                on_src = (z_iota == zsrc) & (amp > 0)
+                vz_n = jnp.where(on_src, sval * amp, vz_n)
             return (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
                     new_lo, new_hi)
 
@@ -2119,12 +2187,28 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
                     psi_z = (R["ppz_lo_r"][sv % Dp], R["ppz_hi_r"][sv % Dp])
                     psix = (R["pxp_lo_s"][lo_slot(sv)],
                             R["pxp_hi_s"][hi_slot(sv)])
+                vsrc6 = None
+                if volume_src:
+                    names = ("vamp", "vcph", "vsph", "vox", "voy", "voz")
+                    if k == 1:
+                        vsrc6 = tuple(R[nm][...] for nm in names)
+                    else:
+                        vsrc6 = tuple(
+                            R[f"{nm}_r"][sv % Dm] for nm in names
+                        )
+                if volume_src:
+                    p_amp = p_cph = p_sph = None
+                else:
+                    p_amp = R[f"amp{k}"][...]
+                    p_cph = R[f"cph{k}"][...]
+                    p_sph = R[f"sph{k}"][...]
                 (vx_n, vy_n, vz_n, npy_lo, npy_hi, npz_lo, npz_hi,
                  nxp_lo, nxp_hi) = vel_update(
                     w, rho_inv, v_in, psi_y, psi_z, psix,
                     xcoef("h", sv),
-                    R[f"amp{k}"][...], R[f"cph{k}"][...], R[f"sph{k}"][...],
+                    p_amp, p_cph, p_sph,
                     (R["tsrc"][k - 1, 0], R["tsrc"][k - 1, 1]),
+                    vsrc6,
                 )
                 dv = 3 if k < K else 2
                 R[f"vx{k}_ring"][sv % 3] = vx_n
@@ -2243,6 +2327,13 @@ def build_fluid_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=4,
             R["crp_ring"][(i - 2) % Dm] = R["crp"][...]
             R["br_ring"][(i - 2) % Dm] = R["br"][...]
 
+        # end-of-body dome-drive stashes (first HBM visit -> ring)
+        if volume_src:
+            @pl.when((i >= 1) & (i <= n_slabs))
+            def _():
+                for nm in ("vamp", "vcph", "vsph", "vox", "voy", "voz"):
+                    R[f"{nm}_r"][(i - 1) % Dm] = R[nm][...]
+
     call = pl.pallas_call(
         kernel,
         grid=(n_slabs + 2 * K,),
@@ -2299,6 +2390,7 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
     N1, N2, N3 = grid.shape
     zero_ghost = jnp.zeros((2, N2, N3), jnp.float32)
     ramp_steps = grid.ramp_cycles / grid.frequency / grid.dt
+    vol_src = grid.source_type == "velocity_volume"
 
     def step(carry, n):
         s = carry
@@ -2316,6 +2408,13 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                               jnp.cos(omega * t) * sc])
 
         tsrc = jnp.stack([src_row(n + j) for j in range(K)])  # (K, 2)
+        if vol_src:
+            vsrc_in = tuple(
+                s[k] for k in ("srcv_amp", "srcv_cph", "srcv_sph",
+                               "srcv_ox", "srcv_oy", "srcv_oz")
+            )
+        else:
+            vsrc_in = ()
         if grid.source_type == "stress_point":
             psrc_in = (jnp.stack(
                 [_point_src_row(s["src_amp_point"], n + j, grid, omega,
@@ -2336,7 +2435,8 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             scal_in = (jnp.stack([scal_row(n + j) for j in range(K)]),)
         else:
             acc_in = scal_in = ()
-        src = (s["src_amp"], s["src_cph"], s["src_sph"])
+        src = (() if vol_src
+               else (s["src_amp"], s["src_cph"], s["src_sph"]))
         outs = call(
             f["p"], f["vx"], f["vy"], f["vz"], f["r"],
             pr["rho_inv"], pr["pi_u"], pr["c_rp"], pr["b_r"],
@@ -2345,6 +2445,7 @@ def _make_fluid_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             zero_ghost,
             *acc_in,
             *(pl_in for _ in range(K) for pl_in in src),
+            *vsrc_in,
             tsrc,
             *psrc_in,
             *scal_in,
@@ -2401,7 +2502,7 @@ def _tile_padded_bytes(shape):
 
 
 def _fusedK_auto(grid, nb, K_cap=12, budget_bytes=118 * 1024 * 1024,
-                 with_dft=False):
+                 with_dft=False, volume_src=False):
     """Pick the deepest K whose VMEM footprint (rings + double-buffered
     block streams) fits the budget; 0/1 means 'no fusedK'.
 
@@ -2409,7 +2510,9 @@ def _fusedK_auto(grid, nb, K_cap=12, budget_bytes=118 * 1024 * 1024,
     until stage K accumulates the carrier DFT) and the acc/peak block
     streams. The x-CPML psi scratch is absolute-slot addressed (4(kx+2)
     slabs, K-independent) and the x coefficient packs are resident
-    (streamed once), so rings grow at 23 slabs per fused step."""
+    (streamed once), so rings grow at 23 slabs per fused step.
+    ``volume_src`` adds the six dome-drive streams + their depth-(2K-2)
+    stash rings."""
     N1, N2, N3 = grid.shape
     if N1 % nb:
         return 0
@@ -2426,6 +2529,9 @@ def _fusedK_auto(grid, nb, K_cap=12, budget_bytes=118 * 1024 * 1024,
         buf_slabs = 44
         if with_dft:
             ring_slabs += (K - 1) * (K - 2)
+            buf_slabs += 12
+        if volume_src:
+            ring_slabs += 6 * (2 * K - 2)
             buf_slabs += 12
         est = (ring_slabs + buf_slabs) * slab_b \
             + (4 * (2 * K - 1) + 16) * (y_b + z_b) \
@@ -2479,7 +2585,8 @@ def _sharded_fusedK_plan(L, nb, npml, fuse_steps, grid, K_cap=6,
 
 def _simulate_fluid_pallas_sharded_fused(props, src_amp, src_phase, grid,
                                          profiles_np, viscous, oz_scale, nb,
-                                         comm, interpret, K, H, h0):
+                                         comm, interpret, K, H, h0,
+                                         volume_source=None):
     """Fused K-step sweeps under x domain decomposition: overlap-and-discard.
 
     Each shard's state lives on an EXTENDED local domain with H halo planes
@@ -2553,6 +2660,20 @@ def _simulate_fluid_pallas_sharded_fused(props, src_amp, src_phase, grid,
         "src_cph": jnp.cos(ph_e)[:, :, None],
         "src_sph": jnp.sin(ph_e)[:, :, None],
     }
+    if volume_source is not None:
+        # dome drives are constant in time: extended ONCE (halo values =
+        # neighbor's drive, so halo planes evolve exactly as the
+        # neighbor's interior -> overlap-and-discard stays bit-exact);
+        # never refreshed. Dead zones beyond the global edges extend to
+        # amp=0, masking the injection off there.
+        vs = volume_source
+        carry["srcv_amp"] = extend(jnp.asarray(vs["amp"], jnp.float32))
+        ph3 = jnp.asarray(vs["phase"], jnp.float32)
+        carry["srcv_cph"] = extend(jnp.cos(ph3))
+        carry["srcv_sph"] = extend(jnp.sin(ph3))
+        carry["srcv_ox"] = extend(jnp.asarray(vs["ox"], jnp.float32))
+        carry["srcv_oy"] = extend(jnp.asarray(vs["oy"], jnp.float32))
+        carry["srcv_oz"] = extend(jnp.asarray(vs["oz"], jnp.float32))
 
     _STATE = ("p", "vx", "vy", "vz", "r")
     _PSI = ("psi_py_lo", "psi_py_hi", "psi_pz_lo", "psi_pz_hi",
@@ -2616,7 +2737,8 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
                           grid, profiles_np, viscous,
                           oz_scale, nb=2, comm=None, interpret=False,
                           fuse_steps=None, k_shrink=0,
-                          sel_p2=False, monitor_idx=None):
+                          sel_p2=False, monitor_idx=None,
+                          volume_source=None):
     """Scan driver mirroring fdtd._simulate_local for the pallas fluid path.
 
     With ``comm`` the first axis of every (N1, ...) array is the LOCAL shard
@@ -2626,19 +2748,36 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
     kernels (no DFT/peak streaming — bit-identical because the window mask
     zeroes those updates anyway), the rest use the accumulating kernels.
 
-    Under x domain decomposition with a plane source, the sweep runs the
-    overlap-and-discard fused driver (``_simulate_fluid_pallas_sharded_fused``)
-    whenever a K >= 2 plan fits the shard extent, falling back to the
-    1-step ghost-exchange kernels otherwise.
+    Under x domain decomposition with a plane or volumetric source, the
+    sweep runs the overlap-and-discard fused driver
+    (``_simulate_fluid_pallas_sharded_fused``) whenever a K >= 2 plan fits
+    the shard extent, falling back to the 1-step ghost-exchange kernels
+    otherwise (plane sources only — sharded volumetric REQUIRES a fused
+    plan and raises otherwise).
+
+    ``volume_source`` (dict amp/phase/ox/oy/oz of (N1,N2,N3) arrays)
+    drives per-voxel particle velocity along per-voxel normals on the
+    acoustic system — the zero-shear dome path
+    (`BabelIntegrationDOME_PHASEDARRAY.py:344-407`).
     """
     N1, N2, N3 = grid.shape
+    vol_src = grid.source_type == "velocity_volume"
     if comm is not None and comm.sharded_x and not comm.sharded_y and \
-            grid.source_type == "velocity_plane":
-        plan = _sharded_fusedK_plan(N1, nb, grid.npml, fuse_steps, grid)
+            grid.source_type in ("velocity_plane", "velocity_volume"):
+        plan = _sharded_fusedK_plan(
+            N1, nb, grid.npml, fuse_steps, grid,
+            auto_fn=functools.partial(_fusedK_auto, volume_src=vol_src),
+        )
         if plan is not None:
             return _simulate_fluid_pallas_sharded_fused(
                 props, src_amp, src_phase, grid, profiles_np, viscous,
                 oz_scale, nb, comm, interpret, *plan,
+                volume_source=volume_source,
+            )
+        if vol_src:
+            raise ValueError(
+                "sharded volumetric sources need a fused overlap plan "
+                f"(shard extent {N1} too thin for K>=2)"
             )
     ns = grid.npml + 2
     n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
@@ -2664,6 +2803,15 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
     if grid.source_type == "stress_point":
         carry["src_amp_point"] = jnp.float32(point_amp)
         carry["peak_src"] = jnp.float32(0.0)
+    if vol_src:
+        vs = volume_source
+        carry["srcv_amp"] = jnp.asarray(vs["amp"], jnp.float32)
+        ph3 = jnp.asarray(vs["phase"], jnp.float32)
+        carry["srcv_cph"] = jnp.cos(ph3)
+        carry["srcv_sph"] = jnp.sin(ph3)
+        carry["srcv_ox"] = jnp.asarray(vs["ox"], jnp.float32)
+        carry["srcv_oy"] = jnp.asarray(vs["oy"], jnp.float32)
+        carry["srcv_oz"] = jnp.asarray(vs["oz"], jnp.float32)
 
     if comm is None:
         from ..parallel.halo import DomainComm
@@ -2671,11 +2819,12 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
         comm = DomainComm()
     kx = -(-ns // nb)
     unsharded = not (comm.sharded_x or comm.sharded_y)
-    use_fused2 = unsharded and N1 // nb >= kx + 3
+    use_fused2 = unsharded and N1 // nb >= kx + 3 and not vol_src
     want_extras = sel_p2 or monitor_idx is not None
     if fuse_steps is None:
-        K = _fusedK_auto(grid, nb) if unsharded else 0
-        K_dft = _fusedK_auto(grid, nb, with_dft=True) if unsharded else 0
+        K = _fusedK_auto(grid, nb, volume_src=vol_src) if unsharded else 0
+        K_dft = (_fusedK_auto(grid, nb, with_dft=True, volume_src=vol_src)
+                 if unsharded else 0)
         if k_shrink:
             K = 0 if K - k_shrink < 2 else K - k_shrink
             K_dft = 0 if K_dft - k_shrink < 2 else K_dft - k_shrink
@@ -2748,10 +2897,19 @@ def simulate_fluid_pallas(props, src_amp, src_phase, point_amp=0.0, *,
             )
         rem0 = remK + 2 * n_pairs
         if rem0 < n1:
-            step1 = make_fluid_pallas_step(
-                grid, profiles_np, viscous, oz_scale, nb, comm=comm,
-                interpret=interpret, with_dft=with_dft,
-            )
+            if vol_src:
+                # tail steps of a volumetric run use the 1-step fused
+                # kernel (the two-kernel 1-step path has no volumetric
+                # injection)
+                step1 = _make_fluid_fused_step_fn(
+                    grid, profiles_np, viscous, oz_scale, nb, comm,
+                    interpret, with_dft,
+                )
+            else:
+                step1 = make_fluid_pallas_step(
+                    grid, profiles_np, viscous, oz_scale, nb, comm=comm,
+                    interpret=interpret, with_dft=with_dft,
+                )
             carry, _ = jax.lax.scan(step1, carry, jnp.arange(rem0, n1))
         return carry
 
@@ -3261,7 +3419,8 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
 
 def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
-                           interpret=False, with_dft=True, edge_offset=0):
+                           interpret=False, with_dft=True, edge_offset=0,
+                           ycoef_mask=None):
     """Single-sweep fused viscoelastic step (velocity AND stress updates in
     one streaming pass; single-device x extent).
 
@@ -3292,6 +3451,9 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
     cz_h = _make_profiles_const(profiles_np, 2, "half", ns)
     cy_i = _make_profiles_const(profiles_np, 1, "int", ns)
     cz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+    if ycoef_mask is not None:
+        cy_h = _mask_y_consts(cy_h, ycoef_mask)
+        cy_i = _mask_y_consts(cy_i, ycoef_mask)
 
     slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
     slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx, memory_space=pltpu.VMEM)
@@ -4238,7 +4400,7 @@ def build_visco_fused2_step(grid, profiles_np, viscous, oz_scale, nb=2,
 
 def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
                               interpret, with_dft, edge_offset=0,
-                              xcoef_scale=None):
+                              xcoef_scale=None, ycoef_mask=None):
     """Step closure for the fused single-sweep viscoelastic kernel."""
     N1, N2, N3 = grid.shape
     omega = 2.0 * np.pi * grid.frequency
@@ -4246,7 +4408,7 @@ def _make_visco_fused_step_fn(grid, profiles_np, viscous, oz_scale, nb, comm,
 
     call, kc = build_visco_fused_step(
         grid, profiles_np, viscous, oz_scale, nb, interpret=interpret,
-        with_dft=with_dft, edge_offset=edge_offset,
+        with_dft=with_dft, edge_offset=edge_offset, ycoef_mask=ycoef_mask,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
@@ -4664,7 +4826,7 @@ _S6 = ("xx", "yy", "zz", "xy", "xz", "yz")
 def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                             interpret=False, with_dft=False, edge_offset=0,
                             indexed_materials=False, pack_z=False,
-                            _no_inplane_cpml=False):
+                            ycoef_mask=None, _no_inplane_cpml=False):
     """K viscoelastic timesteps per streaming sweep (deep temporal blocking).
 
     Generalizes ``build_visco_fused2_step`` exactly the way
@@ -4728,6 +4890,12 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
     cz_h = _make_profiles_const(profiles_np, 2, "half", ns)
     cy_i = _make_profiles_const(profiles_np, 1, "int", ns)
     cz_i = _make_profiles_const(profiles_np, 2, "int", ns)
+    if ycoef_mask is not None:
+        # y-tiled sweeps: a tile whose lo/hi y boundary is interior (halo)
+        # zeroes that family's b AND a, so psi stays 0 and the correction
+        # is a no-op — mirrors the sharded drivers' x-edge masking
+        cy_h = _mask_y_consts(cy_h, ycoef_mask)
+        cy_i = _mask_y_consts(cy_i, ycoef_mask)
 
     slab = lambda idx: pl.BlockSpec((nb, N2, N3), idx, memory_space=pltpu.VMEM)
     slab_y = lambda idx: pl.BlockSpec((nb, ns, N3), idx,
@@ -5445,7 +5613,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
 def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                interpret, with_dft, edge_offset=0,
                                xcoef_scale=None, indexed_materials=False,
-                               pack_z=False, _no_inplane_cpml=False):
+                               pack_z=False, ycoef_mask=None,
+                               _no_inplane_cpml=False):
     """K-timestep visco step closure (scan over step groups of K).
 
     With ``indexed_materials`` the carry must hold ``midx`` (int32 volume)
@@ -5456,7 +5625,7 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         grid, profiles_np, viscous, oz_scale, K, nb, interpret=interpret,
         with_dft=with_dft, edge_offset=edge_offset,
         indexed_materials=indexed_materials, pack_z=pack_z,
-        _no_inplane_cpml=_no_inplane_cpml,
+        ycoef_mask=ycoef_mask, _no_inplane_cpml=_no_inplane_cpml,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
@@ -5661,6 +5830,218 @@ def _viscoK_auto(grid, nb, K_cap=5, budget_bytes=118 * 1024 * 1024,
         if est <= budget_bytes:
             return K
     return 0
+
+
+def _YSPLIT_OPTIN():
+    import os
+
+    return os.environ.get("BBT_VISCO_YSPLIT", "") == "1"
+
+
+def _visco_ysplit_plan(grid, nb, indexed=False, volume_src=False, K_cap=6):
+    """(K, Hy) for the sequential y-tiled visco fusedK driver, or None.
+
+    The 15-field visco rings scale with the slab cross-section nb*N2*N3,
+    so at clinical shapes VMEM caps the fused depth at K=2. Splitting the
+    domain into TWO y tiles of N2/2 own columns + Hy = 4K recomputed halo
+    columns (overlap-and-discard along y, same contamination radius as
+    the sharded-x driver: 4 planes per fused step) shrinks every ring by
+    ~2x and buys the deeper K the measured time/cell/step = A/K + B model
+    pays for. The recompute overhead is 2*Hy/N2; each +1 K is worth
+    ~11 %, so the split must buy >= +2 fused depths to win — the caller
+    enforces that threshold."""
+    import dataclasses
+
+    N1, N2, N3 = grid.shape
+    if N2 % 2:
+        return None
+    own = N2 // 2
+    ns = grid.npml + 2
+    for K in range(K_cap, 1, -1):
+        Hy = 4 * K
+        N2e = own + Hy
+        if own < Hy or N2e < 2 * ns + 2:
+            continue
+        ge = dataclasses.replace(grid, shape=(N1, N2e, N3))
+        if _viscoK_auto(ge, nb, K_cap=K, indexed=indexed,
+                        volume_src=volume_src) < K:
+            continue
+        if _viscoK_auto(ge, nb, K_cap=K, with_dft=True, indexed=indexed,
+                        volume_src=volume_src) < K:
+            continue
+        return K, Hy
+    return None
+
+
+def _simulate_visco_pallas_ysplit_fused(props, src_amp, src_phase, point_amp,
+                                        grid, profiles_np, viscous, oz_scale,
+                                        nb, interpret, K, Hy,
+                                        mat_idx=None, mat_table=None,
+                                        volume_source=None):
+    """Sequential y-tiled fused visco sweeps (overlap-and-discard along y).
+
+    Two tiles per sweep on ONE device: tile 0 owns columns [0, N2/2) and
+    carries Hy halo columns on its hi side, tile 1 mirrors. Once per
+    K-step sweep each tile's halo is refilled from the other tile's valid
+    interior (plain HBM slices — no collectives), then the fusedK kernel
+    runs on the (N1, N2/2 + Hy, N3) tile with the interior y boundary's
+    CPML coefficients statically zeroed (``ycoef_mask``). Garbage creeps
+    inward 4 columns per step from the tile edge, so with Hy = 4K the
+    owned columns stay BIT-EXACT vs the unsplit kernel at the same K.
+    y-psi memories live whole on the tile that owns that physical edge;
+    z- and x-psi state splits along y like the fields."""
+    import dataclasses
+
+    from jax import lax
+
+    N1, N2, N3 = grid.shape
+    own = N2 // 2
+    N2e = own + Hy
+    ns = grid.npml + 2
+    n_quiet = int(max(0, min(grid.sensor_start, grid.n_steps)))
+    px_planes = (-(-ns // nb) + 1) * nb
+    indexed = mat_idx is not None and mat_table is not None
+    plane_src = grid.source_type == "velocity_plane"
+    point = grid.source_type == "stress_point"
+    vol_src = grid.source_type == "velocity_volume"
+    offs = (0, own - Hy)
+    masks = ((1.0, 0.0), (0.0, 1.0))
+
+    def ysl(a, t):
+        return a[:, offs[t]:offs[t] + N2e]
+
+    grids = []
+    for t in (0, 1):
+        gkw = {}
+        if point:
+            i0, j0, k0 = (int(v) for v in grid.source_ijk)
+            jt = j0 - offs[t]
+            gkw["source_ijk"] = (i0, jt if 0 <= jt < N2e else 0, k0)
+        grids.append(dataclasses.replace(grid, shape=(N1, N2e, N3), **gkw))
+
+    z3 = lambda: jnp.zeros((N1, N2e, N3), jnp.float32)
+    zy = lambda: jnp.zeros((N1, ns, N3), jnp.float32)
+    zz = lambda: jnp.zeros((N1, N2e, ns), jnp.float32)
+    zx = lambda: jnp.zeros((px_planes, N2e, N3), jnp.float32)
+    _F15 = ("vx", "vy", "vz", "sxx", "syy", "szz", "sxy", "sxz", "syz",
+            "rxx", "ryy", "rzz", "rxy", "rxz", "ryz")
+    _ZPSI = [k for k in (_V_PSI_KEYS + _S_PSI_KEYS)
+             if not k[:-3].endswith("y")]
+    _XPSI = ("psi_sxxx_lo", "psi_sxxx_hi", "psi_sxyx_lo", "psi_sxyx_hi",
+             "psi_sxzx_lo", "psi_sxzx_hi", "psi_vxx_lo", "psi_vxx_hi",
+             "psi_vyx_lo", "psi_vyx_hi", "psi_vzx_lo", "psi_vzx_hi")
+
+    def mk_carry(t):
+        c = {
+            "fields": {k: z3() for k in _F15},
+            "props": {k: ysl(v, t) for k, v in props.items()},
+            "acc_cos": z3(), "acc_sin": z3(), "peak": z3(),
+        }
+        for k in _XPSI:
+            c[k] = zx()
+        for k in _V_PSI_KEYS + _S_PSI_KEYS:
+            c[k] = zy() if k[:-3].endswith("y") else zz()
+        if plane_src:
+            amp_t = ysl(src_amp, t)
+            ph_t = ysl(src_phase, t)
+            c["src_amp3"] = amp_t[:, :, None]
+            c["src_cph"] = jnp.cos(ph_t)[:, :, None]
+            c["src_sph"] = jnp.sin(ph_t)[:, :, None]
+        if point:
+            j0 = int(grid.source_ijk[1])
+            contains = 1.0 if 0 <= j0 - offs[t] < N2e else 0.0
+            c["src_amp_point"] = jnp.float32(point_amp) * contains
+        if vol_src:
+            vs = volume_source
+            c["srcv_amp"] = ysl(jnp.asarray(vs["amp"], jnp.float32), t)
+            ph3 = ysl(jnp.asarray(vs["phase"], jnp.float32), t)
+            c["srcv_cph"] = jnp.cos(ph3)
+            c["srcv_sph"] = jnp.sin(ph3)
+            for nm in ("ox", "oy", "oz"):
+                c["srcv_" + nm] = ysl(jnp.asarray(vs[nm], jnp.float32), t)
+        if indexed:
+            c["midx"] = ysl(mat_idx, t)
+            c["mtab"] = mat_table
+        return c
+
+    carry = (mk_carry(0), mk_carry(1))
+
+    def refresh(c0, c1):
+        """Refill halo columns from the other tile's valid interior."""
+        def upd(a0, a1):
+            # tile0 halo = global [own, own+Hy) = tile1 ext cols [Hy, 2Hy)
+            a0 = lax.dynamic_update_slice_in_dim(
+                a0, lax.slice_in_dim(a1, Hy, 2 * Hy, axis=1), own, axis=1
+            )
+            # tile1 halo = global [own-Hy, own) = tile0 ext cols [own-Hy, own)
+            a1 = lax.dynamic_update_slice_in_dim(
+                a1, lax.slice_in_dim(a0, own - Hy, own, axis=1), 0, axis=1
+            )
+            return a0, a1
+
+        f0 = dict(c0["fields"])
+        f1 = dict(c1["fields"])
+        for k in _F15:
+            f0[k], f1[k] = upd(f0[k], f1[k])
+        c0 = dict(c0, fields=f0)
+        c1 = dict(c1, fields=f1)
+        for k in _ZPSI + list(_XPSI):
+            a0, a1 = upd(c0[k], c1[k])
+            c0[k] = a0
+            c1[k] = a1
+        return c0, c1
+
+    def run_phase(carry, n0, n1, with_dft):
+        count = n1 - n0
+        if count <= 0:
+            return carry
+        remK = n0
+        if count // K > 0:
+            stepKs = [
+                _make_visco_fusedK_step_fn(
+                    grids[t], profiles_np, viscous, oz_scale, K, nb,
+                    interpret, with_dft=with_dft,
+                    indexed_materials=indexed, ycoef_mask=masks[t],
+                )
+                for t in (0, 1)
+            ]
+
+            def step(c2, n):
+                c0, c1 = refresh(c2[0], c2[1])
+                c0, _ = stepKs[0](c0, n)
+                c1, _ = stepKs[1](c1, n)
+                return (c0, c1), None
+
+            carry, _ = jax.lax.scan(
+                step, carry, n0 + K * jnp.arange(count // K)
+            )
+            remK = n0 + K * (count // K)
+        if remK < n1:
+            step1s = [
+                _make_visco_fused_step_fn(
+                    grids[t], profiles_np, viscous, oz_scale, nb, None,
+                    interpret, with_dft, ycoef_mask=masks[t],
+                )
+                for t in (0, 1)
+            ]
+
+            def step1(c2, n):
+                c0, c1 = refresh(c2[0], c2[1])
+                c0, _ = step1s[0](c0, n)
+                c1, _ = step1s[1](c1, n)
+                return (c0, c1), None
+
+            carry, _ = jax.lax.scan(step1, carry, jnp.arange(remK, n1))
+        return carry
+
+    carry = run_phase(carry, 0, n_quiet, with_dft=False)
+    carry = run_phase(carry, n_quiet, grid.n_steps, with_dft=True)
+    c0, c1 = carry
+
+    def join(k):
+        return jnp.concatenate([c0[k][:, :own], c1[k][:, Hy:]], axis=1)
+
+    return join("acc_cos"), join("acc_sin"), join("peak")
 
 
 def _simulate_visco_pallas_sharded_fused(props, src_amp, src_phase, grid,
@@ -5903,6 +6284,26 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
             if k_shrink:
                 K = 0 if K - k_shrink < 2 else K - k_shrink
                 K_dft = 0 if K_dft - k_shrink < 2 else K_dft - k_shrink
+            elif not packz and not packz_dft and _YSPLIT_OPTIN():
+                # y-tiled sweeps (opt-in probe only): splitting the
+                # cross-section in two fits K=4 at the headline shape,
+                # but MEASURED on chip it loses — 5.21 Gcells/s vs the
+                # unsplit K=2's 6.29 at (192,192,240). The A term of the
+                # time/cell/step = A/K + B model is dominated by per-sweep
+                # HBM traffic plus per-iteration fixed cost that does NOT
+                # shrink with the tile cross-section, and the per-sweep
+                # halo refresh materializes dozens of dynamic_update_slice
+                # copies. Kept behind BBT_VISCO_YSPLIT=1 as a measured
+                # negative result (same status as z-psi lane packing).
+                ys = _visco_ysplit_plan(grid, nb, indexed=indexed,
+                                        volume_src=vol_src)
+                if ys is not None and ys[0] >= max(K, K_dft, 2) + 2:
+                    return _simulate_visco_pallas_ysplit_fused(
+                        props, src_amp, src_phase, point_amp, grid,
+                        profiles_np, viscous, oz_scale, nb, interpret,
+                        *ys, mat_idx=mat_idx, mat_table=mat_table,
+                        volume_source=volume_source,
+                    )
         else:
             K = K_dft = 0
     else:

@@ -281,6 +281,55 @@ def test_reflector_fold_pallas_matches_xla():
     assert o_x["p_amp"][:, :, 50:].max() < 1e-3 * scale
 
 
+def test_dome_volume_source_fluid_pallas_matches_xla():
+    """Zero-shear (CT-mode) dome volumetric drive on the FLUID fusedK
+    kernel (in-kernel per-voxel velocity injection) vs the XLA solver.
+    This is the path the reference's heaviest documented workload takes
+    (670 kHz DomeTx + CT, `README.md:80`,
+    `BabelIntegrationDOME_PHASEDARRAY.py:344-407`): CT media are
+    zero-shear (`BabelIntegrationBASE.py:1343-1351`), so the dome runs
+    the acoustic system, not the 15-field viscoelastic one."""
+    from babelbrain_tpu.ops.fdtd import FDTDGrid, run_fdtd, stable_dt
+
+    F0, C = 500e3, 1500.0
+    shape = (48, 48, 48)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, 2494.0, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 3
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_type="velocity_volume",
+    )
+    # zero-shear media only (water + CT-like bone without shear)
+    mats = np.array([
+        [1000.0, C, 0.0, 20.0, 0.0],
+        [1896.0, 2494.0, 0.0, 150.0, 0.0],
+    ])
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 30:36] = 1
+    rng = np.random.default_rng(4)
+    ii, jj, kk = np.mgrid[0:48, 0:48, 0:48]
+    r = np.sqrt((ii - 24.0) ** 2 + (jj - 24.0) ** 2 + (kk - 24.0) ** 2)
+    shell = (r > 14) & (r < 16) & (kk < 24)
+    amp3 = np.where(shell, 60e3, 0.0).astype(np.float32)
+    ph3 = (rng.uniform(-2, 2, shape) * shell).astype(np.float32)
+    rr = np.maximum(r, 1e-6)
+    vs = dict(
+        amp=amp3, phase=ph3,
+        ox=((24.0 - ii) / rr).astype(np.float32),
+        oy=((24.0 - jj) / rr).astype(np.float32),
+        oz=((24.0 - kk) / rr).astype(np.float32),
+    )
+    o_x = run_fdtd(idx, mats, grid, volume_source=vs, backend="xla")
+    o_p = run_fdtd(idx, mats, grid, volume_source=vs, backend="pallas")
+    scale = o_x["p_amp"].max()
+    assert scale > 0
+    np.testing.assert_allclose(o_p["p_amp"], o_x["p_amp"],
+                               atol=scale * 1e-5)
+    np.testing.assert_allclose(o_p["peak"], o_x["peak"], atol=scale * 1e-5)
+
+
 @pytest.mark.slow
 def test_dome_volume_source_pallas_matches_xla():
     """Dome volumetric velocity sources
@@ -529,3 +578,137 @@ def test_pressure_maps_and_monitor_on_pallas_fast_path():
         o_p["sensor_series"], o_x["sensor_series"][:, pos],
         atol=scale * 1e-6,
     )
+
+
+def test_visco_ysplit_bitexact():
+    """Sequential y-tiled visco fusedK driver (overlap-and-discard along
+    y, `_simulate_visco_pallas_ysplit_fused`): owned columns must be
+    BIT-exact vs the unsplit fusedK kernel at the same depth. The split
+    is what buys label mode — the default non-CT clinical mode
+    (`BabelIntegrationBASE.py:1357-1377`) — fused depths K>=4 at clinical
+    cross-sections where the 15-field rings otherwise cap K at 2."""
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _material_fields,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops import fdtd_pallas as fp
+
+    F0, C = 500e3, 1500.0
+    shape = (48, 32, 48)
+    npml = 8
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, 2494.0, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 2
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0, npml=npml,
+        sensor_start=ns - ppp, source_plane_z=npml + 1,
+    )
+    mats = np.array(
+        [[1000.0, C, 0, 20.0, 0], [1896.5, 2494.0, 1594.0, 106.0, 214.0]]
+    )
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 28:36] = 1
+    coefs = sls_coefficients(mats, F0, dt)
+    props = {
+        k: jnp.asarray(v)
+        for k, v in _material_fields(idx, coefs, True).items()
+    }
+    prof = _build_cpml_profiles_np(shape, npml, dx, dt, 2494.0, 1e-5)
+    rng = np.random.default_rng(3)
+    amp = np.zeros(shape[:2], np.float32)
+    amp[8:-8, 6:26] = 60e3
+    ph = rng.uniform(-3, 3, shape[:2]).astype(np.float32)
+    oz = 1.0 / (1000.0 * C)
+    o_ref = fp.simulate_visco_pallas(
+        props, jnp.asarray(amp), jnp.asarray(ph), jnp.float32(0.0), grid,
+        prof, True, oz, nb=2, interpret=True, fuse_steps=2,
+    )
+    o_ys = fp._simulate_visco_pallas_ysplit_fused(
+        props, jnp.asarray(amp), jnp.asarray(ph), 0.0, grid, prof, True,
+        oz, 2, True, 2, 8,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(o_ys[i]), np.asarray(o_ref[i])
+        )
+
+
+@pytest.mark.slow
+def test_visco_ysplit_indexed_and_point_bitexact():
+    """y-tiled visco driver with the production label-mode configuration
+    (indexed materials) and with a refocusing stress-point source whose
+    voxel sits INSIDE the tile-overlap band (both tiles must inject it
+    for the halos to evolve like the neighbor's interior)."""
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        _build_cpml_profiles_np,
+        _build_indexed_materials,
+        _material_fields,
+        sls_coefficients,
+        stable_dt,
+    )
+    from babelbrain_tpu.ops import fdtd_pallas as fp
+
+    F0, C = 500e3, 1500.0
+    shape = (64, 48, 48)
+    dx = C / F0 / 9
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, 2494.0, 0.9)))
+    dt = 1 / F0 / ppp
+    ns = ppp * 3
+    mats = np.array(
+        [[1000.0, C, 0, 20.0, 0], [1896.5, 2494.0, 1594.0, 106.0, 214.0]]
+    )
+    idx = np.zeros(shape, np.uint8)
+    idx[:, :, 28:36] = 1
+    coefs = sls_coefficients(mats, F0, dt)
+    props = {
+        k: jnp.asarray(v)
+        for k, v in _material_fields(idx, coefs, True).items()
+    }
+    prof = _build_cpml_profiles_np(shape, 12, dx, dt, 2494.0, 1e-5)
+    rng = np.random.default_rng(3)
+    amp = np.zeros(shape[:2], np.float32)
+    amp[10:-10, 8:40] = 60e3
+    ph = rng.uniform(-3, 3, shape[:2]).astype(np.float32)
+    oz = 1.0 / (1000.0 * C)
+    grid = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_plane_z=13,
+    )
+    ind = _build_indexed_materials(coefs, idx, None, shape[2])
+    mi, mt = jnp.asarray(ind[0]), jnp.asarray(ind[1])
+    o_ref = fp.simulate_visco_pallas(
+        props, jnp.asarray(amp), jnp.asarray(ph), jnp.float32(0.0), grid,
+        prof, True, oz, nb=2, interpret=True, fuse_steps=2,
+        mat_idx=mi, mat_table=mt,
+    )
+    o_ys = fp._simulate_visco_pallas_ysplit_fused(
+        props, jnp.asarray(amp), jnp.asarray(ph), 0.0, grid, prof, True,
+        oz, 2, True, 2, 8, mat_idx=mi, mat_table=mt,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(o_ys[i]), np.asarray(o_ref[i])
+        )
+    # stress point at j=25: inside tile 0's halo band AND tile 1's interior
+    gp = FDTDGrid(
+        shape=shape, dx=dx, dt=dt, n_steps=ns, frequency=F0,
+        sensor_start=ns - 2 * ppp, source_type="stress_point",
+        source_ijk=(33, 25, 24),
+    )
+    z2 = jnp.zeros(shape[:2], jnp.float32)
+    o_ref = fp.simulate_visco_pallas(
+        props, z2, z2, jnp.float32(1e6), gp, prof, True, oz, nb=2,
+        interpret=True, fuse_steps=2,
+    )
+    o_ys = fp._simulate_visco_pallas_ysplit_fused(
+        props, z2, z2, 1e6, gp, prof, True, oz, 2, True, 2, 8,
+    )
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(o_ys[i]), np.asarray(o_ref[i])
+        )

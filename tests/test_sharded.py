@@ -165,6 +165,68 @@ class TestShardedParity:
             o_p["p_amp"] / scale, o_x["p_amp"] / scale, atol=1e-5
         )
 
+    def test_sharded_pallas_dome_volumetric(self):
+        """Sharded dome volumetric drive on the fluid fusedK overlap
+        driver (the 670 kHz DomeTx CT workload's multi-chip path,
+        `README.md:80`).
+
+        The overlap-and-discard halo machinery is asserted BIT-exact vs
+        the unsharded kernel at the same pinned fused depth using the
+        unphased drive. With per-voxel phases the injected value
+        ``(ts0*cos(phi) + ts1*sin(phi))*amp`` is a 2-term dot whose FMA
+        contraction the compiler may choose differently between the
+        extended-domain and plain graphs — an ULP-level seed (measured
+        ~2e-7 relative after 60 steps), so the phased run is asserted at
+        1e-5 against both the unsharded pallas run and the XLA solver."""
+        shape = (128, 32, 48)
+        grid0 = _grid(shape, 3, npml=12)
+        grid = FDTDGrid(
+            shape=shape, dx=grid0.dx, dt=grid0.dt, n_steps=grid0.n_steps,
+            frequency=F0, npml=12, sensor_start=grid0.sensor_start,
+            source_type="velocity_volume",
+        )
+        # zero-shear (CT-mode) media
+        mats = np.array(
+            [[1000.0, C, 0.0, 20.0, 0.0], [1896.0, 2494.0, 0.0, 150.0, 0.0]]
+        )
+        idx = np.zeros(shape, np.uint8)
+        idx[:, :, 28:34] = 1
+        rng = np.random.default_rng(7)
+        ii, jj, kk = np.mgrid[0:128, 0:32, 0:48]
+        r = np.sqrt((ii - 64.0) ** 2 + (jj - 16.0) ** 2 + (kk - 20.0) ** 2)
+        shell = (r > 9) & (r < 11) & (kk < 20)
+        amp3 = np.where(shell, 60e3, 0.0).astype(np.float32)
+        ph3 = (rng.uniform(-2, 2, shape) * shell).astype(np.float32)
+        rr = np.maximum(r, 1e-6)
+        ox = ((64.0 - ii) / rr).astype(np.float32)
+        oy = ((16.0 - jj) / rr).astype(np.float32)
+        oz = ((20.0 - kk) / rr).astype(np.float32)
+
+        # unphased drive: halo machinery must be BIT-exact vs unsharded
+        vs0 = dict(amp=amp3, phase=np.zeros(shape, np.float32),
+                   ox=ox, oy=oy, oz=oz)
+        o_1 = run_fdtd(idx, mats, grid, volume_source=vs0,
+                       backend="pallas", fuse_steps=3)
+        o_sh = run_fdtd(idx, mats, grid, volume_source=vs0,
+                        mesh=make_mesh(4), backend="pallas", fuse_steps=3)
+        np.testing.assert_array_equal(o_sh["p_amp"], o_1["p_amp"])
+        np.testing.assert_array_equal(o_sh["peak"], o_1["peak"])
+
+        # phased drive: sharded vs unsharded pallas and vs XLA at 1e-5
+        vs = dict(amp=amp3, phase=ph3, ox=ox, oy=oy, oz=oz)
+        o_1p = run_fdtd(idx, mats, grid, volume_source=vs, backend="pallas")
+        o_shp = run_fdtd(idx, mats, grid, volume_source=vs,
+                         mesh=make_mesh(4), backend="pallas")
+        o_x = run_fdtd(idx, mats, grid, volume_source=vs, backend="xla")
+        scale = o_x["p_amp"].max()
+        assert scale > 0
+        np.testing.assert_allclose(
+            o_shp["p_amp"] / scale, o_1p["p_amp"] / scale, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            o_shp["p_amp"] / scale, o_x["p_amp"] / scale, atol=1e-5
+        )
+
     def test_sharded_pallas_point_source_matches_xla(self):
         """stress_point source (refocusing backprop) through the sharded
         pallas path: injection order vs the in-kernel DFT is corrected at
