@@ -4826,7 +4826,8 @@ _S6 = ("xx", "yy", "zz", "xy", "xz", "yz")
 def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                             interpret=False, with_dft=False, edge_offset=0,
                             indexed_materials=False, pack_z=False,
-                            ycoef_mask=None, _no_inplane_cpml=False):
+                            ycoef_mask=None, _no_inplane_cpml=False,
+                            _no_xcpml=False, _cheap_derivs=False):
     """K viscoelastic timesteps per streaming sweep (deep temporal blocking).
 
     Generalizes ``build_visco_fused2_step`` exactly the way
@@ -4965,6 +4966,12 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         return _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
             w[3 : 3 + nb] - w[0:nb]
         )
+
+    if _cheap_derivs:  # perf probe only: in-plane derivatives removed
+        dy_p = dy_m = dz_p = dz_m = lambda g: g
+    else:
+        dy_p, dy_m = _d_plus_y, _d_minus_y
+        dz_p, dz_m = _d_plus_z, _d_minus_z
 
     # ---- declarative in/out/scratch orderings (indexed by name) ----
     if indexed_materials:
@@ -5197,44 +5204,48 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                         R[f"xc{fam}3"][pl.ds(bhi, nb)]]
             return tuple(out)
 
+        def xc_apply(d, p_lo, p_hi, c0, c1, c2, c3):
+            if _no_xcpml:  # perf probe only: numerics wrong at x edges
+                return d, p_lo, p_hi
+            nlo = c0 * p_lo + c1 * d
+            nhi = c2 * p_hi + c3 * d
+            return d + nlo + nhi, nlo, nhi
+
         def vel_body(w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
                      psi12, psix6, cx, src3, ts, vsrc6=None):
             sxy = w_xy[2 : 2 + nb]
             sxz = w_xz[2 : 2 + nb]
             xh = (cx[0], cx[1], cx[2], cx[3])
             xi = (cx[4], cx[5], cx[6], cx[7])
-            d = dpx_w(w_xx)
-            nlo = xh[0] * psix6[0] + xh[1] * d
-            nhi = xh[2] * psix6[1] + xh[3] * d
-            dsxx_x = d + nlo + nhi
+            dsxx_x, nlo, nhi = xc_apply(
+                dpx_w(w_xx), psix6[0], psix6[1], xh[0], xh[1], xh[2], xh[3]
+            )
             npx = [nlo, nhi]
-            d = dmx_w(w_xy)
-            nlo = xi[0] * psix6[2] + xi[1] * d
-            nhi = xi[2] * psix6[3] + xi[3] * d
-            dsxy_x = d + nlo + nhi
+            dsxy_x, nlo, nhi = xc_apply(
+                dmx_w(w_xy), psix6[2], psix6[3], xi[0], xi[1], xi[2], xi[3]
+            )
             npx += [nlo, nhi]
-            d = dmx_w(w_xz)
-            nlo = xi[0] * psix6[4] + xi[1] * d
-            nhi = xi[2] * psix6[5] + xi[3] * d
-            dsxz_x = d + nlo + nhi
+            dsxz_x, nlo, nhi = xc_apply(
+                dmx_w(w_xz), psix6[4], psix6[5], xi[0], xi[1], xi[2], xi[3]
+            )
             npx += [nlo, nhi]
             np12 = []
-            dsxy_y, n0, n1 = cpml_arr(_d_minus_y(sxy), psi12[0], psi12[1],
+            dsxy_y, n0, n1 = cpml_arr(dy_m(sxy), psi12[0], psi12[1],
                                       cyi, 1)
             np12 += [n0, n1]
-            dsyy_y, n0, n1 = cpml_arr(_d_plus_y(syy), psi12[2], psi12[3],
+            dsyy_y, n0, n1 = cpml_arr(dy_p(syy), psi12[2], psi12[3],
                                       cyh, 1)
             np12 += [n0, n1]
-            dsyz_y, n0, n1 = cpml_arr(_d_minus_y(syz), psi12[4], psi12[5],
+            dsyz_y, n0, n1 = cpml_arr(dy_m(syz), psi12[4], psi12[5],
                                       cyi, 1)
             np12 += [n0, n1]
-            dsxz_z, n0, n1 = cpml_arr(_d_minus_z(sxz), psi12[6], psi12[7],
+            dsxz_z, n0, n1 = cpml_arr(dz_m(sxz), psi12[6], psi12[7],
                                       czi, 2)
             np12 += [n0, n1]
-            dsyz_z, n0, n1 = cpml_arr(_d_minus_z(syz), psi12[8], psi12[9],
+            dsyz_z, n0, n1 = cpml_arr(dz_m(syz), psi12[8], psi12[9],
                                       czi, 2)
             np12 += [n0, n1]
-            dszz_z, n0, n1 = cpml_arr(_d_plus_z(szz), psi12[10], psi12[11],
+            dszz_z, n0, n1 = cpml_arr(dz_p(szz), psi12[10], psi12[11],
                                       czh, 2)
             np12 += [n0, n1]
             vx_n = v_in[0] + dt_dx * rho_inv * (dsxx_x + dsxy_y + dsxz_z)
@@ -5262,38 +5273,35 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             vz = w_z[2 : 2 + nb]
             xh = (cx[0], cx[1], cx[2], cx[3])
             xi = (cx[4], cx[5], cx[6], cx[7])
-            d = dmx_w(w_x)
-            nlo = xi[0] * psix6[0] + xi[1] * d
-            nhi = xi[2] * psix6[1] + xi[3] * d
-            dvx_x = d + nlo + nhi
+            dvx_x, nlo, nhi = xc_apply(
+                dmx_w(w_x), psix6[0], psix6[1], xi[0], xi[1], xi[2], xi[3]
+            )
             npx = [nlo, nhi]
-            d = dpx_w(w_y)
-            nlo = xh[0] * psix6[2] + xh[1] * d
-            nhi = xh[2] * psix6[3] + xh[3] * d
-            dvy_x = d + nlo + nhi
+            dvy_x, nlo, nhi = xc_apply(
+                dpx_w(w_y), psix6[2], psix6[3], xh[0], xh[1], xh[2], xh[3]
+            )
             npx += [nlo, nhi]
-            d = dpx_w(w_z)
-            nlo = xh[0] * psix6[4] + xh[1] * d
-            nhi = xh[2] * psix6[5] + xh[3] * d
-            dvz_x = d + nlo + nhi
+            dvz_x, nlo, nhi = xc_apply(
+                dpx_w(w_z), psix6[4], psix6[5], xh[0], xh[1], xh[2], xh[3]
+            )
             npx += [nlo, nhi]
             np12 = []
-            dvy_y, n0, n1 = cpml_arr(_d_minus_y(vy), psi12[0], psi12[1],
+            dvy_y, n0, n1 = cpml_arr(dy_m(vy), psi12[0], psi12[1],
                                      cyi, 1)
             np12 += [n0, n1]
-            dvx_y, n0, n1 = cpml_arr(_d_plus_y(vx), psi12[2], psi12[3],
+            dvx_y, n0, n1 = cpml_arr(dy_p(vx), psi12[2], psi12[3],
                                      cyh, 1)
             np12 += [n0, n1]
-            dvz_y, n0, n1 = cpml_arr(_d_plus_y(vz), psi12[4], psi12[5],
+            dvz_y, n0, n1 = cpml_arr(dy_p(vz), psi12[4], psi12[5],
                                      cyh, 1)
             np12 += [n0, n1]
-            dvz_z, n0, n1 = cpml_arr(_d_minus_z(vz), psi12[6], psi12[7],
+            dvz_z, n0, n1 = cpml_arr(dz_m(vz), psi12[6], psi12[7],
                                      czi, 2)
             np12 += [n0, n1]
-            dvx_z, n0, n1 = cpml_arr(_d_plus_z(vx), psi12[8], psi12[9],
+            dvx_z, n0, n1 = cpml_arr(dz_p(vx), psi12[8], psi12[9],
                                      czh, 2)
             np12 += [n0, n1]
-            dvy_z, n0, n1 = cpml_arr(_d_plus_z(vy), psi12[10], psi12[11],
+            dvy_z, n0, n1 = cpml_arr(dz_p(vy), psi12[10], psi12[11],
                                      czh, 2)
             np12 += [n0, n1]
             theta = dvx_x + dvy_y + dvz_z
@@ -5614,7 +5622,8 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                interpret, with_dft, edge_offset=0,
                                xcoef_scale=None, indexed_materials=False,
                                pack_z=False, ycoef_mask=None,
-                               _no_inplane_cpml=False):
+                               _no_inplane_cpml=False, _no_xcpml=False,
+                               _cheap_derivs=False):
     """K-timestep visco step closure (scan over step groups of K).
 
     With ``indexed_materials`` the carry must hold ``midx`` (int32 volume)
@@ -5626,6 +5635,7 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         with_dft=with_dft, edge_offset=edge_offset,
         indexed_materials=indexed_materials, pack_z=pack_z,
         ycoef_mask=ycoef_mask, _no_inplane_cpml=_no_inplane_cpml,
+        _no_xcpml=_no_xcpml, _cheap_derivs=_cheap_derivs,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])

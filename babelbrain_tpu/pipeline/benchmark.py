@@ -107,3 +107,97 @@ def run_benchmark_acoustic(
     out["grid"] = grid
     out["benchmark"] = bench
     return out
+
+
+def solid_layer_transmission(theta, frequency, thickness, fluid, solid):
+    """Exact plane-wave transmission through an elastic layer in a fluid.
+
+    Analytic fluid–solid–fluid sandwich with P<->SV mode conversion
+    (Brekhovskikh, *Waves in Layered Media*; the same physics the
+    reference anchors through hydrophone/inter-comparison studies,
+    `/root/reference/README.md:27`): an incident P wave at angle
+    ``theta`` (rad, from the layer normal) excites up/down longitudinal
+    AND shear partial waves in the layer; the six amplitudes follow from
+    continuity of normal velocity and normal stress plus zero tangential
+    stress at both interfaces. Solved as a direct 6x6 complex linear
+    system with displacement potentials (time convention e^{-i w t}),
+    so post-critical (evanescent) branches fall out automatically via
+    the Im >= 0 square root.
+
+    Parameters: ``fluid`` = (rho, c); ``solid`` = (rho, cL, cT); lossless.
+    Returns complex (T, R): transmitted/reflected PRESSURE amplitude
+    ratios referenced to the incident pressure at the entry interface
+    (|R|^2 + |T|^2 = 1 for propagating waves in the same fluid on both
+    sides — asserted by the unit tests).
+    """
+    rho1, c1 = fluid
+    rho, cL, cT = solid
+    w = 2.0 * np.pi * frequency
+    k1 = w / c1
+    kL = w / cL
+    kT = w / cT
+    kx = k1 * np.sin(theta)
+
+    def kz(k):
+        v = complex(k * k - kx * kx)
+        r = np.sqrt(v)
+        # decaying evanescent branch for e^{+i kz z} with Im(kz) >= 0
+        if r.imag < 0:
+            r = -r
+        return r
+
+    g1 = kz(k1)
+    gL = kz(kL)
+    gT = kz(kT)
+    lam = rho * (cL * cL - 2.0 * cT * cT)
+    mu = rho * cT * cT
+    lam1 = rho1 * c1 * c1
+    d = thickness
+
+    def p_wave(amp_rho, lam_m, mu_m, kP, s, z):
+        """(vz, szz, sxz) of a P partial wave phi = e^{i(kx x + s z)}."""
+        ph = np.exp(1j * s * z)
+        uz = 1j * s * ph
+        vz = -1j * w * uz
+        szz = -(lam_m * kP * kP + 2.0 * mu_m * s * s) * ph
+        sxz = -2.0 * mu_m * kx * s * ph
+        return vz, szz, sxz
+
+    def sv_wave(mu_m, q, z):
+        """(vz, szz, sxz) of an SV partial wave psi = e^{i(kx x + q z)}."""
+        ph = np.exp(1j * q * z)
+        uz = 1j * kx * ph
+        vz = -1j * w * uz
+        szz = -2.0 * mu_m * kx * q * ph
+        sxz = mu_m * (q * q - kx * kx) * ph
+        return vz, szz, sxz
+
+    # unknown column: [R, A+, A-, B+, B-, T] (potentials); incident P has
+    # potential amplitude 1 travelling +z in fluid 1
+    M = np.zeros((6, 6), complex)
+    rhs = np.zeros(6, complex)
+    vzi, szzi, _ = p_wave(rho1, lam1, 0.0, k1, g1, 0.0)
+    vzr, szzr, _ = p_wave(rho1, lam1, 0.0, k1, -g1, 0.0)
+    rows = []
+    for z in (0.0, d):
+        ap = p_wave(rho, lam, mu, kL, gL, z)
+        am = p_wave(rho, lam, mu, kL, -gL, z)
+        bp = sv_wave(mu, gT, z)
+        bm = sv_wave(mu, -gT, z)
+        rows.append((ap, am, bp, bm))
+    (ap0, am0, bp0, bm0), (apd, amd, bpd, bmd) = rows
+    vzt, szzt, _ = p_wave(rho1, lam1, 0.0, k1, g1, 0.0)  # local z' = z - d
+
+    # z = 0: vz and szz continuity, sxz = 0
+    M[0] = [vzr, -ap0[0], -am0[0], -bp0[0], -bm0[0], 0.0]
+    rhs[0] = -vzi
+    M[1] = [szzr, -ap0[1], -am0[1], -bp0[1], -bm0[1], 0.0]
+    rhs[1] = -szzi
+    M[2] = [0.0, ap0[2], am0[2], bp0[2], bm0[2], 0.0]
+    # z = d: vz and szz continuity, sxz = 0
+    M[3] = [0.0, apd[0], amd[0], bpd[0], bmd[0], -vzt]
+    M[4] = [0.0, apd[1], amd[1], bpd[1], bmd[1], -szzt]
+    M[5] = [0.0, apd[2], amd[2], bpd[2], bmd[2], 0.0]
+    sol = np.linalg.solve(M, rhs)
+    # pressure ratios: p = -szz = lam1 k1^2 phi in the fluid, common factor
+    return complex(sol[5]), complex(sol[0])
