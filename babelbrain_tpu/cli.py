@@ -160,6 +160,7 @@ def _cmd_run(args):
             else:
                 summary[key] = {"files": res["files"],
                                 "cached": res["cached"]}
+        summary["_sweep"] = res_map.summary
         print(json.dumps(summary, indent=2, default=str))
         return
     res = run_case(

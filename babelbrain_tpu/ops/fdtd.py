@@ -331,6 +331,44 @@ def _material_fields(mat_idx, coefs, has_shear=True):
     return out
 
 
+_JIT_CACHE: dict = {}
+_JIT_STATS = {"builds": 0, "hits": 0}
+
+
+def fdtd_executable_stats(reset: bool = False) -> dict:
+    """In-process jitted-executable reuse counters for ``run_fdtd``.
+
+    ``builds`` counts fresh traces/compiles; ``hits`` counts calls served
+    by an already-built executable. The reference's case loop is
+    compile-free (`BabelIntegrationBASE.py:884-1037`); with shape
+    bucketing (``build_domain(shape_bucket=...)``) a targets x
+    frequencies x PPW matrix collapses to a handful of builds, and
+    ``run_cases`` reports these counters in its summary."""
+    out = dict(_JIT_STATS)
+    if reset:
+        _JIT_STATS["builds"] = 0
+        _JIT_STATS["hits"] = 0
+    return out
+
+
+def _cached_executable(key, make):
+    """Memoize jitted callables across run_fdtd calls.
+
+    The key must capture everything baked into the trace as constants
+    (grid, cmax-derived CPML profiles, viscosity, oz_scale, backend
+    variant, fused-depth overrides); all field/material data flows in as
+    traced arguments. Callers skip the cache when closures would capture
+    per-case arrays (monitor indices)."""
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        _JIT_STATS["builds"] += 1
+        fn = make()
+        _JIT_CACHE[key] = fn
+    else:
+        _JIT_STATS["hits"] += 1
+    return fn
+
+
 def _pallas_with_vmem_fallback(call, max_shrink=3):
     """Run ``call(k_shrink)``, retrying with progressively shallower fused
     depths when the TPU compile fails on the VMEM budget.
@@ -1297,11 +1335,9 @@ def run_fdtd(
         # off-TPU (explicit backend='pallas' on CPU) run the interpreter
         interpret = jax.devices()[0].platform == "cpu"
         if has_shear:
-            vol_kw = {}
+            vol_in = (None,)
             if vol_src_np is not None:
-                vol_kw["volume_source"] = {
-                    k: jnp.asarray(v) for k, v in vol_src_np.items()
-                }
+                vol_in = ({k: jnp.asarray(v) for k, v in vol_src_np.items()},)
             indexed = _build_indexed_materials(
                 coefs, mat_idx, reflector_mask, grid.shape[2]
             )
@@ -1311,7 +1347,7 @@ def run_fdtd(
                               jnp.asarray(indexed[1]))
 
             def call(shrink):
-                def run_visco(pr, a, p, pa, *mats):
+                def run_visco(pr, a, p, pa, vol, *mats):
                     mkw = (dict(mat_idx=mats[0], mat_table=mats[1])
                            if mats else {})
                     return simulate_visco_pallas(
@@ -1319,12 +1355,17 @@ def run_fdtd(
                         grid=grid, profiles_np=profiles_np, viscous=viscous,
                         oz_scale=oz_scale, nb=nb, interpret=interpret,
                         k_shrink=shrink, fuse_steps=fuse_steps,
-                        **vol_kw, **mkw,
+                        volume_source=vol, **mkw,
                     )
 
-                return jax.jit(run_visco)(
+                key = ("visco", grid, float(cmax), float(oz_scale),
+                       viscous, indexed is not None,
+                       vol_src_np is not None, fuse_steps, shrink,
+                       interpret)
+                fn = _cached_executable(key, lambda: jax.jit(run_visco))
+                return fn(
                     props, jnp.asarray(src_amp), jnp.asarray(src_phase),
-                    jnp.float32(point_amp), *extra_args,
+                    jnp.float32(point_amp), *vol_in, *extra_args,
                 )
 
             acc_c, acc_s, peak = _pallas_with_vmem_fallback(call)
@@ -1334,27 +1375,34 @@ def run_fdtd(
             if pallas_extras and monitor_ijk is not None:
                 mi_np = np.asarray(monitor_ijk, np.int64).reshape(-1, 3)
                 pmon_idx = tuple(jnp.asarray(mi_np[:, d]) for d in range(3))
-            vol_kw = {}
+            vol_in = (None,)
             if vol_src_np is not None:
-                vol_kw["volume_source"] = {
-                    k: jnp.asarray(v) for k, v in vol_src_np.items()
-                }
+                vol_in = ({k: jnp.asarray(v) for k, v in vol_src_np.items()},)
 
             def call(shrink):
-                fn = jax.jit(
-                    functools.partial(
-                        simulate_fluid_pallas,
+                def run_fluid(pr, a, p, pa, vol):
+                    return simulate_fluid_pallas(
+                        pr, a, p, pa,
                         grid=grid, profiles_np=profiles_np, viscous=viscous,
                         oz_scale=oz_scale, nb=nb, interpret=interpret,
                         k_shrink=shrink, fuse_steps=fuse_steps,
                         sel_p2=sel_p2 and pallas_extras,
                         monitor_idx=pmon_idx,
-                        **vol_kw,
+                        volume_source=vol,
                     )
-                )
+
+                if pmon_idx is None:
+                    key = ("fluid", grid, float(cmax), float(oz_scale),
+                           viscous, vol_src_np is not None,
+                           sel_p2 and pallas_extras, fuse_steps, shrink,
+                           interpret)
+                    fn = _cached_executable(key, lambda: jax.jit(run_fluid))
+                else:
+                    # monitor voxel indices live in the closure: per-case
+                    fn = jax.jit(run_fluid)
                 return fn(
                     props, jnp.asarray(src_amp), jnp.asarray(src_phase),
-                    jnp.float32(point_amp),
+                    jnp.float32(point_amp), *vol_in,
                 )
 
             out = _pallas_with_vmem_fallback(call)
@@ -1401,19 +1449,28 @@ def run_fdtd(
         monitor_idx = tuple(jnp.asarray(mi[:, d]) for d in range(3))
     if mesh is None:
         comm = DomainComm()
-        fn = jax.jit(
-            functools.partial(
-                _simulate_local,
-                grid=grid,
-                profiles=profiles,
-                viscous=viscous,
-                has_shear=has_shear,
-                oz_scale=oz_scale,
-                comm=comm,
-                extras=sel_maps,
-                monitor_idx=monitor_idx,
+
+        def _mk_xla():
+            return jax.jit(
+                functools.partial(
+                    _simulate_local,
+                    grid=grid,
+                    profiles=profiles,
+                    viscous=viscous,
+                    has_shear=has_shear,
+                    oz_scale=oz_scale,
+                    comm=comm,
+                    extras=sel_maps,
+                    monitor_idx=monitor_idx,
+                )
             )
-        )
+
+        if monitor_idx is None:
+            key = ("xla", grid, float(cmax), float(oz_scale), viscous,
+                   has_shear, sel_maps, vol_src_np is not None)
+            fn = _cached_executable(key, _mk_xla)
+        else:
+            fn = _mk_xla()
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -3289,6 +3289,8 @@ def build_visco_pallas_step(grid, profiles_np, viscous, oz_scale, nb=2,
             c_rs = crs_ref[...]
 
             def diag(s_old, r_old, d_own):
+                if _cheap_updates:  # perf probe only
+                    return s_old + d_own, r_old
                 if viscous:
                     phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
                     r_new = b_r * r_old - phi * inv_dx
@@ -3721,6 +3723,8 @@ def build_visco_fused_step(grid, profiles_np, viscous, oz_scale, nb=4,
             c_rs = crs_ref[...]
 
             def diag(s_old, r_old, d_own):
+                if _cheap_updates:  # perf probe only
+                    return s_old + d_own, r_old
                 if viscous:
                     phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
                     r_new = b_r * r_old - phi * inv_dx
@@ -4124,6 +4128,8 @@ def build_visco_fused2_step(grid, profiles_np, viscous, oz_scale, nb=2,
             pi_u, mu_u, c_rp, c_rs, b_r = props5
 
             def diag(s_old, r_old, d_own):
+                if _cheap_updates:  # perf probe only
+                    return s_old + d_own, r_old
                 if viscous:
                     phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
                     r_new = b_r * r_old - phi * inv_dx
@@ -4140,6 +4146,8 @@ def build_visco_fused2_step(grid, profiles_np, viscous, oz_scale, nb=2,
                 return s_new, r_new
 
             def shear(s_old, r_old, e):
+                if _cheap_updates:  # perf probe only
+                    return s_old + e, r_old
                 if viscous:
                     r_new = b_r * r_old - c_rs * e * inv_dx
                     s_new = (
@@ -4827,7 +4835,9 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                             interpret=False, with_dft=False, edge_offset=0,
                             indexed_materials=False, pack_z=False,
                             ycoef_mask=None, _no_inplane_cpml=False,
-                            _no_xcpml=False, _cheap_derivs=False):
+                            _no_xcpml=False, _cheap_derivs=False,
+                            _no_psix_ring=False, _no_psiyz_ring=False,
+                            _no_xwin=False, _cheap_updates=False):
     """K viscoelastic timesteps per streaming sweep (deep temporal blocking).
 
     Generalizes ``build_visco_fused2_step`` exactly the way
@@ -4966,6 +4976,12 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         return _C1 * (w[2 : 2 + nb] - w[1 : 1 + nb]) + _C2 * (
             w[3 : 3 + nb] - w[0:nb]
         )
+
+    if _no_xwin:  # perf probe only: windows/x-derivatives removed
+        dpx_w = dmx_w = lambda w: w
+        win_mid = lambda w: w
+    else:
+        win_mid = lambda w: w[2 : 2 + nb]
 
     if _cheap_derivs:  # perf probe only: in-plane derivatives removed
         dy_p = dy_m = dz_p = dz_m = lambda g: g
@@ -5148,6 +5164,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             R["s0_xz"][i % 3] = R["sxz"][...]
 
         def win(ring, s, D):
+            if _no_xwin:  # perf probe only: no window/concat, wrong numbers
+                return ring[s % D]
             prev2 = jnp.where(s >= 1, ring[(s - 1) % D][nb - 2:], ghost)
             nxt2 = jnp.where(s < n_slabs - 1, ring[(s + 1) % D][0:2], ghost)
             return jnp.concatenate([prev2, ring[s % D], nxt2], axis=0)
@@ -5213,8 +5231,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
 
         def vel_body(w_xx, w_xy, w_xz, syy, szz, syz, v_in, rho_inv,
                      psi12, psix6, cx, src3, ts, vsrc6=None):
-            sxy = w_xy[2 : 2 + nb]
-            sxz = w_xz[2 : 2 + nb]
+            sxy = win_mid(w_xy)
+            sxz = win_mid(w_xz)
             xh = (cx[0], cx[1], cx[2], cx[3])
             xi = (cx[4], cx[5], cx[6], cx[7])
             dsxx_x, nlo, nhi = xc_apply(
@@ -5268,9 +5286,9 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
 
         def stress_body(w_x, w_y, w_z, s_old6, r_old6, props5,
                         psi12, psix6, cx):
-            vx = w_x[2 : 2 + nb]
-            vy = w_y[2 : 2 + nb]
-            vz = w_z[2 : 2 + nb]
+            vx = win_mid(w_x)
+            vy = win_mid(w_y)
+            vz = win_mid(w_z)
             xh = (cx[0], cx[1], cx[2], cx[3])
             xi = (cx[4], cx[5], cx[6], cx[7])
             dvx_x, nlo, nhi = xc_apply(
@@ -5308,6 +5326,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
             pi_u, mu_u, c_rp, c_rs, b_r = props5
 
             def diag(s_old, r_old, d_own):
+                if _cheap_updates:  # perf probe only
+                    return s_old + d_own, r_old
                 if viscous:
                     phi = c_rp * theta - 2.0 * c_rs * (theta - d_own)
                     r_new = b_r * r_old - phi * inv_dx
@@ -5324,6 +5344,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                 return s_new, r_new
 
             def shear(s_old, r_old, e):
+                if _cheap_updates:  # perf probe only
+                    return s_old + e, r_old
                 if viscous:
                     r_new = b_r * r_old - c_rs * e * inv_dx
                     s_new = (
@@ -5388,11 +5410,19 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                             vz_pk[:, :, m * ns:(m + 1) * ns]
                             for m in range(6)
                         ]
+                    elif _no_psiyz_ring:  # perf probe only: wrong numbers
+                        psi12 = (
+                            [jnp.zeros((nb, ns, N3), jnp.float32)] * 6
+                            + [jnp.zeros((nb, N2, ns), jnp.float32)] * 6
+                        )
                     else:
                         psi12 = [R["pv_y"][j, sv % Dp] for j in range(6)] + [
                             R["pv_z"][j, sv % Dp] for j in range(6)
                         ]
-                    psix6 = [R["pxs_r"][j, sv % Dp] for j in range(6)]
+                    if _no_psix_ring:  # perf probe only: wrong numbers
+                        psix6 = [jnp.zeros((nb, N2, N3), jnp.float32)] * 6
+                    else:
+                        psix6 = [R["pxs_r"][j, sv % Dp] for j in range(6)]
                 src3 = ((R[f"amp{k}"][...], R[f"cph{k}"][...],
                          R[f"sph{k}"][...]) if plane_src else None)
                 vsrc6 = None
@@ -5435,17 +5465,19 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     for j in range(6):
                         R[f"opxs{j}"][...] = npx[j]
                 else:
-                    for j in range(6):
-                        R["pv_y"][j, sv % Dp] = np12[j]
-                    if pack_z:
-                        R["pv_z"][sv % Dp] = jnp.concatenate(
-                            np12[6:12], axis=2
-                        )
-                    else:
+                    if not _no_psiyz_ring:
                         for j in range(6):
-                            R["pv_z"][j, sv % Dp] = np12[6 + j]
-                    for j in range(6):
-                        R["pxs_r"][j, sv % Dp] = npx[j]
+                            R["pv_y"][j, sv % Dp] = np12[j]
+                        if pack_z:
+                            R["pv_z"][sv % Dp] = jnp.concatenate(
+                                np12[6:12], axis=2
+                            )
+                        else:
+                            for j in range(6):
+                                R["pv_z"][j, sv % Dp] = np12[6 + j]
+                    if not _no_psix_ring:
+                        for j in range(6):
+                            R["pxs_r"][j, sv % Dp] = npx[j]
 
         def s_stage(k):
             lag = 2 * k
@@ -5496,11 +5528,19 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                             sz_pk[:, :, m * ns:(m + 1) * ns]
                             for m in range(6)
                         ]
+                    elif _no_psiyz_ring:  # perf probe only: wrong numbers
+                        psi12 = (
+                            [jnp.zeros((nb, ns, N3), jnp.float32)] * 6
+                            + [jnp.zeros((nb, N2, ns), jnp.float32)] * 6
+                        )
                     else:
                         psi12 = [R["ps_y"][j, sp % Dp] for j in range(6)] + [
                             R["ps_z"][j, sp % Dp] for j in range(6)
                         ]
-                    psix6 = [R["pxv_r"][j, sp % Dp] for j in range(6)]
+                    if _no_psix_ring:  # perf probe only: wrong numbers
+                        psix6 = [jnp.zeros((nb, N2, N3), jnp.float32)] * 6
+                    else:
+                        psix6 = [R["pxv_r"][j, sp % Dp] for j in range(6)]
                 s6, r6, np12, npx = stress_body(
                     w_x, w_y, w_z, s_old6, r_old6, props5, psi12, psix6,
                     xcoef8(sp),
@@ -5552,17 +5592,19 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     for j, c in enumerate(_S6):
                         R[f"s{k}_{c}"][sp % sdepth(k, c)] = s6[j]
                         R[f"r{k}"][j, sp % 3] = r6[j]
-                    for j in range(6):
-                        R["ps_y"][j, sp % Dp] = np12[j]
-                    if pack_z:
-                        R["ps_z"][sp % Dp] = jnp.concatenate(
-                            np12[6:12], axis=2
-                        )
-                    else:
+                    if not _no_psiyz_ring:
                         for j in range(6):
-                            R["ps_z"][j, sp % Dp] = np12[6 + j]
-                    for j in range(6):
-                        R["pxv_r"][j, sp % Dp] = npx[j]
+                            R["ps_y"][j, sp % Dp] = np12[j]
+                        if pack_z:
+                            R["ps_z"][sp % Dp] = jnp.concatenate(
+                                np12[6:12], axis=2
+                            )
+                        else:
+                            for j in range(6):
+                                R["ps_z"][j, sp % Dp] = np12[6 + j]
+                    if not _no_psix_ring:
+                        for j in range(6):
+                            R["pxv_r"][j, sp % Dp] = npx[j]
 
         for k in range(1, K + 1):
             v_stage(k)
@@ -5623,7 +5665,9 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                xcoef_scale=None, indexed_materials=False,
                                pack_z=False, ycoef_mask=None,
                                _no_inplane_cpml=False, _no_xcpml=False,
-                               _cheap_derivs=False):
+                               _cheap_derivs=False, _no_psix_ring=False,
+                               _no_psiyz_ring=False, _no_xwin=False,
+                               _cheap_updates=False):
     """K-timestep visco step closure (scan over step groups of K).
 
     With ``indexed_materials`` the carry must hold ``midx`` (int32 volume)
@@ -5636,6 +5680,8 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         indexed_materials=indexed_materials, pack_z=pack_z,
         ycoef_mask=ycoef_mask, _no_inplane_cpml=_no_inplane_cpml,
         _no_xcpml=_no_xcpml, _cheap_derivs=_cheap_derivs,
+        _no_psix_ring=_no_psix_ring, _no_psiyz_ring=_no_psiyz_ring,
+        _no_xwin=_no_xwin, _cheap_updates=_cheap_updates,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
@@ -6182,7 +6228,7 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
                           profiles_np, viscous, oz_scale, nb=2,
                           comm=None, interpret=False, fuse_steps=None,
                           volume_source=None, mat_idx=None, mat_table=None,
-                          k_shrink=0):
+                          k_shrink=0, _probe_flags=None):
     """Scan driver for the viscoelastic pallas path (optionally sharded).
 
     Two scan phases like the fluid driver: quiet kernels before
@@ -6338,6 +6384,7 @@ def simulate_visco_pallas(props, src_amp, src_phase, point_amp, grid,
                 grid, profiles_np, viscous, oz_scale, Kp, nb, interpret,
                 with_dft=with_dft, indexed_materials=indexed,
                 pack_z=packz_dft if with_dft else packz,
+                **(_probe_flags or {}),
             )
             carry, _ = jax.lax.scan(
                 stepK, carry, n0 + Kp * jnp.arange(count // Kp)

@@ -258,6 +258,7 @@ def build_domain(
     extra_steps_cycles: float = 0.0,
     offsets: tuple | None = None,
     shrink_cells: tuple | None = None,
+    shape_bucket: int = 0,
 ) -> Domain:
     """Assemble the simulation domain from a Step-1 mask volume.
 
@@ -271,6 +272,18 @@ def build_domain(
     ``fit_domain_offsets`` — the reference's grow/tight-beam-shrink loop
     (`BabelIntegrationBASE.py:1874-2068`): the mask is cropped by the
     shrinks before padding, so narrow beams get matching (smaller) grids.
+
+    ``shape_bucket`` > 0 rounds every grid dimension UP to a multiple of
+    the bucket (extra water padding on the hi side, stripped again by
+    ``Domain.crop``) and the step count up to a whole multiple of 4
+    cycles, so near-equal cases of a targets x frequencies x PPW matrix
+    share one canonical grid signature — and hence ONE compiled
+    executable through ``run_fdtd``'s in-process memo (the reference's
+    case loop is compile-free, `BabelIntegrationBASE.py:884-1037`; on a
+    remote-compile TPU runtime every distinct shape costs minutes). The
+    extra cells are water behind the PML-side padding: fields there are
+    physically inert, and the extra settle cycles only deepen steady
+    state.
     """
     mask = np.flip(np.asarray(mask_nifti_data), axis=2).astype(np.uint32)
     shrinks = tuple(int(v) for v in (shrink_cells or (0,) * 6))
@@ -304,6 +317,18 @@ def build_domain(
         zr = npml
     z_into_pix = int(np.round(z_into_skin_m / dx))
     src_z = npml + z_into_pix + 1
+
+    if shape_bucket:
+        b = int(shape_bucket)
+        dims = (
+            mask.shape[0] + xl + xr,
+            mask.shape[1] + yl + yr,
+            mask.shape[2] + zl + zr,
+        )
+        pads = [(-d) % b for d in dims]
+        xr += pads[0]
+        yr += pads[1]
+        zr += pads[2]
 
     shape = (
         mask.shape[0] + xl + xr,
@@ -345,6 +370,12 @@ def build_domain(
     extent = (np.array(shape) - 2 * npml) * dx
     n_steps = simulation_steps(extent, materials[0, 1], dt, ppp)
     n_steps += int(np.round(extra_steps_cycles * ppp))
+    if shape_bucket:
+        # canonical step count: round up to whole 4-cycle multiples so
+        # bucketed cases share the scan length too (extra settle cycles
+        # only deepen steady state before the 2-cycle sensor window)
+        q = 4 * ppp
+        n_steps = int(-(-n_steps // q) * q)
 
     # env hook ``BBT_SEL_MASK=<path>``: dump the assembled simulation-region
     # debug volume (the reference's ``BABELBRAIN_SEL_MASK``,

@@ -224,11 +224,23 @@ class CaseConfig:
     # ``OptimizedWeightsFile``, `BabelIntegrationBASE.py:2224-2234`), or
     # 'auto' to pick the nearest calibration location to the programmed TPO
     optimized_weights_file: str | None = None
+    # round grid dims up to this multiple (+ steps to whole 4-cycle
+    # multiples) so near-equal matrix cells share one compiled FDTD
+    # executable (`build_domain(shape_bucket=...)`; the reference's case
+    # loop is compile-free, `BabelIntegrationBASE.py:884-1037`). 0 = off.
+    shape_bucket: int = 0
     elem_centers: np.ndarray | None = None
     output_dir: str = "."
     prefix: str = "case"
     export_meshes: bool = False
     meta: dict = field(default_factory=dict)
+
+
+class CaseResults(dict):
+    """Per-cell results of a ``run_cases`` sweep, plus a ``.summary``
+    attribute (cases run, FDTD executable builds vs reuses)."""
+
+    summary: dict = {}
 
 
 def run_cases(
@@ -264,9 +276,16 @@ def run_cases(
 
     Returns dict ``(target_name, frequency, ppw) -> run_case result`` (or
     the exception instance for failed cells when ``stop_on_error`` is
-    False).
+    False). The returned mapping additionally carries a ``.summary``
+    attribute with the FDTD executable build/reuse counters for the
+    sweep — with ``cfg.shape_bucket`` set, near-equal cells collapse
+    onto shared compiled executables (the reference's compile-free case
+    loop, `BabelIntegrationBASE.py:884-1037`; on a remote-compile TPU
+    runtime each distinct shape costs minutes of compilation).
     """
     import dataclasses as _dc
+
+    from ..ops.fdtd import fdtd_executable_stats
 
     if isinstance(targets, dict):
         named = list(targets.items())
@@ -275,7 +294,9 @@ def run_cases(
     freqs = list(frequencies) if frequencies is not None else [cfg.frequency]
     ppw_list = list(ppws) if ppws is not None else [cfg.ppw]
 
-    results = {}
+    fdtd_executable_stats(reset=True)
+    results = CaseResults()
+    n_cells = 0
     for tname, target in named:
         for f in freqs:
             for ppw in ppw_list:
@@ -284,6 +305,7 @@ def run_cases(
                     prefix=f"{cfg.prefix}_{tname}",
                 )
                 key = (tname, float(f), float(ppw))
+                n_cells += 1
                 try:
                     results[key] = run_case(
                         c, labels_data, labels_affine, target,
@@ -293,6 +315,12 @@ def run_cases(
                     if stop_on_error:
                         raise
                     results[key] = e
+    stats = fdtd_executable_stats()
+    results.summary = {
+        "cases": n_cells,
+        "fdtd_executable_builds": stats["builds"],
+        "fdtd_executable_reuses": stats["hits"],
+    }
     return results
 
 
@@ -645,6 +673,7 @@ def run_case(
             else None,
             offsets=offsets,
             shrink_cells=shrinks,
+            shape_bucket=cfg.shape_bucket,
         )
         tx = build_transducer(
             spec, cfg.frequency, elem_centers=cfg.elem_centers,

@@ -733,3 +733,56 @@ def test_run_cases_end_to_end_caching(phantom, mini_tx, tmp_path):
         assert os.path.isfile(res["files"]["acoustic"])
     r2 = run_cases(cfg, labels, aff, targets, [0, 0, -1], **common)
     assert all(res["cached"] for res in r2.values())
+
+
+def test_shape_bucket_shares_executable():
+    """Shape bucketing + the in-process executable memo: two near-equal
+    cases collapse to one canonical grid signature and the second
+    ``run_fdtd`` call reuses the first call's compiled executable (the
+    reference's case loop is compile-free,
+    `BabelIntegrationBASE.py:884-1037`; on a remote-compile TPU runtime
+    every distinct shape costs minutes)."""
+    import numpy as np
+
+    from babelbrain_tpu.ops.fdtd import (
+        FDTDGrid,
+        fdtd_executable_stats,
+        run_fdtd,
+        stable_dt,
+    )
+    from babelbrain_tpu.pipeline.domain import build_domain
+
+    # near-equal masks from two "targets" -> one bucketed signature
+    m1 = np.zeros((30, 28, 41), np.uint32)
+    m2 = np.zeros((27, 31, 38), np.uint32)
+    for m in (m1, m2):
+        m[4:-4, 4:-4, 18:24] = 2
+        m[m.shape[0] // 2, m.shape[1] // 2, 30] = 5
+    d1 = build_domain(m1, 500e3, 6.0, npml=4, shape_bucket=32)
+    d2 = build_domain(m2, 500e3, 6.0, npml=4, shape_bucket=32)
+    assert d1.material_map.shape == d2.material_map.shape
+    assert d1.n_steps == d2.n_steps
+    # bucket padding must be stripped again by crop()
+    assert d1.crop(np.zeros(d1.material_map.shape)).shape == m1.shape
+    assert d2.crop(np.zeros(d2.material_map.shape)).shape == m2.shape
+
+    # identical grid signature + different field data -> one build, one hit
+    F0, C = 500e3, 1500.0
+    dx = C / F0 / 6
+    ppp = int(np.ceil(1 / F0 / stable_dt(dx, C, 0.5)))
+    dt = 1 / F0 / ppp
+    ns = 2 * ppp
+    grid = FDTDGrid(shape=(16, 16, 32), dx=dx, dt=dt, n_steps=ns,
+                    frequency=F0, npml=4, sensor_start=ns - ppp,
+                    source_plane_z=5)
+    mats = np.array([[1000.0, C, 0.0, 0.0, 0.0]])
+    amp = np.zeros((16, 16), np.float32)
+    amp[4:-4, 4:-4] = 60e3
+    fdtd_executable_stats(reset=True)
+    run_fdtd(np.zeros((16, 16, 32), np.uint8), mats, grid, source_amp=amp,
+             backend="xla")
+    run_fdtd(np.zeros((16, 16, 32), np.uint8), mats, grid,
+             source_amp=amp * 0.5, backend="xla")
+    stats = fdtd_executable_stats()
+    assert stats["builds"] == 1
+    assert stats["hits"] == 1
