@@ -189,6 +189,9 @@ class PlacementResult:
     metrics: dict  # per-candidate raw metric arrays (all candidates)
     candidates_ras: np.ndarray  # (N, 3) every feasible scalp candidate
     order: np.ndarray  # (N,) candidate ranking (indices into candidates)
+    # mesh-candidate mode only: vertex index of each feasible candidate
+    # in the scalp mesh (for per-vertex .func.gii metric maps)
+    candidate_vertices: np.ndarray | None = None
 
     def trajectory(self, rank: int = 0) -> np.ndarray:
         """Brainsight-style 4x4 for the rank-th placement: target in the
@@ -215,6 +218,7 @@ def suggest_placements(
     step_mm: float = 0.5,
     top_k: int = 10,
     max_candidates: int = 20000,
+    scalp_mesh=None,
 ) -> PlacementResult:
     """Rank scalp entry points for sonicating ``target_ras``.
 
@@ -225,6 +229,13 @@ def suggest_placements(
       skull incidence angle at bone entry, and skull thickness along the
       path. Each is min-max normalized over the feasible candidates and
       combined with the config weights (lower = better).
+
+    ``scalp_mesh`` = (vertices_ras (n,3), faces (m,3)): candidates are
+    the mesh vertices (with outward per-vertex normals) instead of scalp
+    voxels — the interchange contract PlanTUS/neuronavigation workflows
+    use (``*.surf.gii`` scalp meshes, `RunPlanTUS.py:338,492`; load with
+    ``gifti.read_surf_gii``). Per-vertex metric maps for the mesh come
+    from ``export_metric_func_gii``.
     """
     lab = np.asarray(labels)
     target = np.asarray(target_ras, np.float64)
@@ -234,28 +245,44 @@ def suggest_placements(
     skin = lab == skin_label
     skull = np.isin(lab, skull_labels)
 
-    # scalp voxels: skin with at least one 6-neighbor outside the head
-    outside = ~head
-    nb = np.zeros_like(skin)
-    for ax in range(3):
-        for sh in (1, -1):
-            nb |= np.roll(outside, sh, axis=ax)
-    scalp = skin & nb
-    idx = np.argwhere(scalp)
-    if len(idx) == 0:
-        raise ValueError("no scalp (skin) surface voxels found in labels")
-    if len(idx) > max_candidates:
-        sel = np.linspace(0, len(idx) - 1, max_candidates).astype(int)
-        idx = idx[sel]
+    if scalp_mesh is not None:
+        from .gifti import vertex_normals
 
-    pos = (affine[:3, :3] @ idx.T + affine[:3, 3:4]).T  # (N,3) RAS
+        verts, faces = scalp_mesh
+        verts = np.asarray(verts, np.float64)
+        cand_vertex = np.arange(len(verts))
+        if len(verts) > max_candidates:
+            cand_vertex = np.linspace(
+                0, len(verts) - 1, max_candidates
+            ).astype(int)
+        pos = verts[cand_vertex]
+        normals = np.asarray(
+            vertex_normals(verts, faces), np.float64
+        )[cand_vertex]
+    else:
+        # scalp voxels: skin with at least one 6-neighbor outside the head
+        outside = ~head
+        nb = np.zeros_like(skin)
+        for ax in range(3):
+            for sh in (1, -1):
+                nb |= np.roll(outside, sh, axis=ax)
+        scalp = skin & nb
+        idx = np.argwhere(scalp)
+        if len(idx) == 0:
+            raise ValueError("no scalp (skin) surface voxels found in labels")
+        if len(idx) > max_candidates:
+            sel = np.linspace(0, len(idx) - 1, max_candidates).astype(int)
+            idx = idx[sel]
+        cand_vertex = None
+        pos = (affine[:3, :3] @ idx.T + affine[:3, 3:4]).T  # (N,3) RAS
+        normals = _surface_normals(head)[idx[:, 0], idx[:, 1], idx[:, 2]]
+
     dvec = target[None, :] - pos
     dist = np.linalg.norm(dvec, axis=1)
     dirs = dvec / dist[:, None]
 
     # feasibility: focal-depth envelope + tilt limit
     eff = dist + config.plane_offset + config.additional_offset
-    normals = _surface_normals(head)[idx[:, 0], idx[:, 1], idx[:, 2]]
     cos_tilt = np.clip(np.sum(-normals * dirs, axis=1), -1.0, 1.0)
     tilt = np.degrees(np.arccos(cos_tilt))
     feasible = (
@@ -269,8 +296,10 @@ def suggest_placements(
             f"[{config.min_distance}, {config.max_distance}] mm, "
             f"max tilt {config.max_angle} deg)"
         )
-    idx, pos, dirs, dist, eff, tilt = (
-        a[feasible] for a in (idx, pos, dirs, dist, eff, tilt)
+    if cand_vertex is not None:
+        cand_vertex = cand_vertex[feasible]
+    pos, dirs, dist, eff, tilt = (
+        a[feasible] for a in (pos, dirs, dist, eff, tilt)
     )
 
     # march every ray at step_mm resolution (vectorized N x T lookups)
@@ -299,7 +328,7 @@ def suggest_placements(
     has_skull = is_skull_ray.any(axis=1)
     first = np.where(has_skull, is_skull_ray.argmax(axis=1), 0)
     skull_n = _surface_normals(skull)
-    e_ijk = ijk_c[np.arange(len(idx)), first]
+    e_ijk = ijk_c[np.arange(len(pos)), first]
     n_sk = skull_n[e_ijk[:, 0], e_ijk[:, 1], e_ijk[:, 2]]
     cos_inc = np.clip(np.sum(-n_sk * dirs, axis=1), -1.0, 1.0)
     incidence = np.where(
@@ -340,8 +369,51 @@ def suggest_placements(
         },
         candidates_ras=pos,
         order=order,
+        candidate_vertices=cand_vertex,
         target_ras=target,
     )
+
+
+def export_scalp_surf_gii(
+    path: str, labels: np.ndarray, affine: np.ndarray,
+    smooth_iters: int = 10,
+):
+    """Extract the scalp surface from a label volume and write it as a
+    ``*.surf.gii`` mesh in RAS (the scalp-surface interchange PlanTUS
+    workflows expect, `RunPlanTUS.py:338`). Returns (vertices, faces)."""
+    from ..ops.mesh import mask_to_mesh, weld_vertices
+
+    lab = np.asarray(labels)
+    tris = mask_to_mesh(lab >= 1, smooth_iterations=smooth_iters)
+    verts, faces = weld_vertices(tris)
+    ras = (affine[:3, :3] @ verts.T + affine[:3, 3:4]).T
+    from .gifti import write_surf_gii
+
+    write_surf_gii(path, ras, faces)
+    return ras.astype(np.float32), faces
+
+
+def export_metric_func_gii(
+    path: str, result: PlacementResult, n_vertices: int,
+    metric: str = "score",
+):
+    """Per-vertex ``*.func.gii`` metric map for a mesh-candidate planner
+    run (the reference's flattened scalp metric maps,
+    `RunPlanTUS.py:541-545`): feasible candidate vertices carry the
+    metric, everything else NaN."""
+    if result.candidate_vertices is None:
+        raise ValueError(
+            "planner was not run with scalp_mesh=...; per-vertex maps "
+            "need mesh candidates"
+        )
+    from .gifti import write_func_gii
+
+    vals = np.full(int(n_vertices), np.nan, np.float32)
+    vals[result.candidate_vertices] = np.asarray(
+        result.metrics[metric], np.float32
+    )
+    write_func_gii(path, vals, name=metric)
+    return vals
 
 
 def metric_volume(

@@ -166,3 +166,81 @@ class TestPlacement:
         ):
             assert key in back
         assert back["flhm_list"] == [18.0, 25.0, 33.0]
+
+
+class TestGifti:
+    def test_surf_func_roundtrip(self, tmp_path):
+        """GIfTI surface + metric round-trip (the `*.surf.gii` /
+        `*.func.gii` interchange PlanTUS workflows use,
+        `RunPlanTUS.py:338,492,541-545`), including the POINTSET
+        coordinate transform."""
+        from babelbrain_tpu.pipeline import gifti
+
+        rng = np.random.default_rng(0)
+        verts = rng.normal(size=(50, 3)).astype(np.float32) * 40
+        faces = rng.integers(0, 50, (80, 3)).astype(np.int32)
+        p = str(tmp_path / "scalp.surf.gii")
+        gifti.write_surf_gii(p, verts, faces)
+        v2, f2 = gifti.read_surf_gii(p)
+        np.testing.assert_allclose(v2, verts, atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+
+        # non-identity transform applied on read
+        xf = np.eye(4)
+        xf[:3, 3] = (5.0, -3.0, 2.0)
+        gifti.write_surf_gii(p, verts, faces, transform=xf)
+        v3, _ = gifti.read_surf_gii(p)
+        np.testing.assert_allclose(v3, verts + xf[:3, 3], atol=1e-4)
+
+        vals = rng.normal(size=50).astype(np.float32)
+        q = str(tmp_path / "score.func.gii")
+        gifti.write_func_gii(q, vals, name="score")
+        np.testing.assert_allclose(gifti.read_func_gii(q), vals, atol=0)
+
+        # multi-column metric files
+        vals2 = rng.normal(size=(50, 3)).astype(np.float32)
+        gifti.write_func_gii(q, vals2)
+        np.testing.assert_allclose(gifti.read_func_gii(q), vals2, atol=0)
+
+    def test_planner_accepts_gifti_scalp_mesh(self, sphere_head, tmp_path):
+        """End-to-end: extract the scalp surface to .surf.gii, plan with
+        the MESH as the candidate set, and write a per-vertex metric
+        map; mesh-based placements must agree with the voxel-based ones."""
+        from babelbrain_tpu.pipeline import gifti
+        from babelbrain_tpu.pipeline.plantus import (
+            export_metric_func_gii,
+            export_scalp_surf_gii,
+        )
+
+        lab, affine, c = sphere_head
+        surf = str(tmp_path / "scalp.surf.gii")
+        verts, faces = export_scalp_surf_gii(surf, lab, affine)
+        # the extracted scalp should be a sphere of radius ~40 around c
+        r = np.linalg.norm(verts - c, axis=1)
+        assert 37 < np.median(r) < 42
+
+        target = c + np.array([0.0, 0.0, 18.0])
+        cfg = PlanTUSConfig(
+            max_distance=80.0, min_distance=5.0, optimal_distance=25.0,
+            transducer_diameter=64.0, max_angle=20.0,
+        )
+        mesh = gifti.read_surf_gii(surf)
+        res_m = suggest_placements(
+            lab, affine, target, cfg, top_k=5, scalp_mesh=mesh
+        )
+        res_v = suggest_placements(lab, affine, target, cfg, top_k=5)
+        # best entry points agree to within a couple of voxels
+        assert np.linalg.norm(
+            res_m.positions_ras[0] - res_v.positions_ras[0]
+        ) < 4.0
+
+        fmap = str(tmp_path / "score.func.gii")
+        vals = export_metric_func_gii(fmap, res_m, len(mesh[0]))
+        back = gifti.read_func_gii(fmap)
+        assert back.shape == (len(mesh[0]),)
+        finite = np.isfinite(back)
+        assert finite.sum() == len(res_m.metrics["score"])
+        np.testing.assert_allclose(
+            back[finite], res_m.metrics["score"], atol=1e-6
+        )
+        assert np.array_equal(np.isfinite(vals), finite)
