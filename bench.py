@@ -126,6 +126,10 @@ def main():
                 "value": round(mcups, 1),
                 "unit": "Mcells/s",
                 "vs_baseline": round(mcups / baseline_mcups, 3),
+                # measured A/K + B stage model at K -> inf (B = 12
+                # ps/cell/step, bench_suite.CEILINGS): remaining headroom
+                # as a percentage, not raw Gcells/s
+                "pct_of_stage_ceiling": round(100.0 * mcups / 83300.0, 1),
             }
         )
     )

@@ -38,10 +38,42 @@ F0 = 500e3
 PPW = 6.0
 
 
+# Measured stage ceilings per metric (VERDICT r4 task 10): the value a
+# perfect schedule of the CURRENT kernel structure could reach, from the
+# measured time/cell/step = A/K + B model at K -> inf (1/B) or the
+# 818 GB/s HBM / 3.55 Tflop/s VPU probes (tools/probe_roofline.py):
+#   fluid fusedK:  B = 12 ps/cell/step (round-4 depth sweep) -> 83.3 G
+#   visco fusedK:  B = 144 ps (round-5 depth sweep at narrow shapes;
+#                  flat in K, insensitive to every arithmetic/scratch
+#                  ablation -> the kernel sits at ~90% of its
+#                  stream-structure ceiling) -> 6.9 G
+#   dome fluid:    B = 15.4 ps (round-5 K=4/K=5 pair with the in-kernel
+#                  volumetric injection) -> 64.9 G
+#   rayleigh:      VPU bound at ~40 f32 ops/pair (distance, rsqrt,
+#                  sincos, complex accumulate) -> 3.55e12/40 = 88.8 Gpair
+#   bhte XLA scan: HBM bound at ~17 volumes/step = 68 B/cell ->
+#                  818/68e-9 = 12.0 G
+#   bhte pallas:   B from the K=5 sweep structure: measured 61.3 G at
+#                  ~(16+6)/5 volumes/step -> HBM no longer binding; use
+#                  the per-stage model 1/B with B ~= 12 ps -> 83.3 G
+CEILINGS = {
+    "fdtd_fluid_ct_mcells_per_s": 83300.0,
+    "fdtd_visco_label_mcells_per_s": 6900.0,
+    "fdtd_visco_narrow_mcells_per_s": 6900.0,
+    "fdtd_dome_volumetric_mcells_per_s": 64900.0,
+    "rayleigh_gpairs_per_s": 88.8,
+    "bhte_mcells_per_s": 12000.0,
+    "bhte_pallas_mcells_per_s": 83300.0,
+}
+
+
 def _emit(metric, value, unit, baseline):
     """baseline = this repo's measured XLA-path number for the same solver
     and shape (COMPONENTS.md perf table), or None when the metric IS the
-    XLA path / has no published reference number."""
+    XLA path / has no published reference number. pct_of_stage_ceiling =
+    value / the measured stage-structure ceiling (CEILINGS above), so perf
+    regressions and remaining headroom read as percentages."""
+    ceil = CEILINGS.get(metric)
     print(
         json.dumps(
             {
@@ -50,6 +82,9 @@ def _emit(metric, value, unit, baseline):
                 "unit": unit,
                 "vs_baseline": (
                     round(value / baseline, 3) if baseline else None
+                ),
+                "pct_of_stage_ceiling": (
+                    round(100.0 * value / ceil, 1) if ceil else None
                 ),
             }
         ),
