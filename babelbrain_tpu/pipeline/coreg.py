@@ -105,6 +105,21 @@ def _grad_mag(v):
     return jnp.sqrt(gx * gx + gy * gy + gz * gz)
 
 
+def _ngf(a, b, eps):
+    """Normalized-gradient-fields similarity (Haber & Modersitzki): the
+    mean squared cosine between the two images' gradient directions.
+    Pure ORIENTATION alignment — insensitive to the bias-field/contrast
+    modulation of gradient magnitudes that biases gradient-NCC by ~2 deg
+    on the robustness phantom (measured; the terminal polish below runs
+    on this metric for that reason)."""
+    ga = jnp.stack([jnp.gradient(a, axis=ax) for ax in range(3)])
+    gb = jnp.stack([jnp.gradient(b, axis=ax) for ax in range(3)])
+    na = jnp.sqrt((ga * ga).sum(0) + eps * eps)
+    nb = jnp.sqrt((gb * gb).sum(0) + eps * eps)
+    d = (ga * gb).sum(0) / (na * nb)
+    return (d * d).mean()
+
+
 def _interior(v, frac: float = 0.14):
     """Crop a border fraction before computing the similarity.
 
@@ -259,8 +274,86 @@ def register_rigid(
                             best_val = v
                             p_np = cand
                             improved = True
+        if f == levels[-1]:
+            # terminal sub-step polish (elastix-grade accuracy,
+            # `ExternalBin/elastix/rigid.txt`): per-parameter coordinate
+            # descent + parabolic line fits at the finest resolution on
+            # the NGF metric — gradient-NCC's optimum is measurably
+            # biased ~2 deg from truth on bias-field-shaded multi-modal
+            # pairs, while NGF (orientation-only) sits within ~0.5 deg;
+            # switching the polish metric is what earns the <0.5 deg /
+            # <0.5 vox small-angle floor asserted in
+            # tests/test_registration_robustness.py.
+            fxi = jnp.asarray(_downsample(fixed, f))
+            mvi = jnp.asarray(_downsample(moving, f))
+            fxi = (fxi - fxi.mean()) / (fxi.std() + 1e-6)
+            mvi = (mvi - mvi.mean()) / (mvi.std() + 1e-6)
+            fxi_in = _interior(fxi)
+            eps_ngf = 0.5 * float(jnp.abs(_grad_mag(fxi)).mean())
+
+            def loss_ngf(p):
+                p_level = jnp.concatenate([p[:3], p[3:] / f])
+                w = _interior(
+                    _resample_rigid(mvi, p_level, fxi.shape, center)
+                )
+                return -_ngf(w, fxi_in, eps_ngf)
+
+            loss_j = jax.jit(loss_ngf)
+            best_val = float(loss_j(jnp.asarray(p_np, jnp.float32)))
+            # the opening 2-deg step must clear the primary metric's
+            # measured ~2-deg bias basin before the fine sweeps converge
+            for step_deg, step_vox in ((2.0, 2.0), (1.0, 1.0), (0.5, 0.5),
+                                       (0.25, 0.25)):
+                improved = True
+                sweeps = 0
+                while improved and sweeps < 4:
+                    improved = False
+                    sweeps += 1
+                    for ax in range(6):
+                        d = np.deg2rad(step_deg) if ax < 3 else step_vox
+                        for sgn in (+1.0, -1.0):
+                            cand = p_np.copy()
+                            cand[ax] += sgn * d
+                            v = float(
+                                loss_j(jnp.asarray(cand, jnp.float32))
+                            )
+                            if v < best_val - 1e-8:
+                                best_val = v
+                                p_np = cand
+                                improved = True
+            for step_deg in (0.25, 0.1):
+                for _ in range(2):
+                    for ax in range(6):
+                        d = np.deg2rad(step_deg) if ax < 3 else step_deg * 2
+                        cm = p_np.copy()
+                        cm[ax] -= d
+                        cp = p_np.copy()
+                        cp[ax] += d
+                        vm = float(loss_j(jnp.asarray(cm, jnp.float32)))
+                        vp = float(loss_j(jnp.asarray(cp, jnp.float32)))
+                        denom = vm - 2.0 * best_val + vp
+                        if denom <= 1e-12:
+                            # not locally convex along this axis: fall
+                            # back to the better neighbor if it wins
+                            if min(vm, vp) < best_val - 1e-9:
+                                p_np = cm if vm < vp else cp
+                                best_val = min(vm, vp)
+                            continue
+                        delta = float(
+                            np.clip(0.5 * (vm - vp) / denom * d, -d, d)
+                        )
+                        cand = p_np.copy()
+                        cand[ax] += delta
+                        v = float(loss_j(jnp.asarray(cand, jnp.float32)))
+                        if v < best_val - 1e-9:
+                            best_val = v
+                            p_np = cand
         params = jnp.asarray(p_np, jnp.float32)
-        quality = -best_val
+        # quality stays on the PRIMARY metric (the failure-detection
+        # thresholds are calibrated on NCC/MI, not on the polish NGF)
+        quality = -float(
+            jax.jit(loss)(jnp.asarray(p_np, jnp.float32))
+        )
 
     p = np.asarray(params)
     R = np.asarray(euler_matrix(p[0], p[1], p[2]))
