@@ -4846,7 +4846,8 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                             ycoef_mask=None, _no_inplane_cpml=False,
                             _no_xcpml=False, _cheap_derivs=False,
                             _no_psix_ring=False, _no_psiyz_ring=False,
-                            _no_xwin=False, _cheap_updates=False):
+                            _no_xwin=False, _cheap_updates=False,
+                            _min_streams=False):
     """K viscoelastic timesteps per streaming sweep (deep temporal blocking).
 
     Generalizes ``build_visco_fused2_step`` exactly the way
@@ -5028,12 +5029,13 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         # MEASURED tradeoff on v5e: the unaligned 14-lane slices/concats
         # cost ~11% throughput at K=2, so packing is OFF by default and
         # only worth enabling when the freed VMEM buys a deeper K.
-        + [(f"psi_v{j}", slab_y(lagk(1))) for j in range(6)]
-        + ([("psi_vz_pk", slab_zp(lagk(1)))] if pack_z else
-           [(f"psi_v{j}", slab_z(lagk(1))) for j in range(6, 12)])
-        + [(f"psi_s{j}", slab_y(lagk(2))) for j in range(6)]
-        + ([("psi_sz_pk", slab_zp(lagk(2)))] if pack_z else
-           [(f"psi_s{j}", slab_z(lagk(2))) for j in range(6, 12)])
+        + ([] if _min_streams else
+           [(f"psi_v{j}", slab_y(lagk(1))) for j in range(6)]
+           + ([("psi_vz_pk", slab_zp(lagk(1)))] if pack_z else
+              [(f"psi_v{j}", slab_z(lagk(1))) for j in range(6, 12)])
+           + [(f"psi_s{j}", slab_y(lagk(2))) for j in range(6)]
+           + ([("psi_sz_pk", slab_zp(lagk(2)))] if pack_z else
+              [(f"psi_s{j}", slab_z(lagk(2))) for j in range(6, 12)]))
         + [("ghost", ghost_spec)]
         + ([(f"{nm}{k}", plane_at(2 * k - 1))
             for k in range(1, K + 1) for nm in ("amp", "cph", "sph")]
@@ -5048,10 +5050,11 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         + [(f"czh{j}", coef_z) for j in range(4)]
         + [(f"cyi{j}", coef_y) for j in range(4)]
         + [(f"czi{j}", coef_z) for j in range(4)]
-        + [(f"pxs{j}", psixb((lo_of if j % 2 == 0 else hi_of)(1)))
-           for j in range(6)]
-        + [(f"pxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2)))
-           for j in range(6)]
+        + ([] if _min_streams else
+           [(f"pxs{j}", psixb((lo_of if j % 2 == 0 else hi_of)(1)))
+            for j in range(6)]
+           + [(f"pxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2)))
+            for j in range(6)])
         # resident x-CPML coefficient packs (half + int family), loaded
         # once and dynamic-sliced per stage in-kernel — replaces 16K
         # per-lag tiny block streams
@@ -5064,16 +5067,19 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         + [(f"or_{c}", slab(lagk(2 * K))) for c in _S6]
         + ([("oacc_c", slab(lagk(2 * K))), ("oacc_s", slab(lagk(2 * K))),
             ("opeak", slab(lagk(2 * K)))] if with_dft else [])
-        + [(f"opsi_v{j}", slab_y(lagk(2 * K - 1))) for j in range(6)]
-        + ([("opsi_vz_pk", slab_zp(lagk(2 * K - 1)))] if pack_z else
-           [(f"opsi_v{j}", slab_z(lagk(2 * K - 1))) for j in range(6, 12)])
-        + [(f"opsi_s{j}", slab_y(lagk(2 * K))) for j in range(6)]
-        + ([("opsi_sz_pk", slab_zp(lagk(2 * K)))] if pack_z else
-           [(f"opsi_s{j}", slab_z(lagk(2 * K))) for j in range(6, 12)])
-        + [(f"opxs{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2 * K - 1)))
-           for j in range(6)]
-        + [(f"opxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2 * K)))
-           for j in range(6)]
+        + ([] if _min_streams else
+           [(f"opsi_v{j}", slab_y(lagk(2 * K - 1))) for j in range(6)]
+           + ([("opsi_vz_pk", slab_zp(lagk(2 * K - 1)))] if pack_z else
+              [(f"opsi_v{j}", slab_z(lagk(2 * K - 1)))
+               for j in range(6, 12)])
+           + [(f"opsi_s{j}", slab_y(lagk(2 * K))) for j in range(6)]
+           + ([("opsi_sz_pk", slab_zp(lagk(2 * K)))] if pack_z else
+              [(f"opsi_s{j}", slab_z(lagk(2 * K))) for j in range(6, 12)])
+           + [(f"opxs{j}",
+               psixb((lo_of if j % 2 == 0 else hi_of)(2 * K - 1)))
+              for j in range(6)]
+           + [(f"opxv{j}", psixb((lo_of if j % 2 == 0 else hi_of)(2 * K)))
+              for j in range(6)])
     )
     vol = lambda: jax.ShapeDtypeStruct((N1, N2, N3), jnp.float32)
     shp_y = jax.ShapeDtypeStruct((N1, ns, N3), jnp.float32)
@@ -5103,13 +5109,13 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
         aliases[in_idx["acc_c"]] = out_idx["oacc_c"]
         aliases[in_idx["acc_s"]] = out_idx["oacc_s"]
         aliases[in_idx["peak"]] = out_idx["opeak"]
-    for j in range(6 if pack_z else 12):
+    for j in range(0 if _min_streams else (6 if pack_z else 12)):
         aliases[in_idx[f"psi_v{j}"]] = out_idx[f"opsi_v{j}"]
         aliases[in_idx[f"psi_s{j}"]] = out_idx[f"opsi_s{j}"]
-    if pack_z:
+    if pack_z and not _min_streams:
         aliases[in_idx["psi_vz_pk"]] = out_idx["opsi_vz_pk"]
         aliases[in_idx["psi_sz_pk"]] = out_idx["opsi_sz_pk"]
-    for j in range(6):
+    for j in range(0 if _min_streams else 6):
         aliases[in_idx[f"pxs{j}"]] = out_idx[f"opxs{j}"]
         aliases[in_idx[f"pxv{j}"]] = out_idx[f"opxv{j}"]
 
@@ -5390,15 +5396,22 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                         rho_inv = mgather(0, R["midx"][...])
                     else:
                         rho_inv = R["rho"][...]
-                    if pack_z:
+                    if _min_streams:  # perf probe only: wrong numbers
+                        psi12 = (
+                            [jnp.zeros((nb, ns, N3), jnp.float32)] * 6
+                            + [jnp.zeros((nb, N2, ns), jnp.float32)] * 6
+                        )
+                        psix6 = [jnp.zeros((nb, N2, N3), jnp.float32)] * 6
+                    elif pack_z:
                         vz_pk = R["psi_vz_pk"][...]
                         psi12 = [R[f"psi_v{j}"][...] for j in range(6)] + [
                             vz_pk[:, :, m * ns:(m + 1) * ns]
                             for m in range(6)
                         ]
+                        psix6 = [R[f"pxs{j}"][...] for j in range(6)]
                     else:
                         psi12 = [R[f"psi_v{j}"][...] for j in range(12)]
-                    psix6 = [R[f"pxs{j}"][...] for j in range(6)]
+                        psix6 = [R[f"pxs{j}"][...] for j in range(6)]
                 else:
                     km = k - 1
                     w_xx = win(R[f"s{km}_xx"], sv, sdepth(km, "xx"))
@@ -5462,17 +5475,18 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     R["ovx"][...] = vx_n
                     R["ovy"][...] = vy_n
                     R["ovz"][...] = vz_n
-                    for j in range(6):
-                        R[f"opsi_v{j}"][...] = np12[j]
-                    if pack_z:
-                        R["opsi_vz_pk"][...] = jnp.concatenate(
-                            np12[6:12], axis=2
-                        )
-                    else:
-                        for j in range(6, 12):
+                    if not _min_streams:
+                        for j in range(6):
                             R[f"opsi_v{j}"][...] = np12[j]
-                    for j in range(6):
-                        R[f"opxs{j}"][...] = npx[j]
+                        if pack_z:
+                            R["opsi_vz_pk"][...] = jnp.concatenate(
+                                np12[6:12], axis=2
+                            )
+                        else:
+                            for j in range(6, 12):
+                                R[f"opsi_v{j}"][...] = np12[j]
+                        for j in range(6):
+                            R[f"opxs{j}"][...] = npx[j]
                 else:
                     if not _no_psiyz_ring:
                         for j in range(6):
@@ -5509,15 +5523,22 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                         props5 = (R["piu"][...], R["muu"][...],
                                   R["crp"][...], R["crs"][...],
                                   R["br"][...])
-                    if pack_z:
+                    if _min_streams:  # perf probe only: wrong numbers
+                        psi12 = (
+                            [jnp.zeros((nb, ns, N3), jnp.float32)] * 6
+                            + [jnp.zeros((nb, N2, ns), jnp.float32)] * 6
+                        )
+                        psix6 = [jnp.zeros((nb, N2, N3), jnp.float32)] * 6
+                    elif pack_z:
                         sz_pk = R["psi_sz_pk"][...]
                         psi12 = [R[f"psi_s{j}"][...] for j in range(6)] + [
                             sz_pk[:, :, m * ns:(m + 1) * ns]
                             for m in range(6)
                         ]
+                        psix6 = [R[f"pxv{j}"][...] for j in range(6)]
                     else:
                         psi12 = [R[f"psi_s{j}"][...] for j in range(12)]
-                    psix6 = [R[f"pxv{j}"][...] for j in range(6)]
+                        psix6 = [R[f"pxv{j}"][...] for j in range(6)]
                 else:
                     km = k - 1
                     s_old6 = tuple(
@@ -5563,17 +5584,18 @@ def build_visco_fusedK_step(grid, profiles_np, viscous, oz_scale, K, nb=2,
                     for j, c in enumerate(_S6):
                         R[f"os_{c}"][...] = s6[j]
                         R[f"or_{c}"][...] = r6[j]
-                    for j in range(6):
-                        R[f"opsi_s{j}"][...] = np12[j]
-                    if pack_z:
-                        R["opsi_sz_pk"][...] = jnp.concatenate(
-                            np12[6:12], axis=2
-                        )
-                    else:
-                        for j in range(6, 12):
+                    if not _min_streams:
+                        for j in range(6):
                             R[f"opsi_s{j}"][...] = np12[j]
-                    for j in range(6):
-                        R[f"opxv{j}"][...] = npx[j]
+                        if pack_z:
+                            R["opsi_sz_pk"][...] = jnp.concatenate(
+                                np12[6:12], axis=2
+                            )
+                        else:
+                            for j in range(6, 12):
+                                R[f"opsi_s{j}"][...] = np12[j]
+                        for j in range(6):
+                            R[f"opxv{j}"][...] = npx[j]
                     if with_dft:
                         acc_c = R["acc_c"][...]
                         acc_s = R["acc_s"][...]
@@ -5676,7 +5698,7 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
                                _no_inplane_cpml=False, _no_xcpml=False,
                                _cheap_derivs=False, _no_psix_ring=False,
                                _no_psiyz_ring=False, _no_xwin=False,
-                               _cheap_updates=False):
+                               _cheap_updates=False, _min_streams=False):
     """K-timestep visco step closure (scan over step groups of K).
 
     With ``indexed_materials`` the carry must hold ``midx`` (int32 volume)
@@ -5691,6 +5713,7 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         _no_xcpml=_no_xcpml, _cheap_derivs=_cheap_derivs,
         _no_psix_ring=_no_psix_ring, _no_psiyz_ring=_no_psiyz_ring,
         _no_xwin=_no_xwin, _cheap_updates=_cheap_updates,
+        _min_streams=_min_streams,
     )
     bxh = tuple(jnp.asarray(c) for c in kc["x_half_pack"])
     bxi = tuple(jnp.asarray(c) for c in kc["x_int_pack"])
@@ -5752,7 +5775,10 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         else:
             acc_in = scal_in = ()
 
-        if pack_z:
+        if _min_streams:
+            psi_v_in = []
+            psi_s_in = []
+        elif pack_z:
             # z psi slabs travel lane-packed through the kernel (6 -> 1
             # stream per family); carry keys stay unpacked for the
             # fused1/2 fallback kernels
@@ -5787,12 +5813,14 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             *psrc_in,
             *scal_in,
             *kc["y_half"], *kc["z_half"], *kc["y_int"], *kc["z_int"],
-            s["psi_sxxx_lo"], s["psi_sxxx_hi"],
-            s["psi_sxyx_lo"], s["psi_sxyx_hi"],
-            s["psi_sxzx_lo"], s["psi_sxzx_hi"],
-            s["psi_vxx_lo"], s["psi_vxx_hi"],
-            s["psi_vyx_lo"], s["psi_vyx_hi"],
-            s["psi_vzx_lo"], s["psi_vzx_hi"],
+            *(() if _min_streams else (
+                s["psi_sxxx_lo"], s["psi_sxxx_hi"],
+                s["psi_sxyx_lo"], s["psi_sxyx_hi"],
+                s["psi_sxzx_lo"], s["psi_sxzx_hi"],
+                s["psi_vxx_lo"], s["psi_vxx_hi"],
+                s["psi_vyx_lo"], s["psi_vyx_hi"],
+                s["psi_vzx_lo"], s["psi_vzx_hi"],
+            )),
             *bxh, *bxi,
         )
         it = iter(outs)
@@ -5803,7 +5831,20 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
             acc_c, acc_s, peak = (next(it) for _ in range(3))
         else:
             acc_c, acc_s, peak = s["acc_cos"], s["acc_sin"], s["peak"]
-        if pack_z:
+        if _min_streams:
+            psi_v_out = [s[k] for k in _V_PSI_KEYS]
+            psi_s_out = [s[k] for k in _S_PSI_KEYS]
+            (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
+             n_sxzx_lo, n_sxzx_hi) = (
+                s["psi_sxxx_lo"], s["psi_sxxx_hi"], s["psi_sxyx_lo"],
+                s["psi_sxyx_hi"], s["psi_sxzx_lo"], s["psi_sxzx_hi"],
+            )
+            (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+             n_vzx_lo, n_vzx_hi) = (
+                s["psi_vxx_lo"], s["psi_vxx_hi"], s["psi_vyx_lo"],
+                s["psi_vyx_hi"], s["psi_vzx_lo"], s["psi_vzx_hi"],
+            )
+        elif pack_z:
             nsp = grid.npml + 2
             psi_v_out = [next(it) for _ in range(7)]
             psi_s_out = [next(it) for _ in range(7)]
@@ -5816,10 +5857,11 @@ def _make_visco_fusedK_step_fn(grid, profiles_np, viscous, oz_scale, K, nb,
         else:
             psi_v_out = [next(it) for _ in range(12)]
             psi_s_out = [next(it) for _ in range(12)]
-        (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
-         n_sxzx_lo, n_sxzx_hi) = (next(it) for _ in range(6))
-        (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
-         n_vzx_lo, n_vzx_hi) = (next(it) for _ in range(6))
+        if not _min_streams:
+            (n_sxxx_lo, n_sxxx_hi, n_sxyx_lo, n_sxyx_hi,
+             n_sxzx_lo, n_sxzx_hi) = (next(it) for _ in range(6))
+            (n_vxx_lo, n_vxx_hi, n_vyx_lo, n_vyx_hi,
+             n_vzx_lo, n_vzx_hi) = (next(it) for _ in range(6))
         new_carry = dict(
             s,
             fields=dict(
