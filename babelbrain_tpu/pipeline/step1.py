@@ -265,7 +265,13 @@ def generate_mask(
             # partial-volume rim fix before quantization (`:935-1017`)
             ct = maximize_bone_rim(ct, bone_region, voxels_per_mm=1.0 / dx_mm)
         uhu, ct_idx = quantize_hu(ct, bone_region, bits=ct_quantification_bits)
-        air = (ct > -1200) & (ct < -400)
+        # air regions in [-1200, -400] HU (`BabelDatasetPreps.py:1047-1064`),
+        # restricted to INSIDE the head: the exterior of a head CT (and the
+        # -1000 background a pseudo-CT assigns outside the head mask,
+        # `CTZTEProcessing.py:619-621`) is air too, but the simulation's
+        # background/coupling medium is water — only intracranial cavities
+        # (sinuses, mastoid) become pressure-release reflectors
+        air = (ct > -1200) & (ct < -400) & (mask > 0)
         result.ct_index = ct_idx
         result.unique_hu = uhu
         result.air_mask = air
