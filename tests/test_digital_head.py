@@ -4,7 +4,7 @@ The reference's regression tests drive real Zenodo datasets through the
 full pipeline (SURVEY.md section 4; doi 10.5281/zenodo.7894431). No
 network access exists here, so the closest offline substitute is a
 PROCEDURAL head phantom built from published cranial statistics and driven
-through the CT, ZTE, and Density imaging paths end-to-end:
+through the CT, ZTE, PETRA, and Density imaging paths end-to-end:
 
   * outer-table/diploe/inner-table skull sandwich with angular thickness
     variation in the published adult range (parietal/frontal mean ~6.3 mm,
@@ -16,6 +16,9 @@ through the CT, ZTE, and Density imaging paths end-to-end:
     air sinus -1000 HU; cap 2100 HU as `BabelDatasetPreps.py:836`),
   * a ZTE-like MR volume with the soft-bright/bone-dark contrast the
     pseudo-CT mapping expects (`CTZTEProcessing.py:591-628`),
+  * a PETRA-like volume whose integer histogram carries the two peaks
+    (water bath + soft tissue) the petra2Density normalization keys on
+    (`CTZTEProcessing.py:556-577`),
   * a Density volume via the same mass-density law CT mode uses.
 
 Cross-modality consistency (focal position and pressure within tiers) is
@@ -47,7 +50,7 @@ VOX = 2.0
 
 
 def build_head():
-    """(labels, ct_hu, zte, density, affine) at 2 mm isotropic."""
+    """(labels, ct_hu, zte, petra, density, affine) at 2 mm isotropic."""
     rng = np.random.default_rng(11)
     aff = np.diag([VOX, VOX, VOX, 1.0])
     aff[:3, 3] = -N
@@ -110,11 +113,22 @@ def build_head():
     zte[bone] = 340.0 + rng.normal(0, 40, int(bone.sum()))
     zte[sinus] = 25.0
 
+    # PETRA-like MR: the petra2Density normalization integer-bins the
+    # FULL image histogram and divides by the highest-intensity of the
+    # two tallest peaks >=50 units apart (`CTZTEProcessing.py:556-577`)
+    # — here the water bath (~600, tallest) and soft tissue (~1000, the
+    # normalizer), with bone at norm ~0.35 so the linear law
+    # pCT = -2080*norm + 2133.2 lands it near the CT cortical values
+    petra = 600.0 + rng.normal(0, 4, (N, N, N))
+    petra[labels > 0] = 1000.0 + rng.normal(0, 25, int((labels > 0).sum()))
+    petra[bone] = 350.0 + rng.normal(0, 45, int(bone.sum()))
+    petra[sinus] = 25.0
+
     # density volume: soft ~1000, bone via a linear HU law
     dens = np.full((N, N, N), 1000.0)
     dens[bone] = 1000.0 + 0.6 * np.clip(ct[bone], 0, None)
     dens[sinus] = 1.2
-    return labels, ct, zte, dens, aff
+    return labels, ct, zte, petra, dens, aff
 
 
 @pytest.fixture(scope="module")
@@ -132,7 +146,7 @@ def head_tx():
 
 
 def _run_mode(head, tx, tmpdir, ct_type, vol):
-    labels, ct, zte, dens, aff = head
+    labels, ct, zte, petra, dens, aff = head
     cfg = CaseConfig(
         tx_system=tx, frequency=500e3, ppw=6.0, ct_type=ct_type,
         output_dir=str(tmpdir), prefix=f"dh_{ct_type.lower()}",
@@ -162,10 +176,11 @@ class TestDigitalHead:
     @pytest.fixture(scope="class")
     def runs(self, head, head_tx, tmp_path_factory):
         out = {}
-        labels, ct, zte, dens, aff = head
+        labels, ct, zte, petra, dens, aff = head
         base = tmp_path_factory.mktemp("digital_head")
         out["CT"] = _run_mode(head, head_tx, base, "CT", ct)
         out["ZTE"] = _run_mode(head, head_tx, base, "ZTE", zte)
+        out["PETRA"] = _run_mode(head, head_tx, base, "PETRA", petra)
         out["Density"] = _run_mode(head, head_tx, base, "Density", dens)
         return out
 
@@ -178,14 +193,14 @@ class TestDigitalHead:
             assert "SDR" in data, mode
 
     def test_modes_agree_on_focus(self, runs):
-        """The three imaging paths describe one head: focal positions
+        """The imaging paths describe one head: focal positions
         within 6 mm (3 voxels) and peak pressures within 35% (the
         pseudo-CT/density laws are approximations of the CT truth, not
         reparameterizations — the reference quotes similar ZTE-vs-CT
         spreads for transcranial pressure)."""
         metrics = {m: _focal_metrics(r) for m, r in runs.items()}
         _, pos_ct, pk_ct, _ = metrics["CT"]
-        for mode in ("ZTE", "Density"):
+        for mode in ("ZTE", "PETRA", "Density"):
             _, pos, pk, _ = metrics[mode]
             assert np.linalg.norm(pos - pos_ct) <= 6.0, (mode, pos, pos_ct)
             assert abs(pk - pk_ct) / pk_ct <= 0.35, (mode, pk, pk_ct)
@@ -193,7 +208,7 @@ class TestDigitalHead:
     def test_skull_statistics_realistic(self, head):
         """The phantom's skull HU distribution spans the published adult
         range the Webb tables cover (`materials/data/webb_tables.npz`)."""
-        labels, ct, _, _, _ = head
+        labels, ct, _, _, _, _ = head
         bone_hu = ct[labels == 7]
         assert 300 < np.median(bone_hu) < 1800
         assert bone_hu.max() <= 2100.0
