@@ -13,9 +13,19 @@ from __future__ import annotations
 
 import gzip
 import struct
+import threading
 
 import h5py
 import numpy as np
+
+# h5py's own global lock is NOT sufficient for the low-level direct-chunk
+# calls the BLOSC writer uses: H5Dwrite_chunk is entered with the lock
+# released, and two AsyncSaver threads writing different files corrupt
+# HDF5's global metadata cache ("ring type mismatch occurred for cache
+# entry" / "Unspecified error in H5Dwrite_chunk", reproducibly within a
+# few concurrent saves). All HDF5 file sessions in this module therefore
+# serialize on one lock; NIfTI saves stay fully parallel.
+_H5_LOCK = threading.Lock()
 
 _NIFTI_DTYPES = {
     2: np.uint8,
@@ -210,7 +220,7 @@ def save_dict_h5(data: dict, path: str, compression="gzip"):
                     kw = dict(compression=compression)
                 group.create_dataset(str(k), data=arr, **kw)
 
-    with h5py.File(path, "w") as f:
+    with _H5_LOCK, h5py.File(path, "w") as f:
         write(f, data)
 
 
@@ -264,7 +274,7 @@ def load_dict_h5(path: str) -> dict:
                 out[k] = val
         return out
 
-    with h5py.File(path, "r") as f:
+    with _H5_LOCK, h5py.File(path, "r") as f:
         return read(f)
 
 

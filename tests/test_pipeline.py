@@ -75,6 +75,40 @@ class TestIO:
         finally:
             os.remove(f)
 
+    def test_h5_concurrent_saves(self, rng, tmp_path):
+        """Regression: two AsyncSaver workers writing h5 files at once
+        corrupted HDF5's global metadata cache through the BLOSC
+        direct-chunk path ('ring type mismatch occurred for cache entry',
+        intermittent segfaults) before io._H5_LOCK serialized HDF5
+        sessions. Without the lock this fails within a few iterations."""
+        import threading
+
+        payload = {
+            "a": rng.normal(size=(48, 48, 80)).astype(np.float32),
+            "b": rng.normal(size=(256, 256)),
+            "n": {"c": np.arange(5000)},
+        }
+        errs = []
+
+        def worker(tid):
+            for i in range(25):
+                try:
+                    comp = "blosc" if (i + tid) % 2 == 0 else "gzip"
+                    p = str(tmp_path / f"t{tid}.h5")
+                    save_dict_h5(payload, p, compression=comp)
+                    back = load_dict_h5(p)
+                    assert back["a"].shape == (48, 48, 80)
+                except Exception as e:  # pragma: no cover - failure path
+                    errs.append((tid, i, repr(e)))
+                    return
+
+        ts = [threading.Thread(target=worker, args=(t,)) for t in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+
 
 class TestDomainArithmetic:
     def test_snap_ppp_fixups(self):
